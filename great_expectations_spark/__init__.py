@@ -1,0 +1,54 @@
+"""great_expectations_spark — a from-scratch PySpark-native expectation /
+data-validation engine with the semantics of Great Expectations v0.16.1
+(reference: tmilitino/great_expectations), re-architected Spark-first.
+
+Key design deltas vs the reference (see SURVEY.md):
+
+* The whole expectation suite compiles into ONE bundled ``df.agg(...)`` pass
+  (condition metrics become ``sum(when(unexpected, 1))`` counters; aggregate
+  metrics join the same agg), instead of a metric-graph fixpoint issuing many
+  Spark jobs (reference: ``execution_engine/sparkdf_execution_engine.py:715-793``).
+* Uniqueness / compound-uniqueness use a two-phase hash aggregation
+  (map-side combined ``groupBy(value)``) instead of
+  ``Window.partitionBy(value)`` over all rows (reference:
+  ``expectations/metrics/map_metric_provider/..column_values_unique.py:77-82``)
+  which shuffles every row by value and dies on hot keys.
+* Monotonicity (increasing/decreasing) is evaluated per partition key
+  (``Window.partitionBy(key).orderBy(order)``) instead of the reference's
+  single-partition global ``orderBy(lit("constant"))``
+  (``column_values_increasing.py:70-150``).
+* Per-partition validation of a partitioned table happens in one
+  ``groupBy(partition_col)`` pass producing an
+  ``ExpectationSuiteValidationResult`` per partition, instead of a driver
+  loop over per-partition filters.
+"""
+
+from great_expectations_spark.core.result_format import (
+    parse_result_format,
+    format_map_output,
+    mostly_success,
+    validate_metric_value_between,
+)
+from great_expectations_spark.core.results import (
+    ExpectationValidationResult,
+    ExpectationSuiteValidationResult,
+)
+from great_expectations_spark.core.suite import (
+    ExpectationConfiguration,
+    ExpectationSuite,
+)
+from great_expectations_spark.plans.planner import SuiteValidator
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "parse_result_format",
+    "format_map_output",
+    "mostly_success",
+    "validate_metric_value_between",
+    "ExpectationValidationResult",
+    "ExpectationSuiteValidationResult",
+    "ExpectationConfiguration",
+    "ExpectationSuite",
+    "SuiteValidator",
+]

@@ -1,0 +1,341 @@
+"""Aggregate-metric expectations.
+
+Every metric here is an unevaluated Spark aggregate Column; the planner
+bundles ALL of them (plus every map-condition counter) into ONE
+``df.agg(...)`` job — the re-implementation of the reference's bundling
+optimization (``sparkdf_execution_engine.py:715-793``) generalized to the
+whole suite.
+
+Metric keys are content-addressed (name + column + value kwargs) so two
+expectations over the same metric share one aggregate (reference metric
+dedup: ``validation_graph.py:96-100``).
+
+Scale notes: quantiles use ``percentile_approx`` (mergeable GK/KLL-style
+sketch inside Spark) unless ``exact=True``; distinct counts use
+``approx_count_distinct`` (HLL) when ``approximate=True`` — the 10^12-row
+defaults.  ``collect_set`` based checks guard against high cardinality with
+a configurable cap.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, List, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.result_format import (
+    validate_metric_value_between,
+)
+from great_expectations_spark.plans.specs import CompiledAggregate
+
+AGG_COMPILERS: Dict[str, Callable[[Dict[str, Any]], CompiledAggregate]] = {}
+
+DISTINCT_COLLECT_CAP = 100_000
+
+
+def register_agg(name: str):
+    def deco(fn):
+        AGG_COMPILERS[name] = fn
+        return fn
+
+    return deco
+
+
+def metric_key(name: str, column: Optional[str], **value_kwargs: Any) -> str:
+    suffix = (
+        ""
+        if not value_kwargs
+        else ":" + json.dumps(value_kwargs, sort_keys=True, default=str)
+    )
+    return f"{name}({column}){suffix}" if column else f"{name}{suffix}"
+
+
+def _between_aggregate(
+    kwargs: Dict[str, Any], key: str, expr: Column
+) -> CompiledAggregate:
+    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
+        return validate_metric_value_between(
+            metrics.get(key),
+            kwargs.get("min_value"),
+            kwargs.get("max_value"),
+            bool(kwargs.get("strict_min", False)),
+            bool(kwargs.get("strict_max", False)),
+        )
+
+    return CompiledAggregate(agg_exprs={key: expr}, validate=validate)
+
+
+# --- simple column aggregates (ref: column_aggregate_metrics/*.py) --------
+
+
+@register_agg("expect_column_mean_to_be_between")
+def _mean_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    key = metric_key("column.mean", column)
+    return _between_aggregate(kwargs, key, F.mean(F.col(column)))
+
+
+@register_agg("expect_column_stdev_to_be_between")
+def _stdev_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    key = metric_key("column.standard_deviation", column)
+    return _between_aggregate(kwargs, key, F.stddev_samp(F.col(column)))
+
+
+@register_agg("expect_column_sum_to_be_between")
+def _sum_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    key = metric_key("column.sum", column)
+    return _between_aggregate(kwargs, key, F.sum(F.col(column)))
+
+
+@register_agg("expect_column_min_to_be_between")
+def _min_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    key = metric_key("column.min", column)
+    return _between_aggregate(kwargs, key, F.min(F.col(column)))
+
+
+@register_agg("expect_column_max_to_be_between")
+def _max_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    key = metric_key("column.max", column)
+    return _between_aggregate(kwargs, key, F.max(F.col(column)))
+
+
+@register_agg("expect_column_median_to_be_between")
+def _median_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    if kwargs.get("approximate"):
+        accuracy = int(kwargs.get("accuracy", 10_000))
+        key = metric_key("column.median.approx", column, accuracy=accuracy)
+        expr = F.percentile_approx(F.col(column), 0.5, accuracy)
+    else:
+        # exact interpolated median (reference computes exact via an
+        # approxQuantile epsilon trick, column_median.py:90-121)
+        key = metric_key("column.median", column)
+        expr = F.median(F.col(column))
+    return _between_aggregate(kwargs, key, expr)
+
+
+@register_agg("expect_column_value_lengths_max_to_be_between")
+def _length_max_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    key = metric_key("column.value_length.max", column)
+    return _between_aggregate(kwargs, key, F.max(F.length(F.col(column))))
+
+
+@register_agg("expect_column_value_lengths_min_to_be_between")
+def _length_min_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    key = metric_key("column.value_length.min", column)
+    return _between_aggregate(kwargs, key, F.min(F.length(F.col(column))))
+
+
+# --- distinct / uniqueness aggregates ------------------------------------
+
+
+def _distinct_count_expr(kwargs: Dict[str, Any]) -> (str, Column):
+    column = kwargs["column"]
+    if kwargs.get("approximate"):
+        rsd = float(kwargs.get("rsd", 0.01))
+        key = metric_key("column.distinct_values.count.approx", column, rsd=rsd)
+        return key, F.approx_count_distinct(F.col(column), rsd)
+    key = metric_key("column.distinct_values.count", column)
+    return key, F.count_distinct(F.col(column))
+
+
+@register_agg("expect_column_unique_value_count_to_be_between")
+def _unique_count_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    key, expr = _distinct_count_expr(kwargs)
+    return _between_aggregate(kwargs, key, expr)
+
+
+@register_agg("expect_column_proportion_of_unique_values_to_be_between")
+def _unique_proportion_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    # ref formula: distinct_count / nonnull_count
+    # (column_proportion_of_unique_values.py:20-48)
+    column = kwargs["column"]
+    dkey, dexpr = _distinct_count_expr(kwargs)
+    nkey = metric_key("column.nonnull.count", column)
+
+    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
+        distinct = metrics.get(dkey)
+        nonnull = metrics.get(nkey)
+        proportion = (
+            (distinct / nonnull) if distinct is not None and nonnull else 0.0
+        )
+        return validate_metric_value_between(
+            proportion,
+            kwargs.get("min_value"),
+            kwargs.get("max_value"),
+            bool(kwargs.get("strict_min", False)),
+            bool(kwargs.get("strict_max", False)),
+        )
+
+    return CompiledAggregate(
+        agg_exprs={
+            dkey: dexpr,
+            nkey: F.count(F.col(column)),
+        },
+        validate=validate,
+    )
+
+
+def _distinct_set_key(column: str) -> str:
+    return metric_key("column.distinct_values", column)
+
+
+def _distinct_set_exprs(column: str) -> Dict[str, Column]:
+    # collect_set is a mergeable aggregate; the planner caps observed
+    # cardinality via the companion count (see validate guards below).
+    return {
+        _distinct_set_key(column): F.collect_set(F.col(column)),
+        metric_key("column.distinct_values.count", column): F.count_distinct(
+            F.col(column)
+        ),
+    }
+
+
+def _distinct_set_validator(
+    kwargs: Dict[str, Any],
+    check: Callable[[set, set], bool],
+    observed: str = "sorted",
+) -> CompiledAggregate:
+    column = kwargs["column"]
+    value_set = set(kwargs.get("value_set") or [])
+    skey = _distinct_set_key(column)
+    ckey = metric_key("column.distinct_values.count", column)
+
+    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
+        count = metrics.get(ckey) or 0
+        if count > DISTINCT_COLLECT_CAP:
+            raise ValueError(
+                f"distinct cardinality {count} of {column!r} exceeds the "
+                f"collect cap {DISTINCT_COLLECT_CAP}; use an approximate "
+                "expectation instead"
+            )
+        observed_set = set(metrics.get(skey) or [])
+        try:
+            observed_value: Any = sorted(observed_set)
+        except TypeError:
+            observed_value = list(observed_set)
+        return {
+            "success": check(observed_set, value_set),
+            "result": {
+                "observed_value": observed_value,
+                "details": {"value_counts_count": count},
+            },
+        }
+
+    return CompiledAggregate(
+        agg_exprs=_distinct_set_exprs(column), validate=validate
+    )
+
+
+@register_agg("expect_column_distinct_values_to_be_in_set")
+def _distinct_in_set(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    return _distinct_set_validator(kwargs, lambda obs, exp: obs <= exp)
+
+
+@register_agg("expect_column_distinct_values_to_contain_set")
+def _distinct_contain_set(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    return _distinct_set_validator(kwargs, lambda obs, exp: exp <= obs)
+
+
+@register_agg("expect_column_distinct_values_to_equal_set")
+def _distinct_equal_set(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    return _distinct_set_validator(kwargs, lambda obs, exp: obs == exp)
+
+
+# --- quantiles (ref: column_quantile_values.py:177-209; ours stays inside
+# the bundled agg via percentile_approx / exact percentile) ---------------
+
+
+@register_agg("expect_column_quantile_values_to_be_between")
+def _quantiles_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    column = kwargs["column"]
+    quantile_ranges = kwargs["quantile_ranges"]
+    quantiles: List[float] = list(quantile_ranges["quantiles"])
+    value_ranges: List[List[Any]] = list(quantile_ranges["value_ranges"])
+    if len(quantiles) != len(value_ranges):
+        raise ValueError(
+            "quantile_ranges must have one value_range per quantile"
+        )
+    allow_err = kwargs.get("allow_relative_error", False)
+    if kwargs.get("exact") or allow_err == 0:
+        key = metric_key("column.quantile_values", column, q=quantiles)
+        expr = F.percentile(F.col(column), F.lit(quantiles))
+    else:
+        accuracy = (
+            int(1.0 / float(allow_err))
+            if isinstance(allow_err, float) and allow_err > 0
+            else 10_000
+        )
+        key = metric_key(
+            "column.quantile_values.approx", column, q=quantiles, acc=accuracy
+        )
+        expr = F.percentile_approx(F.col(column), F.lit(quantiles), accuracy)
+
+    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
+        values = metrics.get(key)
+        if values is None:
+            return {"success": False, "result": {"observed_value": None}}
+        successes = []
+        for observed, (lo, hi) in zip(values, value_ranges):
+            ok = True
+            if lo is not None and observed < lo:
+                ok = False
+            if hi is not None and observed > hi:
+                ok = False
+            successes.append(bool(ok))
+        return {
+            "success": all(successes),
+            "result": {
+                "observed_value": {
+                    "quantiles": quantiles,
+                    "values": list(values),
+                },
+                "details": {"success_details": successes},
+            },
+        }
+
+    return CompiledAggregate(agg_exprs={key: expr}, validate=validate)
+
+
+# --- table-level ----------------------------------------------------------
+
+
+@register_agg("expect_table_row_count_to_be_between")
+def _row_count_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    key = metric_key("table.row_count", None)
+    return _between_aggregate(kwargs, key, F.count(F.lit(1)))
+
+
+@register_agg("expect_table_row_count_to_equal")
+def _row_count_equal(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    key = metric_key("table.row_count", None)
+    value = int(kwargs["value"])
+
+    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
+        observed = metrics.get(key)
+        return {
+            "success": observed == value,
+            "result": {"observed_value": observed},
+        }
+
+    return CompiledAggregate(
+        agg_exprs={key: F.count(F.lit(1))}, validate=validate
+    )
+
+
+def compile_aggregate_expectation(
+    expectation_type: str, kwargs: Dict[str, Any]
+) -> CompiledAggregate:
+    try:
+        compiler = AGG_COMPILERS[expectation_type]
+    except KeyError:
+        raise KeyError(f"no aggregate compiler for {expectation_type!r}")
+    return compiler(kwargs)

@@ -1,0 +1,499 @@
+"""Distributional / drift expectations.
+
+Spark computes histograms and category counts (single bundled agg each);
+the driver computes the divergence statistic — same split as the reference
+(``expect_column_kl_divergence_to_be_less_than.py:215-640``: Spark resolves
+``column.histogram`` / ``column.value_counts``, then scipy-style entropy on
+the driver).  p-values come from numpy-only implementations in
+``functions/stats.py`` since scipy isn't available.
+
+Partition objects use the reference's dict shapes
+(``execution_engine/util.py:17-75``):
+  continuous:  {"bins": [...], "weights": [...], "tail_weights": [lo, hi]?}
+  categorical: {"values": [...], "weights": [...]}
+
+The histogram is computed with the reference's closed-last-bin convention
+(values equal to the final bin edge count in the final bin,
+``column_histogram.py:229-304``) as ONE ``df.agg`` of per-bucket
+conditional sums — no Bucketizer pass, no extra shuffle.
+
+The two-sample drift checks (KS / PSI / chi²) are ours (the reference's KS
+test is pandas-only and bootstraps, ``self_check/util.py:2072``): both
+windows are measured in a single pass using conditional aggregation on a
+boolean split column — turn-length and role-mix drift at transcript scale.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.domain import domain_gate, parse_row_condition
+from great_expectations_spark.functions import stats as gxstats
+from great_expectations_spark.plans.specs import CompiledJob
+
+DIST_COMPILERS: Dict[str, Callable[[Dict[str, Any]], CompiledJob]] = {}
+
+
+def register_dist(name: str):
+    def deco(fn):
+        DIST_COMPILERS[name] = fn
+        return fn
+
+    return deco
+
+
+def _apply_domain(df: DataFrame, domain: Optional[Column]) -> DataFrame:
+    return df if domain is None else df.filter(domain_gate(domain))
+
+
+def is_valid_categorical_partition_object(partition: Any) -> bool:
+    return (
+        isinstance(partition, dict)
+        and "values" in partition
+        and "weights" in partition
+        and len(partition["values"]) == len(partition["weights"])
+        and abs(sum(partition["weights"]) - 1.0) < 1e-6
+    )
+
+
+def is_valid_continuous_partition_object(partition: Any) -> bool:
+    if not isinstance(partition, dict) or "bins" not in partition or "weights" not in partition:
+        return False
+    if len(partition["bins"]) != len(partition["weights"]) + 1:
+        return False
+    total = sum(partition["weights"]) + sum(partition.get("tail_weights", []))
+    return abs(total - 1.0) < 1e-6
+
+
+# --- Spark-side measurement ----------------------------------------------
+
+
+def histogram_counts(
+    df: DataFrame,
+    column: str,
+    bins: List[float],
+    domain: Optional[Column] = None,
+) -> Dict[str, Any]:
+    """One-pass histogram: per-bucket conditional sums + tail counts +
+    nonnull count in a single agg."""
+    col = F.col(column)
+    scoped = _apply_domain(df, domain).filter(col.isNotNull())
+    aggs = [
+        F.count(F.lit(1)).alias("nonnull_count"),
+        F.sum(F.when(col < F.lit(bins[0]), 1).otherwise(0)).alias("below"),
+        F.sum(F.when(col > F.lit(bins[-1]), 1).otherwise(0)).alias("above"),
+    ]
+    n = len(bins) - 1
+    for i in range(n):
+        lo, hi = bins[i], bins[i + 1]
+        if i == n - 1:
+            cond = (col >= F.lit(lo)) & (col <= F.lit(hi))  # closed last bin
+        else:
+            cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i}"))
+    row = scoped.agg(*aggs).first()
+    return {
+        "nonnull_count": int(row["nonnull_count"] or 0),
+        "below": int(row["below"] or 0),
+        "above": int(row["above"] or 0),
+        "counts": [int(row[f"b{i}"] or 0) for i in range(n)],
+    }
+
+
+def build_continuous_partition_object(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+    method: str = "uniform",
+    domain: Optional[Column] = None,
+    accuracy: int = 10_000,
+) -> Dict[str, Any]:
+    """Compute a continuous partition object from data (reference analogue:
+    ``column.partition`` metric, ``column_partition.py:59-120``)."""
+    col = F.col(column)
+    scoped = _apply_domain(df, domain).filter(col.isNotNull())
+    if method == "uniform":
+        row = scoped.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        if row["lo"] is None:
+            raise ValueError(f"no non-null rows for {column!r}")
+        edges = gxstats.histogram_edges(float(row["lo"]), float(row["hi"]), bins)
+    elif method in ("quantile", "ntile"):
+        probs = [i / bins for i in range(bins + 1)]
+        row = scoped.agg(
+            F.percentile_approx(col, F.lit(probs), accuracy).alias("q")
+        ).first()
+        edges = [float(v) for v in row["q"]]
+        # dedupe degenerate edges
+        edges = sorted(set(edges))
+        if len(edges) < 2:
+            edges = [edges[0], edges[0] + 1.0]
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
+    hist = histogram_counts(df, column, edges, domain)
+    total = hist["nonnull_count"] or 1
+    return {
+        "bins": edges,
+        "weights": [c / total for c in hist["counts"]],
+        "tail_weights": [hist["below"] / total, hist["above"] / total],
+    }
+
+
+def build_categorical_partition_object(
+    df: DataFrame, column: str, domain: Optional[Column] = None
+) -> Dict[str, Any]:
+    rows = (
+        _apply_domain(df, domain)
+        .filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(column)
+        .collect()
+    )
+    total = sum(r["count"] for r in rows) or 1
+    return {
+        "values": [r[column] for r in rows],
+        "weights": [r["count"] / total for r in rows],
+    }
+
+
+# --- KL divergence (ref: expect_column_kl_divergence_to_be_less_than.py:
+# 378-640 — tail_weight_holdout split across tails, internal_weight_holdout
+# over zero-weight internal bins) -----------------------------------------
+
+
+@register_dist("expect_column_kl_divergence_to_be_less_than")
+def _kl_divergence(kwargs: Dict[str, Any]) -> CompiledJob:
+    column = kwargs["column"]
+    partition = kwargs["partition_object"]
+    threshold = kwargs.get("threshold")
+    tail_holdout = float(kwargs.get("tail_weight_holdout", 0.0))
+    internal_holdout = float(kwargs.get("internal_weight_holdout", 0.0))
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        if is_valid_categorical_partition_object(partition):
+            observed = build_categorical_partition_object(df, column, domain)
+            expected_map = dict(zip(partition["values"], partition["weights"]))
+            values = list(observed["values"])
+            pk = list(observed["weights"])
+            qk = []
+            unknown_mass = 0.0
+            for v, w in zip(values, pk):
+                if v in expected_map:
+                    qk.append(expected_map[v])
+                else:
+                    unknown_mass += w
+                    qk.append(0.0)
+            if tail_holdout > 0 and unknown_mass > 0:
+                n_unknown = sum(1 for q in qk if q == 0.0)
+                qk = [
+                    q if q > 0 else tail_holdout / n_unknown for q in qk
+                ]
+                qk = [q * (1 - tail_holdout) if q > tail_holdout else q for q in qk]
+            kl = gxstats.kl_divergence(pk, qk)
+            observed_detail: Dict[str, Any] = {
+                "observed_partition": observed,
+                "expected_partition": partition,
+            }
+        elif is_valid_continuous_partition_object(partition):
+            bins = [float(b) for b in partition["bins"]]
+            hist = histogram_counts(df, column, bins, domain)
+            total = hist["nonnull_count"] or 1
+            pk = [c / total for c in hist["counts"]]
+            p_tails = [hist["below"] / total, hist["above"] / total]
+            qk = list(partition["weights"])
+            q_tails = list(partition.get("tail_weights", [0.0, 0.0]))
+            if internal_holdout > 0:
+                zero_bins = sum(1 for q in qk if q == 0.0)
+                if zero_bins:
+                    qk = [
+                        q if q > 0 else internal_holdout / zero_bins
+                        for q in qk
+                    ]
+            if tail_holdout > 0:
+                q_tails = [
+                    q_tails[0] + tail_holdout / 2,
+                    q_tails[1] + tail_holdout / 2,
+                ]
+            kl = gxstats.kl_divergence(
+                pk + p_tails, qk + q_tails
+            )
+            observed_detail = {
+                "observed_partition": {
+                    "bins": bins,
+                    "weights": pk,
+                    "tail_weights": p_tails,
+                },
+                "expected_partition": partition,
+            }
+        else:
+            raise ValueError("invalid partition_object")
+
+        success = bool(
+            threshold is not None
+            and not math.isinf(kl)
+            and not math.isnan(kl)
+            and kl < threshold
+        )
+        return {
+            "success": success,
+            "result": {
+                "observed_value": None if math.isinf(kl) else kl,
+                "details": observed_detail,
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+# --- chi-square goodness-of-fit (pandas-only in the reference,
+# self_check/util.py:2070; ours runs on Spark counts) ---------------------
+
+
+@register_dist("expect_column_chisquare_test_p_value_to_be_greater_than")
+def _chisquare(kwargs: Dict[str, Any]) -> CompiledJob:
+    column = kwargs["column"]
+    partition = kwargs["partition_object"]
+    p_threshold = float(kwargs.get("p", 0.05))
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        if not is_valid_categorical_partition_object(partition):
+            raise ValueError("chisquare test needs a categorical partition_object")
+        observed = build_categorical_partition_object(df, column, domain)
+        obs_map = dict(zip(observed["values"], observed["weights"]))
+        all_values = list(
+            dict.fromkeys(list(partition["values"]) + list(observed["values"]))
+        )
+        exp_map = dict(zip(partition["values"], partition["weights"]))
+        obs = [obs_map.get(v, 0.0) for v in all_values]
+        exp = [exp_map.get(v, 0.0) for v in all_values]
+        # scale to counts for the chi2 statistic
+        n = (
+            _apply_domain(df, domain)
+            .filter(F.col(column).isNotNull())
+            .count()
+        )
+        test = gxstats.chi2_test([o * n for o in obs], [e * n for e in exp])
+        return {
+            "success": bool(test["p_value"] > p_threshold),
+            "result": {
+                "observed_value": test["p_value"],
+                "details": {
+                    "observed_partition": observed,
+                    "expected_partition": partition,
+                    "statistic": test["statistic"],
+                },
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+# --- KS vs an expected continuous partition (reference's bootstrapped KS is
+# pandas-only, column_bootstrapped_ks_test_p_value.py:26-133; ours is the
+# scale path: sup |ECDF - CDF| on the partition's bin grid) ---------------
+
+
+@register_dist("expect_column_bootstrapped_ks_test_p_value_to_be_greater_than")
+def _ks_test(kwargs: Dict[str, Any]) -> CompiledJob:
+    column = kwargs["column"]
+    partition = kwargs["partition_object"]
+    p_threshold = float(kwargs.get("p", 0.05))
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        if not is_valid_continuous_partition_object(partition):
+            raise ValueError("KS test needs a continuous partition_object")
+        bins = [float(b) for b in partition["bins"]]
+        hist = histogram_counts(df, column, bins, domain)
+        total = hist["nonnull_count"] or 1
+        # ECDF and expected CDF at every bin edge
+        ecdf, cdf = [], []
+        run_obs = hist["below"] / total
+        tail_lo = (partition.get("tail_weights") or [0.0, 0.0])[0]
+        run_exp = tail_lo
+        ecdf.append(run_obs)
+        cdf.append(run_exp)
+        for c, w in zip(hist["counts"], partition["weights"]):
+            run_obs += c / total
+            run_exp += w
+            ecdf.append(run_obs)
+            cdf.append(run_exp)
+        test = gxstats.ks_two_sample_from_cdfs(ecdf, cdf, total, float("inf"))
+        p_value = gxstats.ks_p_value(test["statistic"], total)
+        return {
+            "success": bool(p_value > p_threshold),
+            "result": {
+                "observed_value": p_value,
+                "details": {"statistic": test["statistic"]},
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+# --- two-sample drift (ours; north-star KS/PSI on turn length & role mix).
+# Both windows measured in ONE pass via conditional aggregation on the
+# baseline split predicate — no second scan. ------------------------------
+
+
+def _split_histograms(
+    df: DataFrame,
+    column: str,
+    baseline: Column,
+    bins: List[float],
+    domain: Optional[Column],
+) -> Tuple[List[int], List[int], int, int]:
+    col = F.col(column)
+    scoped = _apply_domain(df, domain).filter(col.isNotNull())
+    side = domain_gate(baseline)
+    aggs = [
+        F.sum(F.when(side, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~side, 1).otherwise(0)).alias("n_cur"),
+    ]
+    n = len(bins) - 1
+    for i in range(n):
+        lo, hi = bins[i], bins[i + 1]
+        in_bin = (
+            (col >= F.lit(lo)) & ((col <= F.lit(hi)) if i == n - 1 else (col < F.lit(hi)))
+        )
+        aggs.append(F.sum(F.when(side & in_bin, 1).otherwise(0)).alias(f"p{i}"))
+        aggs.append(F.sum(F.when(~side & in_bin, 1).otherwise(0)).alias(f"q{i}"))
+    row = scoped.agg(*aggs).first()
+    base = [int(row[f"p{i}"] or 0) for i in range(n)]
+    cur = [int(row[f"q{i}"] or 0) for i in range(n)]
+    return base, cur, int(row["n_base"] or 0), int(row["n_cur"] or 0)
+
+
+def _resolve_split(kwargs: Dict[str, Any]) -> Column:
+    return parse_row_condition(
+        kwargs["baseline_condition"],
+        kwargs.get("condition_parser", "spark"),
+    )
+
+
+def _drift_bins(
+    df: DataFrame, column: str, kwargs: Dict[str, Any], domain: Optional[Column]
+) -> List[float]:
+    if kwargs.get("bins"):
+        return [float(b) for b in kwargs["bins"]]
+    n_bins = int(kwargs.get("n_bins", 20))
+    partition = build_continuous_partition_object(
+        df, column, bins=n_bins, method=kwargs.get("method", "quantile"),
+        domain=domain,
+    )
+    return partition["bins"]
+
+
+@register_dist("expect_column_two_sample_ks_to_be_less_than")
+def _two_sample_ks(kwargs: Dict[str, Any]) -> CompiledJob:
+    column = kwargs["column"]
+    threshold = float(kwargs["threshold"])
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        baseline = _resolve_split(kwargs)
+        bins = _drift_bins(df, column, kwargs, domain)
+        base, cur, n_base, n_cur = _split_histograms(
+            df, column, baseline, bins, domain
+        )
+        tb, tc = (n_base or 1), (n_cur or 1)
+        ecdf_b, ecdf_c, rb, rc = [], [], 0.0, 0.0
+        for pb, pc in zip(base, cur):
+            rb += pb / tb
+            rc += pc / tc
+            ecdf_b.append(rb)
+            ecdf_c.append(rc)
+        test = gxstats.ks_two_sample_from_cdfs(ecdf_b, ecdf_c, n_base, n_cur)
+        return {
+            "success": bool(test["statistic"] < threshold),
+            "result": {
+                "observed_value": test["statistic"],
+                "details": {
+                    "p_value": test["p_value"],
+                    "n_baseline": n_base,
+                    "n_current": n_cur,
+                    "bins": bins,
+                },
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+@register_dist("expect_column_two_sample_psi_to_be_less_than")
+def _two_sample_psi(kwargs: Dict[str, Any]) -> CompiledJob:
+    column = kwargs["column"]
+    threshold = float(kwargs["threshold"])
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        baseline = _resolve_split(kwargs)
+        bins = _drift_bins(df, column, kwargs, domain)
+        base, cur, n_base, n_cur = _split_histograms(
+            df, column, baseline, bins, domain
+        )
+        value = gxstats.psi(base, cur)
+        return {
+            "success": bool(value < threshold),
+            "result": {
+                "observed_value": value,
+                "details": {
+                    "n_baseline": n_base,
+                    "n_current": n_cur,
+                    "bins": bins,
+                },
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+@register_dist("expect_column_two_sample_chisquare_p_to_be_greater_than")
+def _two_sample_chi2(kwargs: Dict[str, Any]) -> CompiledJob:
+    """Categorical homogeneity drift (role mix): chi² of current counts vs
+    baseline-proportioned expectations, both sides counted in one
+    groupBy pass."""
+    column = kwargs["column"]
+    p_threshold = float(kwargs.get("p", 0.05))
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        baseline = _resolve_split(kwargs)
+        side = domain_gate(baseline)
+        rows = (
+            _apply_domain(df, domain)
+            .filter(F.col(column).isNotNull())
+            .groupBy(column)
+            .agg(
+                F.sum(F.when(side, 1).otherwise(0)).alias("n_base"),
+                F.sum(F.when(~side, 1).otherwise(0)).alias("n_cur"),
+            )
+            .collect()
+        )
+        obs = [float(r["n_cur"]) for r in rows]
+        exp = [float(r["n_base"]) for r in rows]
+        test = gxstats.chi2_test(obs, exp)
+        return {
+            "success": bool(test["p_value"] > p_threshold),
+            "result": {
+                "observed_value": test["p_value"],
+                "details": {
+                    "statistic": test["statistic"],
+                    "categories": [r[column] for r in rows],
+                    "baseline_counts": exp,
+                    "current_counts": obs,
+                },
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+def compile_distribution_expectation(
+    expectation_type: str, kwargs: Dict[str, Any]
+) -> CompiledJob:
+    try:
+        compiler = DIST_COMPILERS[expectation_type]
+    except KeyError:
+        raise KeyError(f"no distribution compiler for {expectation_type!r}")
+    return compiler(kwargs)

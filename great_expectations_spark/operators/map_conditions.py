@@ -1,0 +1,391 @@
+"""Column-map condition operators.
+
+Each compiler takes expectation kwargs and returns a :class:`CompiledMap`
+whose ``unexpected`` Column is evaluated inside the planner's single bundled
+aggregation pass (no per-expectation Spark jobs, unlike the reference's
+metric-graph resolution).
+
+Null-prefilter parity (reference
+``map_metric_provider/column_condition_partial.py:256-276``): for ordinary
+column-map expectations a NULL value is never "unexpected" — the row simply
+leaves the denominator.  Only the null/not-null expectations look at all
+rows.
+
+Per-condition semantics cite the reference implementation they mirror.
+Everything here is JVM-side (`pyspark.sql.functions`); the few checks that
+genuinely need Python (strftime, json-schema, dateutil) use Arrow-batched
+pandas UDFs — never row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Callable, Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from great_expectations_spark.plans.specs import CompiledMap
+
+MAP_COMPILERS: Dict[str, Callable[[Dict[str, Any]], CompiledMap]] = {}
+
+
+def register_map(name: str):
+    def deco(fn):
+        MAP_COMPILERS[name] = fn
+        return fn
+
+    return deco
+
+
+def _column_map(
+    column: str,
+    expected: Column,
+    *,
+    filter_nulls: bool = True,
+    denominator: str = "nonnull",
+    unexpected: Optional[Column] = None,
+) -> CompiledMap:
+    col = F.col(column)
+    considered = col.isNotNull() if filter_nulls else F.lit(True)
+    if unexpected is None:
+        # NULL comparison results must not count as unexpected
+        unexpected = ~F.coalesce(expected.cast("boolean"), F.lit(True))
+    return CompiledMap(
+        kind="column_map",
+        domain_columns=[column],
+        considered=considered,
+        unexpected=unexpected,
+        denominator=denominator,
+        value_expr=col,
+    )
+
+
+# --------------------------------------------------------------------------
+# null / not-null  (ref: column_map_metrics/column_values_null.py:36-38,
+# column_values_non_null.py:37-38; element-count denominator per
+# expect_column_values_to_not_be_null.py:280-325)
+# --------------------------------------------------------------------------
+
+
+@register_map("expect_column_values_to_be_null")
+def _be_null(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(
+        kwargs["column"],
+        expected=col.isNull(),
+        filter_nulls=False,
+        denominator="element",
+        unexpected=col.isNotNull(),
+    )
+
+
+@register_map("expect_column_values_to_not_be_null")
+def _not_be_null(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(
+        kwargs["column"],
+        expected=col.isNotNull(),
+        filter_nulls=False,
+        denominator="element",
+        unexpected=col.isNull(),
+    )
+
+
+# --------------------------------------------------------------------------
+# set membership  (ref: column_values_in_set.py:90-108, value_set None => all
+# rows expected)
+# --------------------------------------------------------------------------
+
+
+@register_map("expect_column_values_to_be_in_set")
+def _in_set(kwargs: Dict[str, Any]) -> CompiledMap:
+    value_set = kwargs.get("value_set")
+    col = F.col(kwargs["column"])
+    expected = F.lit(True) if value_set is None else col.isin(list(value_set))
+    return _column_map(kwargs["column"], expected)
+
+
+@register_map("expect_column_values_to_not_be_in_set")
+def _not_in_set(kwargs: Dict[str, Any]) -> CompiledMap:
+    value_set = list(kwargs.get("value_set") or [])
+    col = F.col(kwargs["column"])
+    return _column_map(kwargs["column"], ~col.isin(value_set))
+
+
+# --------------------------------------------------------------------------
+# between  (ref: column_values_between.py:301-355 — strict flags, None bound
+# => unbounded)
+# --------------------------------------------------------------------------
+
+
+def _bound_literal(value: Any) -> Column:
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return F.lit(value)
+    return F.lit(value)
+
+
+def between_condition(
+    col: Column,
+    min_value: Any = None,
+    max_value: Any = None,
+    strict_min: bool = False,
+    strict_max: bool = False,
+) -> Column:
+    expected = F.lit(True)
+    if min_value is not None:
+        lo = _bound_literal(min_value)
+        expected = expected & (col > lo if strict_min else col >= lo)
+    if max_value is not None:
+        hi = _bound_literal(max_value)
+        expected = expected & (col < hi if strict_max else col <= hi)
+    return expected
+
+
+@register_map("expect_column_values_to_be_between")
+def _between(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    expected = between_condition(
+        col,
+        kwargs.get("min_value"),
+        kwargs.get("max_value"),
+        bool(kwargs.get("strict_min", False)),
+        bool(kwargs.get("strict_max", False)),
+    )
+    return _column_map(kwargs["column"], expected)
+
+
+# --------------------------------------------------------------------------
+# value lengths  (ref: column_value_lengths.py:42-46, 97-98, 190-227)
+# --------------------------------------------------------------------------
+
+
+@register_map("expect_column_value_lengths_to_equal")
+def _length_equal(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(
+        kwargs["column"], F.length(col) == F.lit(int(kwargs["value"]))
+    )
+
+
+@register_map("expect_column_value_lengths_to_be_between")
+def _length_between(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    expected = between_condition(
+        F.length(col),
+        kwargs.get("min_value"),
+        kwargs.get("max_value"),
+        bool(kwargs.get("strict_min", False)),
+        bool(kwargs.get("strict_max", False)),
+    )
+    return _column_map(kwargs["column"], expected)
+
+
+# --------------------------------------------------------------------------
+# regex family  (ref: column_values_match_regex.py:37-38 — Spark `rlike`,
+# i.e. Java regex dialect; regex_list any => alternation join, all =>
+# concatenated lookaheads, column_values_match_regex_list.py:74-79)
+# --------------------------------------------------------------------------
+
+
+@register_map("expect_column_values_to_match_regex")
+def _match_regex(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(kwargs["column"], col.rlike(kwargs["regex"]))
+
+
+@register_map("expect_column_values_to_not_match_regex")
+def _not_match_regex(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(kwargs["column"], ~col.rlike(kwargs["regex"]))
+
+
+@register_map("expect_column_values_to_match_regex_list")
+def _match_regex_list(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    regexes: List[str] = list(kwargs["regex_list"])
+    match_on = kwargs.get("match_on", "any")
+    if match_on == "any":
+        expected = col.rlike("|".join(regexes))
+    else:
+        expected = col.rlike("".join(f"(?={r})" for r in regexes))
+    return _column_map(kwargs["column"], expected)
+
+
+@register_map("expect_column_values_to_not_match_regex_list")
+def _not_match_regex_list(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    expected = ~col.rlike("|".join(kwargs["regex_list"]))
+    return _column_map(kwargs["column"], expected)
+
+
+# --------------------------------------------------------------------------
+# LIKE patterns — the reference has SQL-only implementations (Spark skip
+# list self_check/util.py:2064-2067); ours supports them natively via
+# Column.like.
+# --------------------------------------------------------------------------
+
+
+@register_map("expect_column_values_to_match_like_pattern")
+def _match_like(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(kwargs["column"], col.like(kwargs["like_pattern"]))
+
+
+@register_map("expect_column_values_to_not_match_like_pattern")
+def _not_match_like(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(kwargs["column"], ~col.like(kwargs["like_pattern"]))
+
+
+@register_map("expect_column_values_to_match_like_pattern_list")
+def _match_like_list(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    pats = list(kwargs["like_pattern_list"])
+    match_on = kwargs.get("match_on", "any")
+    conds = [col.like(p) for p in pats]
+    expected = conds[0]
+    for c in conds[1:]:
+        expected = (expected | c) if match_on == "any" else (expected & c)
+    return _column_map(kwargs["column"], expected)
+
+
+@register_map("expect_column_values_to_not_match_like_pattern_list")
+def _not_match_like_list(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    expected = F.lit(True)
+    for p in kwargs["like_pattern_list"]:
+        expected = expected & ~col.like(p)
+    return _column_map(kwargs["column"], expected)
+
+
+# --------------------------------------------------------------------------
+# strftime / json / dateutil — Python-semantics checks.  The reference uses
+# row-at-a-time Python UDFs (column_values_match_strftime_format.py:34-60,
+# column_values_json_parseable.py:29-39, column_values_match_json_schema.py:
+# 40-64); we use Arrow-batched pandas UDFs (no per-row Python crossing).
+# --------------------------------------------------------------------------
+
+
+def _strftime_matches(fmt: str):
+    @F.pandas_udf(T.BooleanType())
+    def matches(s: pd.Series) -> pd.Series:
+        parsed = pd.to_datetime(s, format=fmt, errors="coerce")
+        return parsed.notna() & s.notna()
+
+    return matches
+
+
+@register_map("expect_column_values_to_match_strftime_format")
+def _match_strftime(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    expected = _strftime_matches(kwargs["strftime_format"])(col)
+    return _column_map(kwargs["column"], expected)
+
+
+def _json_parseable_udf():
+    @F.pandas_udf(T.BooleanType())
+    def parseable(s: pd.Series) -> pd.Series:
+        import json
+
+        def ok(v):
+            if v is None:
+                return False
+            try:
+                json.loads(v)
+                return True
+            except (TypeError, ValueError):
+                return False
+
+        return s.map(ok)
+
+    return parseable
+
+
+@register_map("expect_column_values_to_be_json_parseable")
+def _json_parseable(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(kwargs["column"], _json_parseable_udf()(col))
+
+
+def _json_schema_matches(schema_json: str):
+    @F.pandas_udf(T.BooleanType())
+    def matches(s: pd.Series) -> pd.Series:
+        import json
+
+        schema = json.loads(schema_json)
+        try:
+            import jsonschema
+
+            def ok(v):
+                if v is None:
+                    return False
+                try:
+                    jsonschema.validate(json.loads(v), schema)
+                    return True
+                except Exception:
+                    return False
+
+        except ImportError:
+            from great_expectations_spark.functions.minischema import (
+                validate_instance,
+            )
+
+            def ok(v):
+                if v is None:
+                    return False
+                try:
+                    return validate_instance(json.loads(v), schema)
+                except (TypeError, ValueError):
+                    return False
+
+        return s.map(ok)
+
+    return matches
+
+
+@register_map("expect_column_values_to_match_json_schema")
+def _match_json_schema(kwargs: Dict[str, Any]) -> CompiledMap:
+    import json
+
+    col = F.col(kwargs["column"])
+    schema_json = json.dumps(kwargs["json_schema"])
+    expected = _json_schema_matches(schema_json)(col)
+    return _column_map(kwargs["column"], expected)
+
+
+def _dateutil_parseable_udf():
+    @F.pandas_udf(T.BooleanType())
+    def parseable(s: pd.Series) -> pd.Series:
+        from dateutil import parser as dateutil_parser
+
+        def ok(v):
+            if v is None:
+                return False
+            try:
+                dateutil_parser.parse(v)
+                return True
+            except (TypeError, ValueError, OverflowError):
+                return False
+
+        return s.map(ok)
+
+    return parseable
+
+
+@register_map("expect_column_values_to_be_dateutil_parseable")
+def _dateutil_parseable(kwargs: Dict[str, Any]) -> CompiledMap:
+    col = F.col(kwargs["column"])
+    return _column_map(kwargs["column"], _dateutil_parseable_udf()(col))
+
+
+def compile_map_expectation(
+    expectation_type: str, kwargs: Dict[str, Any]
+) -> CompiledMap:
+    try:
+        compiler = MAP_COMPILERS[expectation_type]
+    except KeyError:
+        raise KeyError(f"no map compiler for {expectation_type!r}") from None
+    return compiler(kwargs)

@@ -1,0 +1,367 @@
+"""Job-style expectations: value-counts-derived, z-score, user SQL, and the
+referential-integrity checks the north rule requires.
+
+These run their own Spark job(s) because their physical plan can't fold into
+the suite's single bundled agg (they shuffle or need resolved scalars).
+Reference analogues cited per operator.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.domain import domain_gate
+from great_expectations_spark.core.result_format import (
+    format_map_output,
+    map_expectation_success,
+    parse_result_format,
+    validate_metric_value_between,
+)
+from great_expectations_spark.plans.specs import CompiledJob
+
+QUERY_JOB_COMPILERS: Dict[str, Callable[[Dict[str, Any]], CompiledJob]] = {}
+
+
+def register_query_job(name: str):
+    def deco(fn):
+        QUERY_JOB_COMPILERS[name] = fn
+        return fn
+
+    return deco
+
+
+def _apply_domain(df: DataFrame, domain: Optional[Column]) -> DataFrame:
+    return df if domain is None else df.filter(domain_gate(domain))
+
+
+# --- value_counts family (ref: column_value_counts.py:142-192,
+# column_most_common_value.py:26-38) --------------------------------------
+
+
+def value_counts(
+    df: DataFrame, column: str, domain: Optional[Column] = None
+) -> DataFrame:
+    """groupBy(col).count() over non-null rows, ordered by value.
+
+    Map-side partial aggregation makes this skew-safe (a hot value is
+    pre-combined per upstream partition before the shuffle), unlike a
+    window-by-value plan.
+    """
+    return (
+        _apply_domain(df, domain)
+        .filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(column)
+    )
+
+
+@register_query_job("expect_column_most_common_value_to_be_in_set")
+def _most_common_in_set(kwargs: Dict[str, Any]) -> CompiledJob:
+    column = kwargs["column"]
+    value_set = set(kwargs.get("value_set") or [])
+    ties_okay = bool(kwargs.get("ties_okay", False))
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        counts = value_counts(df, column, domain)
+        # argmax with ties, two tiny jobs over the (already reduced) counts
+        counts = counts.persist()
+        try:
+            top = counts.agg(F.max("count").alias("m")).first()
+            if top is None or top["m"] is None:
+                return {"success": True, "result": {"observed_value": []}}
+            modes = [
+                r[column]
+                for r in counts.filter(F.col("count") == top["m"]).collect()
+            ]
+        finally:
+            counts.unpersist()
+        modes_sorted = sorted(modes, key=lambda v: (v is None, v))
+        if ties_okay:
+            success = any(m in value_set for m in modes_sorted)
+        else:
+            success = all(m in value_set for m in modes_sorted)
+        return {
+            "success": success,
+            "result": {"observed_value": modes_sorted},
+        }
+
+    return CompiledJob(run=run)
+
+
+# --- z-score (ref: column_values_z_score.py:86-146 — two-phase: scalar
+# mean/std first, then a cheap map over rows) -----------------------------
+
+
+@register_query_job("expect_column_value_z_scores_to_be_less_than")
+def _z_scores_less_than(kwargs: Dict[str, Any]) -> CompiledJob:
+    column = kwargs["column"]
+    threshold = float(kwargs["threshold"])
+    double_sided = bool(kwargs.get("double_sided", True))
+    mostly = float(kwargs.get("mostly", 1.0))
+
+    def run(
+        df: DataFrame,
+        spark,
+        domain,
+        result_format: Optional[dict] = None,
+    ) -> Dict[str, Any]:
+        result_format = parse_result_format(result_format or "BASIC")
+        scoped = _apply_domain(df, domain)
+        col = F.col(column)
+        stats = scoped.agg(
+            F.mean(col).alias("mean"),
+            F.stddev_samp(col).alias("std"),
+            F.count(F.lit(1)).alias("element_count"),
+            F.count(col).alias("nonnull_count"),
+        ).first()
+        element_count = int(stats["element_count"])
+        nonnull_count = int(stats["nonnull_count"])
+        mean, std = stats["mean"], stats["std"]
+        if not nonnull_count or mean is None or std in (None, 0):
+            return format_map_output(
+                result_format,
+                success=True,
+                element_count=element_count,
+                nonnull_count=nonnull_count,
+                unexpected_count=0,
+                unexpected_list=[],
+            )
+        z = (col - F.lit(float(mean))) / F.lit(float(std))
+        z = F.abs(z) if double_sided else z
+        unexpected = col.isNotNull() & ~(z < F.lit(threshold))
+        ucount_row = scoped.agg(
+            F.sum(F.when(unexpected, 1).otherwise(0)).alias("u")
+        ).first()
+        unexpected_count = int(ucount_row["u"] or 0)
+        unexpected_list: List[Any] = []
+        if (
+            unexpected_count
+            and result_format["result_format"] != "BOOLEAN_ONLY"
+        ):
+            limit = (
+                unexpected_count
+                if result_format["result_format"] == "COMPLETE"
+                else result_format["partial_unexpected_count"]
+            )
+            unexpected_list = [
+                r[column]
+                for r in scoped.filter(unexpected)
+                .select(column)
+                .limit(limit)
+                .collect()
+            ]
+        success = map_expectation_success(
+            element_count, nonnull_count, unexpected_count, mostly
+        )
+        return format_map_output(
+            result_format,
+            success=success,
+            element_count=element_count,
+            nonnull_count=nonnull_count,
+            unexpected_count=unexpected_count,
+            unexpected_list=unexpected_list,
+        )
+
+    return CompiledJob(run=run)
+
+
+# --- user SQL (ref: query_metrics/query_table.py:68-90 — temp view +
+# ``{batch}`` template substitution) --------------------------------------
+
+
+@register_query_job("expect_query_row_count_to_be_between")
+def _query_row_count_between(kwargs: Dict[str, Any]) -> CompiledJob:
+    query = kwargs["query"]
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        view = "gx_tmp_batch"
+        _apply_domain(df, domain).createOrReplaceTempView(view)
+        rendered = query.format(batch=view, active_batch=view)
+        observed = spark.sql(rendered).count()
+        out = validate_metric_value_between(
+            observed,
+            kwargs.get("min_value"),
+            kwargs.get("max_value"),
+            bool(kwargs.get("strict_min", False)),
+            bool(kwargs.get("strict_max", False)),
+        )
+        out["result"]["details"] = {"query": rendered}
+        return out
+
+    return CompiledJob(run=run)
+
+
+# --- referential integrity (north rule; the reference can only express
+# this as a QueryExpectation, query_metrics/query_template_values.py) -----
+
+
+@register_query_job("expect_column_values_to_exist_in_other_table")
+def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
+    """Every non-null value of ``column`` must exist in
+    ``other_table.other_column`` — LEFT ANTI join; the small side is
+    broadcast when it fits, AQE handles skew otherwise."""
+    column = kwargs["column"]
+    other = kwargs["other_table"]  # DataFrame or table name
+    other_column = kwargs["other_column"]
+    mostly = float(kwargs.get("mostly", 1.0))
+    broadcast_other = kwargs.get("broadcast_other")
+
+    def run(
+        df: DataFrame,
+        spark,
+        domain,
+        result_format: Optional[dict] = None,
+    ) -> Dict[str, Any]:
+        result_format = parse_result_format(result_format or "BASIC")
+        scoped = _apply_domain(df, domain)
+        other_df = other if isinstance(other, DataFrame) else spark.table(other)
+        keys = other_df.select(
+            F.col(other_column).alias("__gx_key")
+        ).dropDuplicates(["__gx_key"])
+        if broadcast_other or (
+            broadcast_other is None and _estimate_small(keys)
+        ):
+            keys = F.broadcast(keys)
+        base = scoped.filter(F.col(column).isNotNull())
+        missing = base.join(
+            keys, base[column] == keys["__gx_key"], "left_anti"
+        )
+        counts = scoped.agg(
+            F.count(F.lit(1)).alias("element_count"),
+            F.count(F.col(column)).alias("nonnull_count"),
+        ).first()
+        unexpected_count = missing.count()
+        unexpected_list: List[Any] = []
+        if (
+            unexpected_count
+            and result_format["result_format"] != "BOOLEAN_ONLY"
+        ):
+            limit = (
+                unexpected_count
+                if result_format["result_format"] == "COMPLETE"
+                else result_format["partial_unexpected_count"]
+            )
+            unexpected_list = [
+                r[column]
+                for r in missing.select(column).limit(limit).collect()
+            ]
+        element_count = int(counts["element_count"])
+        nonnull_count = int(counts["nonnull_count"])
+        success = map_expectation_success(
+            element_count, nonnull_count, unexpected_count, mostly
+        )
+        return format_map_output(
+            result_format,
+            success=success,
+            element_count=element_count,
+            nonnull_count=nonnull_count,
+            unexpected_count=unexpected_count,
+            unexpected_list=unexpected_list,
+        )
+
+    return CompiledJob(run=run)
+
+
+def _estimate_small(df: DataFrame, threshold_rows: int = 5_000_000) -> bool:
+    """Cheap broadcastability heuristic without an action: trust AQE unless
+    the plan statistics clearly exceed the threshold."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return stats.sizeInBytes() <= 64 * 1024 * 1024
+    except Exception:
+        return False
+
+
+@register_query_job("expect_sequence_to_be_contiguous")
+def _sequence_contiguous(kwargs: Dict[str, Any]) -> CompiledJob:
+    """Every (group, index-1) predecessor exists — the transcript
+    referential check (north rule: every (conv_id, turn_idx-1) exists).
+
+    Physical plan: ONE shuffle — ``lag(index) over (partition by group
+    order by index)``; a row with ``index > first_expected`` whose
+    predecessor isn't ``index - 1`` is a violation.  This avoids the naive
+    self-anti-join (two shuffles + join) entirely.
+    """
+    group_column = kwargs.get("group_column", "conv_id")
+    index_column = kwargs.get("index_column", "turn_idx")
+    first_index = int(kwargs.get("first_index", 0))
+    mostly = float(kwargs.get("mostly", 1.0))
+
+    def run(
+        df: DataFrame,
+        spark,
+        domain,
+        result_format: Optional[dict] = None,
+    ) -> Dict[str, Any]:
+        result_format = parse_result_format(result_format or "BASIC")
+        scoped = _apply_domain(df, domain).filter(
+            F.col(index_column).isNotNull()
+        )
+        w = Window.partitionBy(group_column).orderBy(index_column)
+        prev = F.lag(F.col(index_column)).over(w)
+        flagged = scoped.select(
+            group_column,
+            index_column,
+            (
+                (F.col(index_column) > F.lit(first_index))
+                & (
+                    # a duplicate predecessor (prev == index) still counts
+                    # as "predecessor exists"; only true gaps flag
+                    prev.isNull()
+                    | (prev < F.col(index_column) - F.lit(1))
+                )
+            ).alias("__gx_unexpected"),
+        )
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("element_count"),
+            F.sum(F.when(F.col("__gx_unexpected"), 1).otherwise(0)).alias(
+                "unexpected_count"
+            ),
+        ).first()
+        element_count = int(agg["element_count"])
+        unexpected_count = int(agg["unexpected_count"] or 0)
+        unexpected_list: List[Any] = []
+        if (
+            unexpected_count
+            and result_format["result_format"] != "BOOLEAN_ONLY"
+        ):
+            limit = (
+                unexpected_count
+                if result_format["result_format"] == "COMPLETE"
+                else result_format["partial_unexpected_count"]
+            )
+            unexpected_list = [
+                {group_column: r[group_column], index_column: r[index_column]}
+                for r in flagged.filter(F.col("__gx_unexpected"))
+                .select(group_column, index_column)
+                .limit(limit)
+                .collect()
+            ]
+        success = map_expectation_success(
+            element_count, element_count, unexpected_count, mostly
+        )
+        return format_map_output(
+            result_format,
+            success=success,
+            element_count=element_count,
+            nonnull_count=element_count,
+            unexpected_count=unexpected_count,
+            unexpected_list=unexpected_list,
+            unexpected_index_column_names=[group_column, index_column],
+        )
+
+    return CompiledJob(run=run)
+
+
+def compile_query_job_expectation(
+    expectation_type: str, kwargs: Dict[str, Any]
+) -> CompiledJob:
+    try:
+        compiler = QUERY_JOB_COMPILERS[expectation_type]
+    except KeyError:
+        raise KeyError(f"no job compiler for {expectation_type!r}")
+    return compiler(kwargs)

@@ -1,0 +1,213 @@
+"""Uniqueness and monotonicity operators — the shuffling expectations.
+
+Scalability re-design vs the reference (SURVEY.md §2.E):
+
+* ``expect_column_values_to_be_unique`` — reference evaluates
+  ``count(1) over (partition by value) <= 1`` (``column_values_unique.py:
+  77-82``): every row is shuffled by its value and a hot value lands on one
+  task.  Ours is a two-phase hash aggregation: ``groupBy(value).count()``
+  (map-side partial aggregation collapses duplicates before the shuffle, so
+  a hot key ships as ONE row per upstream partition) then a tiny
+  ``filter(cnt > 1).agg(sum(cnt))``.
+* ``expect_compound_columns_to_be_unique`` — same two-phase plan on the
+  struct of columns (reference ``compound_columns_unique.py:159-164``).
+* ``expect_column_values_to_be_increasing`` / ``_decreasing`` — reference
+  uses ``Window.orderBy(F.lit("constant"))`` (``column_values_increasing.py:
+  70-150``) which forces the ENTIRE table into one partition.  Ours accepts
+  ``partition_by`` (e.g. ``conv_id``) + ``order_by`` (e.g. ``turn_idx``)
+  kwargs and runs ``Window.partitionBy(keys).orderBy(order)`` — per-key
+  monotonicity, shuffle distributed over keys.  Without ``partition_by`` we
+  fall back to the reference's single-partition semantics (warned).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.domain import domain_gate
+from great_expectations_spark.plans.specs import CompiledWindow
+
+logger = logging.getLogger(__name__)
+
+WINDOW_COMPILERS: Dict[str, Callable[[Dict[str, Any]], CompiledWindow]] = {}
+
+
+def register_window(name: str):
+    def deco(fn):
+        WINDOW_COMPILERS[name] = fn
+        return fn
+
+    return deco
+
+
+def _uniqueness_window(
+    key_cols: List[str], kind: str, value_is_dict: bool
+) -> CompiledWindow:
+    def base(df: DataFrame, domain: Optional[Column]) -> DataFrame:
+        out = df
+        if domain is not None:
+            out = out.filter(domain_gate(domain))
+        for c in key_cols:
+            out = out.filter(F.col(c).isNotNull())
+        return out
+
+    def dup_groups(df: DataFrame, domain: Optional[Column]) -> DataFrame:
+        return (
+            base(df, domain)
+            .groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__gx_cnt"))
+            .filter(F.col("__gx_cnt") > 1)
+        )
+
+    def execute(df: DataFrame, domain: Optional[Column]) -> Dict[str, int]:
+        row = dup_groups(df, domain).agg(
+            F.coalesce(F.sum("__gx_cnt"), F.lit(0)).alias("unexpected_count")
+        ).first()
+        return {"unexpected_count": int(row["unexpected_count"])}
+
+    def sample(
+        df: DataFrame, domain: Optional[Column], n: int
+    ) -> List[Any]:
+        rows = dup_groups(df, domain).limit(n).collect()
+        out: List[Any] = []
+        for r in rows:
+            if value_is_dict:
+                value: Any = {c: r[c] for c in key_cols}
+            elif len(key_cols) == 1:
+                value = r[key_cols[0]]
+            else:
+                value = tuple(r[c] for c in key_cols)
+            # each duplicated key contributes cnt unexpected rows
+            out.extend([value] * min(int(r["__gx_cnt"]), n - len(out)))
+            if len(out) >= n:
+                break
+        return out[:n]
+
+    considered = None
+    for c in key_cols:
+        cond = F.col(c).isNotNull()
+        considered = cond if considered is None else considered & cond
+
+    cw = CompiledWindow(
+        kind=kind,
+        domain_columns=key_cols,
+        denominator="nonnull",
+        execute=execute,
+        sample=sample,
+        value_is_dict=value_is_dict,
+    )
+    cw.considered = considered  # counted in the bundled phase by the planner
+    return cw
+
+
+@register_window("expect_column_values_to_be_unique")
+def _unique(kwargs: Dict[str, Any]) -> CompiledWindow:
+    return _uniqueness_window([kwargs["column"]], "column_map", False)
+
+
+@register_window("expect_compound_columns_to_be_unique")
+def _compound_unique(kwargs: Dict[str, Any]) -> CompiledWindow:
+    return _uniqueness_window(
+        list(kwargs["column_list"]), "multicolumn_map", True
+    )
+
+
+@register_window("expect_multicolumn_values_to_be_unique")
+def _multicolumn_unique(kwargs: Dict[str, Any]) -> CompiledWindow:
+    # deprecated alias of compound uniqueness (reference skip list
+    # self_check/util.py:2069)
+    return _uniqueness_window(
+        list(kwargs["column_list"]), "multicolumn_map", True
+    )
+
+
+def _monotonic_window(
+    kwargs: Dict[str, Any], increasing: bool
+) -> CompiledWindow:
+    column = kwargs["column"]
+    strictly = bool(kwargs.get("strictly", False))
+    partition_by = kwargs.get("partition_by")
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    order_by = kwargs.get("order_by")
+
+    def unexpected_flag(df: DataFrame) -> Column:
+        if partition_by:
+            w = Window.partitionBy(*partition_by)
+        else:
+            logger.warning(
+                "expect_column_values_to_be_%s without partition_by forces a "
+                "single-partition global window (reference semantics, "
+                "column_values_increasing.py:70-150); pass partition_by for "
+                "scale.",
+                "increasing" if increasing else "decreasing",
+            )
+            w = Window.partitionBy()
+        w = w.orderBy(F.col(order_by) if order_by else F.monotonically_increasing_id())
+        prev = F.lag(F.col(column)).over(w)
+        col = F.col(column)
+        if increasing:
+            bad = (col <= prev) if strictly else (col < prev)
+        else:
+            bad = (col >= prev) if strictly else (col > prev)
+        return prev.isNotNull() & F.coalesce(bad, F.lit(False))
+
+    def annotated(df: DataFrame, domain: Optional[Column]) -> DataFrame:
+        out = df
+        if domain is not None:
+            out = out.filter(domain_gate(domain))
+        out = out.filter(F.col(column).isNotNull())
+        return out.withColumn("__gx_unexpected", unexpected_flag(out))
+
+    def execute(df: DataFrame, domain: Optional[Column]) -> Dict[str, int]:
+        row = annotated(df, domain).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__gx_unexpected"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("unexpected_count")
+        ).first()
+        return {"unexpected_count": int(row["unexpected_count"])}
+
+    def sample(df: DataFrame, domain: Optional[Column], n: int) -> List[Any]:
+        rows = (
+            annotated(df, domain)
+            .filter(F.col("__gx_unexpected"))
+            .select(column)
+            .limit(n)
+            .collect()
+        )
+        return [r[column] for r in rows]
+
+    cw = CompiledWindow(
+        kind="column_map",
+        domain_columns=[column],
+        denominator="nonnull",
+        execute=execute,
+        sample=sample,
+    )
+    cw.considered = F.col(column).isNotNull()
+    return cw
+
+
+@register_window("expect_column_values_to_be_increasing")
+def _increasing(kwargs: Dict[str, Any]) -> CompiledWindow:
+    return _monotonic_window(kwargs, increasing=True)
+
+
+@register_window("expect_column_values_to_be_decreasing")
+def _decreasing(kwargs: Dict[str, Any]) -> CompiledWindow:
+    return _monotonic_window(kwargs, increasing=False)
+
+
+def compile_window_expectation(
+    expectation_type: str, kwargs: Dict[str, Any]
+) -> CompiledWindow:
+    try:
+        compiler = WINDOW_COMPILERS[expectation_type]
+    except KeyError:
+        raise KeyError(f"no window compiler for {expectation_type!r}")
+    return compiler(kwargs)

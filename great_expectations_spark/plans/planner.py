@@ -1,0 +1,610 @@
+"""SuiteValidator — compiles an ExpectationSuite against a DataFrame into a
+minimal number of Spark jobs and assembles reference-shaped results.
+
+Physical plan of ``validate(df, suite)``:
+
+  Phase A (ONE job): a single ``df.agg(...)`` containing, for every map
+    expectation, the domain/considered/unexpected conditional-sum counters,
+    plus every aggregate metric (mean/stddev/quantile sketch/HLL/...), all
+    gated per-expectation by its own ``row_condition`` via
+    ``sum(when(domain & cond, 1))`` — so even a suite with heterogeneous
+    row conditions is one scan.  This generalizes the reference's
+    per-domain bundling (``sparkdf_execution_engine.py:715-793``) to the
+    whole suite.  Only partial (map-side combined) aggregation shuffles a
+    single tiny row per partition — no row shuffle at all.
+  Phase B: window/uniqueness expectations (each needs a shuffle by key;
+    two-phase hash aggregation, see operators/window_ops.py).
+  Phase C: job expectations (user SQL, referential joins, drift).
+  Phase D: violation samples — only for FAILING map expectations and only
+    when result_format > BOOLEAN_ONLY: the condition-annotated projection
+    is computed once, persisted, and each failing expectation takes a
+    ``limit(k)`` slice (limits push into the scan).
+
+Aggregate metrics are deduplicated by content-addressed key, so shared
+dependencies (row_count, nonnull counts) are computed once (reference
+metric-graph dedup: ``validation_graph.py:96-100``).
+"""
+
+from __future__ import annotations
+
+import datetime
+import inspect
+import logging
+import traceback
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from great_expectations_spark.core.domain import (
+    combine_conditions,
+    domain_gate,
+    parse_row_condition,
+)
+from great_expectations_spark.core.result_format import (
+    format_map_output,
+    map_expectation_success,
+    parse_result_format,
+)
+from great_expectations_spark.core.results import (
+    ExpectationSuiteValidationResult,
+    ExpectationValidationResult,
+    build_suite_statistics,
+    convert_to_json_serializable,
+)
+from great_expectations_spark.core.suite import (
+    ExpectationConfiguration,
+    ExpectationSuite,
+)
+from great_expectations_spark.operators import (
+    aggregates as agg_ops,
+    distribution as dist_ops,
+    map_conditions as map_ops,
+    pair_multicolumn as pair_ops,
+    query_ops,
+    table_ops,
+    window_ops,
+)
+from great_expectations_spark.plans.specs import (
+    CompiledAggregate,
+    CompiledJob,
+    CompiledMap,
+    CompiledSchemaCheck,
+    CompiledWindow,
+)
+
+logger = logging.getLogger(__name__)
+
+Compiled = Union[
+    CompiledMap, CompiledWindow, CompiledAggregate, CompiledSchemaCheck, CompiledJob
+]
+
+
+def compile_expectation(config: ExpectationConfiguration) -> Compiled:
+    t = config.expectation_type
+    kwargs = config.kwargs
+    if t in map_ops.MAP_COMPILERS:
+        return map_ops.MAP_COMPILERS[t](kwargs)
+    if t in pair_ops.PAIR_COMPILERS:
+        return pair_ops.PAIR_COMPILERS[t](kwargs)
+    if t in window_ops.WINDOW_COMPILERS:
+        return window_ops.WINDOW_COMPILERS[t](kwargs)
+    if t in agg_ops.AGG_COMPILERS:
+        return agg_ops.AGG_COMPILERS[t](kwargs)
+    if t in table_ops.SCHEMA_COMPILERS:
+        return table_ops.SCHEMA_COMPILERS[t](kwargs)
+    if t in table_ops.JOB_COMPILERS:
+        return table_ops.JOB_COMPILERS[t](kwargs)
+    if t in query_ops.QUERY_JOB_COMPILERS:
+        return query_ops.QUERY_JOB_COMPILERS[t](kwargs)
+    if t in dist_ops.DIST_COMPILERS:
+        return dist_ops.DIST_COMPILERS[t](kwargs)
+    raise KeyError(f"unknown expectation_type {t!r}")
+
+
+def registered_expectation_types() -> List[str]:
+    names: List[str] = []
+    for registry in (
+        map_ops.MAP_COMPILERS,
+        pair_ops.PAIR_COMPILERS,
+        window_ops.WINDOW_COMPILERS,
+        agg_ops.AGG_COMPILERS,
+        table_ops.SCHEMA_COMPILERS,
+        table_ops.JOB_COMPILERS,
+        query_ops.QUERY_JOB_COMPILERS,
+        dist_ops.DIST_COMPILERS,
+    ):
+        names.extend(registry.keys())
+    return sorted(set(names))
+
+
+@dataclass
+class _PlannedItem:
+    config: ExpectationConfiguration
+    compiled: Optional[Compiled]
+    domain: Optional[Column]
+    error: Optional[Exception] = None
+    # phase-A result aliases
+    element_alias: Optional[str] = None
+    considered_alias: Optional[str] = None
+    unexpected_alias: Optional[str] = None
+    agg_aliases: Dict[str, str] = field(default_factory=dict)
+
+
+class SuiteValidator:
+    """Validate an ExpectationSuite against a DataFrame in O(1) scans.
+
+    Parameters
+    ----------
+    persist_for_samples: persist the condition-annotated projection before
+        collecting violation samples (MEMORY_AND_DISK), mirroring the
+        reference's ``persist=True`` batch flag
+        (``sparkdf_execution_engine.py:210-218``).
+    max_complete_collect: hard cap on COMPLETE-format collected violation
+        values — the driver-collect guard at scale.
+    """
+
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        persist_for_samples: bool = True,
+        max_complete_collect: int = 10_000,
+    ) -> None:
+        self._spark = spark
+        self.persist_for_samples = persist_for_samples
+        self.max_complete_collect = max_complete_collect
+
+    # ------------------------------------------------------------------
+
+    def validate(
+        self,
+        df: DataFrame,
+        suite: ExpectationSuite,
+        result_format: Union[str, dict, None] = "BASIC",
+        run_id: Optional[str] = None,
+        catch_exceptions: bool = True,
+        evaluation_parameters: Optional[Dict[str, Any]] = None,
+        batch_meta: Optional[Dict[str, Any]] = None,
+    ) -> ExpectationSuiteValidationResult:
+        started = datetime.datetime.now(datetime.timezone.utc)
+        spark = self._spark or df.sparkSession
+        rf = parse_result_format(result_format)
+        eval_params = {
+            **suite.evaluation_parameters,
+            **(evaluation_parameters or {}),
+        }
+
+        items = self._compile(suite, eval_params, catch_exceptions)
+        self._check_columns_exist(df, items)
+        metrics = self._run_bundled_phase(df, items)
+        self._run_window_phase(df, items, metrics, catch_exceptions)
+
+        samples = self._collect_samples(df, items, metrics, rf)
+
+        results: List[ExpectationValidationResult] = []
+        for item in items:
+            results.append(
+                self._assemble(
+                    item, df, spark, metrics, samples, rf, catch_exceptions
+                )
+            )
+
+        statistics = build_suite_statistics(results)
+        finished = datetime.datetime.now(datetime.timezone.utc)
+        meta = {
+            "great_expectations_version": "gx-spark-0.1",
+            "expectation_suite_name": suite.expectation_suite_name,
+            "run_id": run_id or str(uuid.uuid4()),
+            "validation_time": started.isoformat(),
+            "validation_duration_sec": (finished - started).total_seconds(),
+            **(batch_meta or {}),
+        }
+        return ExpectationSuiteValidationResult(
+            success=all(r.success for r in results),
+            results=results,
+            statistics=statistics,
+            meta=meta,
+            evaluation_parameters=eval_params,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _compile(
+        self,
+        suite: ExpectationSuite,
+        eval_params: Dict[str, Any],
+        catch_exceptions: bool,
+    ) -> List[_PlannedItem]:
+        items: List[_PlannedItem] = []
+        for config in suite.expectations:
+            try:
+                resolved = config.substituted(eval_params)
+                compiled = compile_expectation(resolved)
+                domain = parse_row_condition(
+                    resolved.kwargs.get("row_condition"),
+                    resolved.kwargs.get("condition_parser"),
+                )
+                items.append(_PlannedItem(resolved, compiled, domain))
+            except Exception as exc:
+                if not catch_exceptions:
+                    raise
+                items.append(_PlannedItem(config, None, None, error=exc))
+        return items
+
+    @staticmethod
+    def _check_columns_exist(df: DataFrame, items: List[_PlannedItem]) -> None:
+        """Fault isolation: a missing column must fail ONE expectation, not
+        poison the shared bundled agg (reference parity: per-expectation
+        exception_info, validator.py:1227-1261)."""
+        available = set(table_ops.flattened_column_types(df.schema))
+        for item in items:
+            c = item.compiled
+            if item.error is not None or c is None:
+                continue
+            referenced: List[str] = []
+            if isinstance(c, (CompiledMap, CompiledWindow)):
+                referenced = c.domain_columns
+            elif isinstance(c, CompiledAggregate):
+                col = item.config.kwargs.get("column")
+                referenced = [col] if col else []
+            missing = [col for col in referenced if col not in available]
+            if missing:
+                item.error = KeyError(
+                    f"column(s) {missing} not found in batch; available: "
+                    f"{sorted(available)}"
+                )
+
+    def _run_bundled_phase(
+        self, df: DataFrame, items: List[_PlannedItem]
+    ) -> Dict[str, Any]:
+        """Build and run the single bundled agg; returns alias -> value."""
+        exprs: List[Column] = []
+        alias_by_key: Dict[str, str] = {}
+        counter = 0
+
+        def add(key: str, col: Column) -> str:
+            nonlocal counter
+            if key in alias_by_key:
+                return alias_by_key[key]
+            alias = f"m{counter}"
+            counter += 1
+            alias_by_key[key] = alias
+            exprs.append(col.alias(alias))
+            return alias
+
+        for item in items:
+            c = item.compiled
+            if c is None or item.error is not None:
+                continue
+            gate = domain_gate(item.domain) if item.domain is not None else F.lit(True)
+            domain_key = str(item.config.kwargs.get("row_condition") or "ALL")
+
+            if isinstance(c, CompiledMap):
+                item.element_alias = add(
+                    f"element::{domain_key}",
+                    F.sum(F.when(gate, 1).otherwise(0)),
+                )
+                considered = gate & domain_gate(c.considered)
+                item.considered_alias = add(
+                    f"considered::{domain_key}::{c.considered}",
+                    F.sum(F.when(considered, 1).otherwise(0)),
+                )
+                unexpected = considered & domain_gate(c.unexpected)
+                item.unexpected_alias = add(
+                    f"unexpected::{domain_key}::{c.considered}::{c.unexpected}",
+                    F.sum(F.when(unexpected, 1).otherwise(0)),
+                )
+            elif isinstance(c, CompiledWindow):
+                item.element_alias = add(
+                    f"element::{domain_key}",
+                    F.sum(F.when(gate, 1).otherwise(0)),
+                )
+                if c.considered is not None:
+                    considered = gate & domain_gate(c.considered)
+                    item.considered_alias = add(
+                        f"considered::{domain_key}::{c.considered}",
+                        F.sum(F.when(considered, 1).otherwise(0)),
+                    )
+            elif isinstance(c, CompiledAggregate):
+                if item.domain is not None:
+                    # rare path: aggregate over a row_condition domain —
+                    # falls back to a dedicated filtered agg in _assemble
+                    continue
+                for key, col in c.agg_exprs.items():
+                    item.agg_aliases[key] = add(f"agg::{key}", col)
+
+        if not exprs:
+            return {}
+        row = df.agg(*exprs).first()
+        return {alias: row[alias] for alias in alias_by_key.values()}
+
+    def _run_window_phase(
+        self,
+        df: DataFrame,
+        items: List[_PlannedItem],
+        metrics: Dict[str, Any],
+        catch_exceptions: bool,
+    ) -> None:
+        for item in items:
+            if not isinstance(item.compiled, CompiledWindow) or item.error:
+                continue
+            try:
+                out = item.compiled.execute(df, item.domain)
+                metrics[f"window_unexpected::{id(item)}"] = out["unexpected_count"]
+            except Exception as exc:
+                if not catch_exceptions:
+                    raise
+                item.error = exc
+
+    # ------------------------------------------------------------------
+
+    def _collect_samples(
+        self,
+        df: DataFrame,
+        items: List[_PlannedItem],
+        metrics: Dict[str, Any],
+        rf: dict,
+    ) -> Dict[int, Dict[str, Any]]:
+        """Phase D: violation samples for failing map expectations."""
+        if rf["result_format"] == "BOOLEAN_ONLY":
+            return {}
+
+        index_cols = rf.get("unexpected_index_column_names") or []
+        needing: List[Tuple[_PlannedItem, str]] = []
+        flag_cols: List[Column] = []
+        value_cols: List[Column] = []
+        for i, item in enumerate(items):
+            c = item.compiled
+            if not isinstance(c, CompiledMap) or item.error:
+                continue
+            ucount = metrics.get(item.unexpected_alias or "", 0) or 0
+            if not ucount:
+                continue
+            gate = domain_gate(item.domain) if item.domain is not None else F.lit(True)
+            flag = gate & domain_gate(c.considered) & domain_gate(c.unexpected)
+            flag_name = f"__gx_flag_{i}"
+            value_name = f"__gx_val_{i}"
+            flag_cols.append(flag.alias(flag_name))
+            value_cols.append(
+                (c.value_expr if c.value_expr is not None else F.lit(None)).alias(
+                    value_name
+                )
+            )
+            needing.append((item, str(i)))
+
+        if not needing:
+            return {}
+
+        projected = df.select(
+            *[F.col(c) for c in index_cols], *value_cols, *flag_cols
+        )
+        persisted = False
+        if self.persist_for_samples and len(needing) > 1:
+            projected = projected.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = True
+        samples: Dict[int, Dict[str, Any]] = {}
+        try:
+            for item, idx in needing:
+                c = item.compiled
+                assert isinstance(c, CompiledMap)
+                if rf["result_format"] == "COMPLETE":
+                    limit = self.max_complete_collect
+                else:
+                    limit = rf["partial_unexpected_count"]
+                rows = (
+                    projected.filter(F.col(f"__gx_flag_{idx}"))
+                    .select(f"__gx_val_{idx}", *index_cols)
+                    .limit(limit)
+                    .collect()
+                )
+                values: List[Any] = []
+                for r in rows:
+                    v = r[f"__gx_val_{idx}"]
+                    if c.value_is_dict and v is not None:
+                        v = v.asDict()
+                    elif hasattr(v, "asDict"):
+                        v = tuple(v.asDict().values())
+                    values.append(v)
+                entry: Dict[str, Any] = {"unexpected_list": values}
+                if index_cols:
+                    entry["unexpected_index_list"] = [
+                        {ic: r[ic] for ic in index_cols} for r in rows
+                    ]
+                samples[id(item)] = entry
+        finally:
+            if persisted:
+                projected.unpersist()
+        return samples
+
+    # ------------------------------------------------------------------
+
+    def _assemble(
+        self,
+        item: _PlannedItem,
+        df: DataFrame,
+        spark: SparkSession,
+        metrics: Dict[str, Any],
+        samples: Dict[int, Dict[str, Any]],
+        rf: dict,
+        catch_exceptions: bool,
+    ) -> ExpectationValidationResult:
+        config_dict = item.config.to_json_dict()
+        if item.error is not None:
+            return self._exception_result(config_dict, item.error)
+        c = item.compiled
+        try:
+            if isinstance(c, CompiledMap):
+                return self._assemble_map(item, c, metrics, samples, rf, config_dict)
+            if isinstance(c, CompiledWindow):
+                return self._assemble_window(
+                    item, c, df, metrics, rf, config_dict
+                )
+            if isinstance(c, CompiledAggregate):
+                return self._assemble_aggregate(item, c, df, metrics, config_dict)
+            if isinstance(c, CompiledSchemaCheck):
+                out = c.validate(df)
+                return ExpectationValidationResult(
+                    success=bool(out["success"]),
+                    expectation_config=config_dict,
+                    result=convert_to_json_serializable(out.get("result", {})),
+                )
+            if isinstance(c, CompiledJob):
+                sig = inspect.signature(c.run)
+                if "result_format" in sig.parameters:
+                    out = c.run(df, spark, item.domain, result_format=rf)
+                else:
+                    out = c.run(df, spark, item.domain)
+                result = out.get("result", {})
+                if "result" not in out and "success" in out:
+                    result = {
+                        k: v for k, v in out.items() if k != "success"
+                    }
+                return ExpectationValidationResult(
+                    success=bool(out["success"]),
+                    expectation_config=config_dict,
+                    result=convert_to_json_serializable(result),
+                )
+            raise TypeError(f"unhandled compiled type {type(c)}")
+        except Exception as exc:
+            if not catch_exceptions:
+                raise
+            return self._exception_result(config_dict, exc)
+
+    def _assemble_map(
+        self,
+        item: _PlannedItem,
+        c: CompiledMap,
+        metrics: Dict[str, Any],
+        samples: Dict[int, Dict[str, Any]],
+        rf: dict,
+        config_dict: Dict[str, Any],
+    ) -> ExpectationValidationResult:
+        element_count = int(metrics.get(item.element_alias) or 0)
+        considered_count = int(metrics.get(item.considered_alias) or 0)
+        unexpected_count = int(metrics.get(item.unexpected_alias) or 0)
+        mostly = item.config.mostly
+
+        if c.denominator == "element":
+            success = (
+                True
+                if element_count == 0
+                else (element_count - unexpected_count) / element_count >= mostly
+            )
+            nonnull_for_format: Optional[int] = None
+        else:
+            success = map_expectation_success(
+                element_count, considered_count, unexpected_count, mostly
+            )
+            nonnull_for_format = considered_count
+
+        sample = samples.get(id(item), {})
+        out = format_map_output(
+            rf,
+            success=success,
+            element_count=element_count,
+            nonnull_count=nonnull_for_format,
+            unexpected_count=unexpected_count,
+            unexpected_list=sample.get(
+                "unexpected_list",
+                [] if rf["result_format"] != "BOOLEAN_ONLY" else None,
+            ),
+            unexpected_index_list=sample.get("unexpected_index_list"),
+            unexpected_index_column_names=rf.get("unexpected_index_column_names"),
+        )
+        return ExpectationValidationResult(
+            success=bool(out["success"]),
+            expectation_config=config_dict,
+            result=convert_to_json_serializable(out.get("result", {})),
+        )
+
+    def _assemble_window(
+        self,
+        item: _PlannedItem,
+        c: CompiledWindow,
+        df: DataFrame,
+        metrics: Dict[str, Any],
+        rf: dict,
+        config_dict: Dict[str, Any],
+    ) -> ExpectationValidationResult:
+        element_count = int(metrics.get(item.element_alias) or 0)
+        considered_count = int(
+            metrics.get(item.considered_alias)
+            if item.considered_alias
+            else element_count
+        )
+        unexpected_count = int(metrics.get(f"window_unexpected::{id(item)}") or 0)
+        mostly = item.config.mostly
+        success = map_expectation_success(
+            element_count, considered_count, unexpected_count, mostly
+        )
+        unexpected_list: Optional[List[Any]] = None
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            if unexpected_count:
+                limit = (
+                    self.max_complete_collect
+                    if rf["result_format"] == "COMPLETE"
+                    else rf["partial_unexpected_count"]
+                )
+                unexpected_list = c.sample(df, item.domain, limit)
+            else:
+                unexpected_list = []
+        out = format_map_output(
+            rf,
+            success=success,
+            element_count=element_count,
+            nonnull_count=considered_count,
+            unexpected_count=unexpected_count,
+            unexpected_list=unexpected_list,
+        )
+        return ExpectationValidationResult(
+            success=bool(out["success"]),
+            expectation_config=config_dict,
+            result=convert_to_json_serializable(out.get("result", {})),
+        )
+
+    def _assemble_aggregate(
+        self,
+        item: _PlannedItem,
+        c: CompiledAggregate,
+        df: DataFrame,
+        metrics: Dict[str, Any],
+        config_dict: Dict[str, Any],
+    ) -> ExpectationValidationResult:
+        if item.domain is not None and not item.agg_aliases:
+            # domain-scoped aggregate: dedicated filtered bundle
+            scoped = df.filter(domain_gate(item.domain))
+            aliases = {k: f"a{i}" for i, k in enumerate(c.agg_exprs)}
+            row = scoped.agg(
+                *[col.alias(aliases[k]) for k, col in c.agg_exprs.items()]
+            ).first()
+            values = {k: row[a] for k, a in aliases.items()}
+        else:
+            values = {
+                k: metrics.get(alias) for k, alias in item.agg_aliases.items()
+            }
+        out = c.validate(values)
+        return ExpectationValidationResult(
+            success=bool(out["success"]),
+            expectation_config=config_dict,
+            result=convert_to_json_serializable(out.get("result", {})),
+        )
+
+    @staticmethod
+    def _exception_result(
+        config_dict: Dict[str, Any], exc: Exception
+    ) -> ExpectationValidationResult:
+        return ExpectationValidationResult(
+            success=False,
+            expectation_config=config_dict,
+            result={},
+            exception_info={
+                "raised_exception": True,
+                "exception_traceback": "".join(
+                    traceback.format_exception(type(exc), exc, exc.__traceback__)
+                ),
+                "exception_message": str(exc),
+            },
+        )

@@ -1,0 +1,93 @@
+"""Compiled-expectation spec types shared between operators and the planner."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+
+
+@dataclass
+class CompiledMap:
+    """A map-style expectation compiled to boolean Columns.
+
+    The planner turns this into counters inside ONE bundled ``df.agg``:
+      element_count   = sum(when(domain, 1))
+      considered_count= sum(when(domain & considered, 1))
+      unexpected_count= sum(when(domain & considered & unexpected, 1))
+
+    ``denominator`` picks the mostly/missing semantics (reference
+    ``expectations/expectation.py``):
+      'nonnull'  — column map default: ratio over non-null rows (:2834-2846)
+      'element'  — null/not-null expectations: ratio over all rows, result
+                   carries no missing_* fields (expect_column_values_to_not_
+                   be_null.py:280-325)
+      'filtered' — pair/multicolumn: ratio over rows kept by ignore_row_if
+                   (:3097-3113, :3372-3388)
+    """
+
+    kind: str  # 'column_map' | 'column_pair_map' | 'multicolumn_map'
+    domain_columns: List[str]
+    considered: Column
+    unexpected: Column
+    denominator: str = "nonnull"
+    value_expr: Optional[Column] = None  # what lands in unexpected_list
+    value_is_dict: bool = False  # multicolumn: entries are {col: val} dicts
+
+
+@dataclass
+class CompiledWindow:
+    """A uniqueness/monotonicity expectation needing its own (shuffling)
+    physical plan; executed by the planner in a separate phase.
+
+    ``execute(df, domain_cond)`` returns a metrics dict:
+      {element_count, considered_count, unexpected_count}
+    ``sample(df, domain_cond, n)`` returns up to n unexpected values
+    (and optionally index rows) for the result payload.
+    """
+
+    kind: str
+    domain_columns: List[str]
+    denominator: str
+    execute: Callable[[DataFrame, Optional[Column]], Dict[str, int]]
+    sample: Callable[[DataFrame, Optional[Column], int], List[Any]]
+    value_is_dict: bool = False
+    considered: Optional[Column] = None  # counted in the bundled agg phase
+
+
+@dataclass
+class CompiledAggregate:
+    """An aggregate-metric expectation.
+
+    ``agg_exprs`` maps metric-key -> aggregate Column (joins the bundled
+    agg; the planner dedups identical keys across expectations).
+    ``validate(metric_values)`` -> {'success': bool, 'result': {...}}.
+    ``needs_prepass`` metric keys must be resolved before the main bundle
+    (e.g. z-score needs mean/std scalars first).
+    """
+
+    agg_exprs: Dict[str, Column]
+    validate: Callable[[Dict[str, Any]], Dict[str, Any]]
+    finisher_inputs: List[str] = field(default_factory=list)
+
+
+@dataclass
+class CompiledSchemaCheck:
+    """Schema-only expectation — no scan at all.
+
+    ``validate(df)`` -> {'success': bool, 'result': {...}}.
+    """
+
+    validate: Callable[[DataFrame], Dict[str, Any]]
+
+
+@dataclass
+class CompiledJob:
+    """An expectation that runs its own Spark job(s) (query expectations,
+    referential anti-joins, KS/PSI drift two-sample checks).
+
+    ``run(df, spark, domain_cond)`` -> {'success': bool, 'result': {...}}.
+    """
+
+    run: Callable[..., Dict[str, Any]]
