@@ -1,0 +1,322 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+* Exact dedup is a hash-groupBy (map-side combined — hot duplicate groups
+  collapse before the shuffle).
+* MinHash signatures are computed entirely JVM-side:
+  shingle -> ``xxhash64(shingle, seed_i)`` -> ``array_min`` per permutation.
+  No Python in the row path.
+* LSH banding: signatures are sliced into bands, each band hashed to a
+  bucket; candidate pairs come from a self-join *within buckets only*
+  (quadratic only in bucket size, never in table size).  Verification
+  (true Jaccard) runs on candidates only.
+* SimHash runs as an Arrow-batched pandas UDF (numpy bit ops); hamming
+  distance via JVM ``bit_count(a ^ b)``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from great_expectations_spark.functions.text import normalize_text
+
+# --- exact ----------------------------------------------------------------
+
+
+def exact_duplicate_stats(df: DataFrame, column: str = "text") -> DataFrame:
+    """One row: (n_rows, n_distinct, n_duplicate_rows) for the column's
+    normalized content."""
+    key = F.xxhash64(normalize_text(F.col(column)))
+    groups = df.filter(F.col(column).isNotNull()).groupBy(
+        key.alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return groups.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("n_duplicate_rows"),
+    )
+
+
+def exact_dedup(
+    df: DataFrame, column: str = "text", order_by: Optional[str] = None
+) -> DataFrame:
+    """Keep one row per normalized-content group (deterministic winner when
+    ``order_by`` given).  Shuffles by content hash, not by raw text."""
+    key = F.xxhash64(normalize_text(F.col(column))).alias("__gx_key")
+    out = df.withColumn("__gx_key", key)
+    if order_by is None:
+        return out.dropDuplicates(["__gx_key"]).drop("__gx_key")
+    w = Window.partitionBy("__gx_key").orderBy(F.col(order_by))
+    return (
+        out.withColumn("__gx_rn", F.row_number().over(w))
+        .filter(F.col("__gx_rn") == 1)
+        .drop("__gx_key", "__gx_rn")
+    )
+
+
+# --- shingles / MinHash ---------------------------------------------------
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<long> of length num_hashes), one xxhash64
+    family member per permutation — all JVM-side."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_column: str,
+    text_column: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: Optional[float] = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH.
+
+    Returns (id_a, id_b, jaccard_est[, jaccard]) with id_a < id_b.
+    The per-bucket self-join is the only join; bucket keys are
+    (band_index, band_hash), so the shuffle is on tiny keys, AQE splits
+    skewed buckets.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_column).alias("__id"),
+        word_shingles(F.col(text_column), shingle_k).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = sig.select(
+        "__id",
+        "__sig",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__sig", "__sh", "__band.band", "__band.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("l.__sig"),
+                            F.col("r.__sig"),
+                            lambda x, y: x == y,
+                        ),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(num_hashes)
+            ).alias("jaccard_est"),
+            jaccard(F.col("l.__sh"), F.col("r.__sh")).alias("jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify_threshold is not None:
+        pairs = pairs.filter(F.col("jaccard") >= verify_threshold)
+    return pairs
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def _simhash_udf():
+    @F.pandas_udf(T.LongType())
+    def simhash(tokens: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        def one(tok_list) -> int:
+            if tok_list is None or len(tok_list) == 0:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in tok_list:
+                digest = hashlib.blake2b(
+                    tok.encode("utf-8"), digest_size=8
+                ).digest()
+                bits = np.unpackbits(
+                    np.frombuffer(digest, dtype=np.uint8), bitorder="little"
+                ).astype(np.int64)
+                acc += bits * 2 - 1
+            out = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    out |= 1 << i
+            return out - (1 << 64) if out >= (1 << 63) else out
+
+        return tokens.map(one)
+
+    return simhash
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the normalized token stream (Arrow-batched UDF)."""
+    tokens = F.split(normalize_text(col), " ")
+    return _simhash_udf()(tokens)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_column: str,
+    text_column: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
+    (pigeonhole: distance ≤3 ⇒ at least one chunk equal), bucket-join on
+    chunk value, verify full hamming distance JVM-side."""
+    sigs = df.select(
+        F.col(id_column).alias("__id"),
+        simhash64(F.col(text_column)).alias("__sim"),
+    )
+    chunks = sigs.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("__sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("value"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__c"),
+    ).select("__id", "__sim", "__c.chunk", "__c.value")
+    left, right = chunks.alias("l"), chunks.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.value") == F.col("r.value"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --- n-gram Jaccard (exact, for verification / small candidate sets) ------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_column: str,
+    text_column: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via shingle inverted index: explode
+    shingles, join on shingle, count shared, compute |A∩B|/|A|+|B|-|A∩B|.
+    Distributed (shuffle on shingle keys) — no cartesian product."""
+    base = df.select(
+        F.col(id_column).alias("__id"),
+        word_shingles(F.col(text_column), k).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sizes = base.select("__id", F.size("__sh").alias("__n"))
+    inverted = base.select(
+        "__id", F.explode("__sh").alias("shingle")
+    )
+    l, r = inverted.alias("l"), inverted.alias("r")
+    shared = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .groupBy(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("n_b")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine`` / ``dot`` — pure JVM expressions (``zip_with`` + ``aggregate``).
+* Brute-force top-k / threshold search against a small broadcast query set
+  — the exact baseline.
+* LSH (random hyperplane) bucketed search — the scale path: sign-bit
+  signatures bucket the table so candidate generation never goes quadratic;
+  refinement computes exact cosine on candidates only.
+* Embedding near-duplicate pairs — LSH buckets + cosine threshold.
+
+Hyperplanes are generated driver-side from a seeded numpy RNG (tiny:
+n_bits × dim floats) and shipped as literal arrays — deterministic across
+cluster sizes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def _vec_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_to_query(embedding: Column, query: Sequence[float]) -> Column:
+    return cosine(embedding, _vec_lit(query))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector: one projection +
+    a k-row total ordering (orderBy + limit => TakeOrdered, no full sort
+    materialization)."""
+    return (
+        df.select(
+            F.col(id_column),
+            F.round(
+                cosine_to_query(F.col(embedding_column), query), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_column))
+        .limit(k)
+    )
+
+
+def threshold_neighbors(
+    df: DataFrame,
+    query: Sequence[float],
+    threshold: float,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+) -> DataFrame:
+    """All vectors with cosine >= threshold to the query (deterministic
+    set — no top-k boundary ties)."""
+    return df.select(
+        F.col(id_column),
+        F.round(cosine_to_query(F.col(embedding_column), query), 6).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def random_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_signature(
+    embedding: Column, planes: np.ndarray
+) -> Column:
+    """Sign-bit signature as a long (n_bits <= 63): bit i = 1 iff
+    dot(v, plane_i) >= 0. JVM-side dot products against literal planes."""
+    bits = [
+        F.when(dot(embedding, _vec_lit(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        sig = sig + (bit.cast("long") * F.lit(1 << i))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    n_bits: int = 12,
+    max_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict to vectors whose LSH bucket is within
+    ``max_hamming`` bits of the query's bucket (multi-probe), then exact
+    cosine on the candidates.  At 10^12 rows the signature column would be
+    precomputed and the table bucketed/partitioned by it, turning probes
+    into partition pruning."""
+    query_arr = np.asarray(query, dtype=float)
+    planes = random_hyperplanes(len(query_arr), n_bits, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(query_arr, p)) >= 0:
+            qsig |= 1 << i
+    probe_sigs = [qsig]
+    if max_hamming >= 1:
+        probe_sigs += [qsig ^ (1 << i) for i in range(n_bits)]
+    sig_col = lsh_signature(F.col(embedding_column), planes)
+    candidates = df.withColumn("__sig", sig_col).filter(
+        F.col("__sig").isin(probe_sigs)
+    )
+    return brute_force_topk(
+        candidates, list(query_arr), k, id_column, embedding_column
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    n_bits: int = 12,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by LSH signature,
+    self-join within buckets, refine with exact cosine >= threshold.
+    Near-identical vectors agree on all sign bits with high probability,
+    so recall at thresholds ~0.98 is high while candidate generation stays
+    linear-ish in table size."""
+    if dim is None:
+        first = df.select(F.size(embedding_column).alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a long, id_b long, cos_sim double"
+            )
+        dim = int(first["d"])
+    planes = random_hyperplanes(dim, n_bits, seed)
+    sigs = df.select(
+        F.col(id_column).alias("__id"),
+        F.col(embedding_column).alias("__emb"),
+        lsh_signature(F.col(embedding_column), planes).alias("__sig"),
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__sig") == F.col("r.__sig"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(cosine(F.col("l.__emb"), F.col("r.__emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is JVM-side (``pyspark.sql.functions`` — regexp,
+split, hash); nothing here crosses into Python per row.  These compose with
+the validation engine (each returns a Column usable in expectations) and
+are exposed as first-class queries in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Public knowledge (common function words).
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "nicht"],
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+WORD_SPLIT = r"\s+"
+# BPE-ish token regex: words, numbers, or single non-space symbols
+BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank strings count 0."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, WORD_SPLIT))
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style regex (JVM regexp)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(col, F.lit(PUNCT_CLASS)) / F.length(col)
+    )
+
+
+def uppercase_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(col, F.lit("[A-Z]")) / F.length(col)
+    )
+
+
+def digit_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(col, F.lit("[0-9]")) / F.length(col)
+    )
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = token_count(col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        stopword_count(col, lang) / toks
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic 0-1 quality score from length / punctuation / stopword
+    signals (the usual pretraining-filter features).  Pure arithmetic over
+    JVM expressions; SQL-portable so it can be oracle-checked."""
+    length = F.length(col)
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    punct = punct_ratio(col)
+    punct_score = F.lit(1.0) - F.least(punct * F.lit(5.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
+    return F.when(col.isNull() | (length == 0), F.lit(0.0)).otherwise(
+        F.round(
+            len_score * F.lit(0.4)
+            + punct_score * F.lit(0.3)
+            + stop_score * F.lit(0.3),
+            6,
+        )
+    )
+
+
+def language_id(col: Column, languages: Optional[List[str]] = None) -> Column:
+    """Stopword-hit language ID: argmax over per-language stopword counts;
+    'und' when nothing matches.  One pass of JVM regexp counts; the argmax
+    rides on struct ordering (greatest compares field-by-field)."""
+    langs = languages or list(LANG_STOPWORDS)
+    scored = [
+        F.struct(
+            stopword_count(col, lang).alias("score"), F.lit(lang).alias("lang")
+        )
+        for lang in langs
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return F.when(
+        col.isNull() | (best.getField("score") == 0), F.lit("und")
+    ).otherwise(best.getField("lang"))
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical form used by
+    fingerprints and dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), WORD_SPLIT, " ")
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit content fingerprint of the normalized text (xxhash64)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def rolling_fingerprints(col: Column, k: int = 5) -> Column:
+    """Array of 64-bit rolling window (k-word shingle) hashes — the basis
+    for winnowing-style fingerprinting and MinHash."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.xxhash64(normalize_text(col)))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))),
+        )
+    )
+
+
+def text_profile(df: DataFrame, column: str = "text") -> DataFrame:
+    """Per-document feature frame: token counts, ratios, lang, quality,
+    fingerprint — one projection, zero shuffles."""
+    col = F.col(column)
+    return df.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        bpe_token_count(col).alias("n_bpe_tokens"),
+        F.round(punct_ratio(col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
+        quality_score(col).alias("quality_score"),
+        language_id(col).alias("lang_pred"),
+        fingerprint64(col).alias("fingerprint"),
+    )

@@ -134,6 +134,8 @@ def _monotonic_window(
     if isinstance(partition_by, str):
         partition_by = [partition_by]
     order_by = kwargs.get("order_by")
+    if isinstance(order_by, str):
+        order_by = [order_by]
 
     def unexpected_flag(df: DataFrame) -> Column:
         if partition_by:
@@ -147,7 +149,11 @@ def _monotonic_window(
                 "increasing" if increasing else "decreasing",
             )
             w = Window.partitionBy()
-        w = w.orderBy(F.col(order_by) if order_by else F.monotonically_increasing_id())
+        w = w.orderBy(
+            *[F.col(c) for c in order_by]
+            if order_by
+            else [F.monotonically_increasing_id()]
+        )
         prev = F.lag(F.col(column)).over(w)
         col = F.col(column)
         if increasing:
