@@ -1,0 +1,382 @@
+"""Checkpointed validation runners.
+
+Two execution strategies over a partitioned table:
+
+* ``run_checkpoint`` — full-fidelity loop: one ``SuiteValidator.validate``
+  per partition (violation samples, job expectations, everything), with
+  manifest-based resume.  Partition predicates push down to the scan
+  (Catalyst partition pruning), so each iteration reads only its
+  partition.  Optional driver-side thread pool overlaps partitions (the
+  reference's ConcurrencyConfig showed ~15x on many small tables:
+  ``tests/performance/results/minimal_multithreading_run_*.json``); Spark's
+  scheduler interleaves the jobs.
+
+* ``validate_by_partition`` — the scale path: ONE
+  ``groupBy(partition_col)`` pass computes every partition's bundled
+  counters simultaneously (plus one grouped pass per window expectation),
+  producing an ExpectationSuiteValidationResult per partition with counts
+  (BASIC, no samples).  10^5 partitions = still ~3 Spark jobs.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from great_expectations_spark.checkpoint.manifest import (
+    CheckpointManifest,
+    ManifestEntry,
+)
+from great_expectations_spark.core.result_format import (
+    format_map_output,
+    map_expectation_success,
+    parse_result_format,
+)
+from great_expectations_spark.core.results import (
+    ExpectationSuiteValidationResult,
+    ExpectationValidationResult,
+    build_suite_statistics,
+    convert_to_json_serializable,
+)
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.plans.planner import SuiteValidator, _PlannedItem
+from great_expectations_spark.plans.specs import (
+    CompiledAggregate,
+    CompiledJob,
+    CompiledMap,
+    CompiledSchemaCheck,
+    CompiledWindow,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def run_checkpoint(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    partition_column: str,
+    checkpoint_dir: str,
+    result_format: str = "SUMMARY",
+    validator: Optional[SuiteValidator] = None,
+    max_concurrency: int = 1,
+    run_id: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Validate every partition, resuming past ``done`` ones. Returns a
+    summary dict with per-partition manifest entries."""
+    validator = validator or SuiteValidator()
+    manifest = CheckpointManifest(checkpoint_dir)
+    suite_hash = suite.suite_hash()
+    run_id = run_id or str(uuid.uuid4())
+
+    partitions = [
+        r[partition_column]
+        for r in df.select(partition_column).distinct().orderBy(
+            partition_column
+        ).collect()
+    ]
+    done = manifest.completed_partitions(suite_hash)
+    todo = [p for p in partitions if str(p) not in done]
+    logger.info(
+        "checkpoint: %d partitions, %d already done, %d to validate",
+        len(partitions), len(done), len(todo),
+    )
+
+    def one(partition_value: Any) -> ManifestEntry:
+        started = datetime.datetime.now(datetime.timezone.utc)
+        part_df = df.filter(F.col(partition_column) == F.lit(partition_value))
+        try:
+            result = validator.validate(
+                part_df,
+                suite,
+                result_format=result_format,
+                run_id=run_id,
+                batch_meta={
+                    "partition_column": partition_column,
+                    "partition_id": str(partition_value),
+                },
+            )
+            finished = datetime.datetime.now(datetime.timezone.utc)
+            rows = 0
+            for r in result.results:
+                rows = max(rows, int(r.result.get("element_count") or 0))
+            duration = (finished - started).total_seconds()
+            entry = ManifestEntry(
+                partition_id=str(partition_value),
+                suite_hash=suite_hash,
+                status="done",
+                run_id=run_id,
+                started_at=started.isoformat(),
+                finished_at=finished.isoformat(),
+                rows=rows,
+                duration_sec=round(duration, 3),
+                rows_per_sec=round(rows / duration, 1) if duration else 0.0,
+                success=bool(result.success),
+            )
+            return manifest.record(entry, result.to_json())
+        except Exception as exc:  # noqa: BLE001 — survive partition failure
+            finished = datetime.datetime.now(datetime.timezone.utc)
+            entry = ManifestEntry(
+                partition_id=str(partition_value),
+                suite_hash=suite_hash,
+                status="failed",
+                run_id=run_id,
+                started_at=started.isoformat(),
+                finished_at=finished.isoformat(),
+                rows=0,
+                duration_sec=0.0,
+                rows_per_sec=0.0,
+                success=None,
+                error=str(exc),
+            )
+            return manifest.record(entry)
+
+    if max_concurrency > 1 and len(todo) > 1:
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            entries = list(pool.map(one, todo))
+    else:
+        entries = [one(p) for p in todo]
+
+    all_done = manifest.completed_partitions(suite_hash)
+    return {
+        "run_id": run_id,
+        "suite_hash": suite_hash,
+        "partitions_total": len(partitions),
+        "partitions_validated_now": len(entries),
+        "partitions_skipped_resume": len(partitions) - len(todo),
+        "partitions_done": len(all_done),
+        "failures": [e.partition_id for e in entries if e.status == "failed"],
+        "success": all(
+            e.success for e in all_done.values() if e.success is not None
+        ),
+        "entries": [e.to_json_dict() for e in entries],
+    }
+
+
+# ---------------------------------------------------------------------------
+
+
+def validate_by_partition(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    partition_column: str,
+    validator: Optional[SuiteValidator] = None,
+) -> Dict[str, ExpectationSuiteValidationResult]:
+    """Single-pass per-partition validation (counts; BASIC, no samples).
+
+    Bundled counters: one groupBy(partition).agg(...) job.  Each window
+    expectation adds one grouped two-phase job.  Schema checks evaluate
+    once and fan out.  Job expectations (user SQL, cross-table) are
+    evaluated on the WHOLE df and replicated with a note — run
+    ``run_checkpoint`` for per-partition job semantics.
+    """
+    validator = validator or SuiteValidator()
+    spark = df.sparkSession
+    rf = parse_result_format("BASIC")
+    items = validator._compile(suite, suite.evaluation_parameters, True)
+    validator._check_columns_exist(df, items)
+    grouped = validator._run_bundled_phase(df, items, group_by=partition_column)
+    partitions = sorted(grouped.keys(), key=str)
+
+    # grouped window counts: per item -> {partition: unexpected_count}
+    window_counts: Dict[int, Dict[Any, int]] = {}
+    for item in items:
+        c = item.compiled
+        if isinstance(c, CompiledWindow) and item.error is None:
+            try:
+                window_counts[id(item)] = _grouped_window_counts(
+                    df, item, partition_column
+                )
+            except Exception as exc:  # noqa: BLE001
+                item.error = exc
+
+    out: Dict[str, ExpectationSuiteValidationResult] = {}
+    for part in partitions:
+        metrics = grouped[part]
+        results: List[ExpectationValidationResult] = []
+        for item in items:
+            config_dict = item.config.to_json_dict()
+            if item.error is not None:
+                results.append(
+                    SuiteValidator._exception_result(config_dict, item.error)
+                )
+                continue
+            c = item.compiled
+            try:
+                if isinstance(c, CompiledMap):
+                    results.append(
+                        validator._assemble_map(
+                            item, c, metrics, {}, rf, config_dict
+                        )
+                    )
+                elif isinstance(c, CompiledWindow):
+                    ucount = window_counts.get(id(item), {}).get(part, 0)
+                    element = int(metrics.get(item.element_alias) or 0)
+                    considered = int(
+                        metrics.get(item.considered_alias)
+                        if item.considered_alias
+                        else element
+                    )
+                    success = map_expectation_success(
+                        element, considered, ucount, item.config.mostly
+                    )
+                    payload = format_map_output(
+                        rf, success, element, considered, ucount, []
+                    )
+                    results.append(
+                        ExpectationValidationResult(
+                            success=bool(payload["success"]),
+                            expectation_config=config_dict,
+                            result=convert_to_json_serializable(
+                                payload.get("result", {})
+                            ),
+                        )
+                    )
+                elif isinstance(c, CompiledAggregate):
+                    values = {
+                        k: metrics.get(alias)
+                        for k, alias in item.agg_aliases.items()
+                    }
+                    vout = c.validate(values)
+                    results.append(
+                        ExpectationValidationResult(
+                            success=bool(vout["success"]),
+                            expectation_config=config_dict,
+                            result=convert_to_json_serializable(
+                                vout.get("result", {})
+                            ),
+                        )
+                    )
+                elif isinstance(c, CompiledSchemaCheck):
+                    vout = c.validate(df)
+                    results.append(
+                        ExpectationValidationResult(
+                            success=bool(vout["success"]),
+                            expectation_config=config_dict,
+                            result=convert_to_json_serializable(
+                                vout.get("result", {})
+                            ),
+                        )
+                    )
+                elif isinstance(c, CompiledJob):
+                    part_df = df.filter(
+                        F.col(partition_column) == F.lit(part)
+                    )
+                    import inspect
+
+                    sig = inspect.signature(c.run)
+                    if "result_format" in sig.parameters:
+                        vout = c.run(
+                            part_df, spark, item.domain, result_format=rf
+                        )
+                    else:
+                        vout = c.run(part_df, spark, item.domain)
+                    results.append(
+                        ExpectationValidationResult(
+                            success=bool(vout["success"]),
+                            expectation_config=config_dict,
+                            result=convert_to_json_serializable(
+                                vout.get("result", {})
+                            ),
+                        )
+                    )
+            except Exception as exc:  # noqa: BLE001
+                results.append(
+                    SuiteValidator._exception_result(config_dict, exc)
+                )
+        out[str(part)] = ExpectationSuiteValidationResult(
+            success=all(r.success for r in results),
+            results=results,
+            statistics=build_suite_statistics(results),
+            meta={
+                "partition_column": partition_column,
+                "partition_id": str(part),
+                "strategy": "single_pass_grouped",
+            },
+        )
+    return out
+
+
+def _grouped_window_counts(
+    df: DataFrame, item: _PlannedItem, partition_column: str
+) -> Dict[Any, int]:
+    """Per-partition unexpected counts for a window expectation, computed
+    in one grouped pass (keys are assumed to nest within partitions, true
+    for conv_id within days(ts))."""
+    from great_expectations_spark.core.domain import domain_gate
+
+    c = item.compiled
+    config = item.config
+    kwargs = config.kwargs
+    etype = config.expectation_type
+    scoped = df
+    if item.domain is not None:
+        scoped = scoped.filter(domain_gate(item.domain))
+
+    if etype in (
+        "expect_column_values_to_be_unique",
+        "expect_compound_columns_to_be_unique",
+        "expect_multicolumn_values_to_be_unique",
+    ):
+        keys = (
+            [kwargs["column"]]
+            if "column" in kwargs
+            else list(kwargs["column_list"])
+        )
+        base = scoped
+        for k in keys:
+            base = base.filter(F.col(k).isNotNull())
+        rows = (
+            base.groupBy(partition_column, *keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .groupBy(partition_column)
+            .agg(F.sum("c").alias("u"))
+            .collect()
+        )
+        return {r[partition_column]: int(r["u"]) for r in rows}
+
+    if etype in (
+        "expect_column_values_to_be_increasing",
+        "expect_column_values_to_be_decreasing",
+    ):
+        from pyspark.sql import Window
+
+        column = kwargs["column"]
+        strictly = bool(kwargs.get("strictly", False))
+        increasing = etype.endswith("increasing")
+        partition_by = kwargs.get("partition_by") or []
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
+        order_by = kwargs.get("order_by") or []
+        if isinstance(order_by, str):
+            order_by = [order_by]
+        w = Window.partitionBy(partition_column, *partition_by).orderBy(
+            *[F.col(o) for o in order_by]
+            if order_by
+            else [F.monotonically_increasing_id()]
+        )
+        col = F.col(column)
+        prev = F.lag(col).over(w)
+        if increasing:
+            bad = (col <= prev) if strictly else (col < prev)
+        else:
+            bad = (col >= prev) if strictly else (col > prev)
+        flag = prev.isNotNull() & F.coalesce(bad, F.lit(False))
+        rows = (
+            scoped.filter(col.isNotNull())
+            .select(partition_column, flag.alias("f"))
+            .groupBy(partition_column)
+            .agg(F.sum(F.when(F.col("f"), 1).otherwise(0)).alias("u"))
+            .collect()
+        )
+        return {r[partition_column]: int(r["u"] or 0) for r in rows}
+
+    raise NotImplementedError(
+        f"no grouped window implementation for {etype!r}"
+    )

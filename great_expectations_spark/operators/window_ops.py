@@ -55,13 +55,20 @@ def _uniqueness_window(
             out = out.filter(F.col(c).isNotNull())
         return out
 
+    # memoized per-df so the sample pass reuses the SAME DataFrame (and
+    # thus the already-materialized shuffle stage) from the count pass
+    _cache: Dict[int, DataFrame] = {}
+
     def dup_groups(df: DataFrame, domain: Optional[Column]) -> DataFrame:
-        return (
-            base(df, domain)
-            .groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("__gx_cnt"))
-            .filter(F.col("__gx_cnt") > 1)
-        )
+        key = id(df)
+        if key not in _cache:
+            _cache[key] = (
+                base(df, domain)
+                .groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__gx_cnt"))
+                .filter(F.col("__gx_cnt") > 1)
+            )
+        return _cache[key]
 
     def execute(df: DataFrame, domain: Optional[Column]) -> Dict[str, int]:
         row = dup_groups(df, domain).agg(
@@ -162,12 +169,19 @@ def _monotonic_window(
             bad = (col >= prev) if strictly else (col > prev)
         return prev.isNotNull() & F.coalesce(bad, F.lit(False))
 
+    _cache: Dict[int, DataFrame] = {}
+
     def annotated(df: DataFrame, domain: Optional[Column]) -> DataFrame:
-        out = df
-        if domain is not None:
-            out = out.filter(domain_gate(domain))
-        out = out.filter(F.col(column).isNotNull())
-        return out.withColumn("__gx_unexpected", unexpected_flag(out))
+        key = id(df)
+        if key not in _cache:
+            out = df
+            if domain is not None:
+                out = out.filter(domain_gate(domain))
+            out = out.filter(F.col(column).isNotNull())
+            _cache[key] = out.withColumn(
+                "__gx_unexpected", unexpected_flag(out)
+            )
+        return _cache[key]
 
     def execute(df: DataFrame, domain: Optional[Column]) -> Dict[str, int]:
         row = annotated(df, domain).agg(

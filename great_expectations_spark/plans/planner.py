@@ -258,9 +258,17 @@ class SuiteValidator:
                 )
 
     def _run_bundled_phase(
-        self, df: DataFrame, items: List[_PlannedItem]
+        self,
+        df: DataFrame,
+        items: List[_PlannedItem],
+        group_by: Optional[str] = None,
     ) -> Dict[str, Any]:
-        """Build and run the single bundled agg; returns alias -> value."""
+        """Build and run the single bundled agg; returns alias -> value.
+
+        With ``group_by`` set, runs ONE ``groupBy(partition_col).agg(...)``
+        and returns {partition_value: {alias: value}} — every partition's
+        whole-suite counters in a single scan + tiny shuffle (the per-
+        partition scale path the reference does with a driver loop)."""
         exprs: List[Column] = []
         alias_by_key: Dict[str, str] = {}
         counter = 0
@@ -318,8 +326,16 @@ class SuiteValidator:
 
         if not exprs:
             return {}
-        row = df.agg(*exprs).first()
-        return {alias: row[alias] for alias in alias_by_key.values()}
+        if group_by is None:
+            row = df.agg(*exprs).first()
+            return {alias: row[alias] for alias in alias_by_key.values()}
+        rows = df.groupBy(group_by).agg(*exprs).collect()
+        return {
+            row[group_by]: {
+                alias: row[alias] for alias in alias_by_key.values()
+            }
+            for row in rows
+        }
 
     def _run_window_phase(
         self,

@@ -1,0 +1,122 @@
+"""Structured-Streaming validation.
+
+The reference is batch-only (SURVEY.md §2.M); this module maps the
+engine's semantics onto streams:
+
+* ``streaming_quarantine`` — map expectations are stateless row predicates,
+  so a stream can be split into valid / violating rows with zero state:
+  one ``withColumn`` of the combined unexpected flag.
+* ``validate_each_microbatch`` — full suite semantics per micro-batch via
+  ``foreachBatch``: each epoch runs the ONE-pass bundled validator on the
+  batch DataFrame and hands the ExpectationSuiteValidationResult to a
+  callback (store/alert).  Exactly-once per epoch when the callback is
+  idempotent on (run_id=epoch_id).
+* ``windowed_violation_counts`` — event-time windowed unexpected-rate
+  aggregation with a watermark for late data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.domain import domain_gate
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.plans.planner import SuiteValidator, compile_expectation
+from great_expectations_spark.plans.specs import CompiledMap
+
+
+def _combined_unexpected_flag(suite: ExpectationSuite) -> Column:
+    flags: List[Column] = []
+    for config in suite.expectations:
+        compiled = compile_expectation(config)
+        if not isinstance(compiled, CompiledMap):
+            raise TypeError(
+                f"{config.expectation_type} is not a stateless map "
+                "expectation; use validate_each_microbatch for aggregates"
+            )
+        flags.append(
+            domain_gate(compiled.considered) & domain_gate(compiled.unexpected)
+        )
+    out = flags[0]
+    for f in flags[1:]:
+        out = out | f
+    return out
+
+
+def streaming_quarantine(
+    stream_df: DataFrame, suite: ExpectationSuite
+) -> DataFrame:
+    """Annotate a streaming DataFrame with ``__gx_unexpected`` (True when
+    ANY map expectation in the suite flags the row). Filter on it to route
+    rows to a quarantine sink."""
+    return stream_df.withColumn(
+        "__gx_unexpected", _combined_unexpected_flag(suite)
+    )
+
+
+def validate_each_microbatch(
+    stream_df: DataFrame,
+    suite: ExpectationSuite,
+    on_result: Callable,
+    result_format: str = "BASIC",
+    validator: Optional[SuiteValidator] = None,
+    checkpoint_location: Optional[str] = None,
+    trigger_once: bool = False,
+):
+    """Run the full bundled validator per micro-batch. Returns the started
+    StreamingQuery; ``on_result(epoch_id, suite_result)`` receives each
+    epoch's ExpectationSuiteValidationResult."""
+    v = validator or SuiteValidator()
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = v.validate(
+            batch_df,
+            suite,
+            result_format=result_format,
+            run_id=f"epoch-{epoch_id}",
+            batch_meta={"epoch_id": epoch_id},
+        )
+        on_result(epoch_id, result)
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_violation_counts(
+    stream_df: DataFrame,
+    suite: ExpectationSuite,
+    ts_column: str = "ts",
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed violation rates with late-data watermarking —
+    feed to any streaming sink for drift/alerting dashboards."""
+    flagged = streaming_quarantine(stream_df, suite)
+    return (
+        flagged.withWatermark(ts_column, watermark)
+        .groupBy(F.window(F.col(ts_column), window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("__gx_unexpected"), 1).otherwise(0)).alias(
+                "unexpected_rows"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "rows",
+            "unexpected_rows",
+            (F.col("unexpected_rows") / F.col("rows")).alias(
+                "unexpected_rate"
+            ),
+        )
+    )

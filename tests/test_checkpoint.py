@@ -1,0 +1,115 @@
+"""Checkpoint runner + manifest resume + single-pass grouped validation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from great_expectations_spark.checkpoint.manifest import CheckpointManifest
+from great_expectations_spark.checkpoint.runner import (
+    run_checkpoint,
+    validate_by_partition,
+)
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.datagen.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, 300, hot_conversations=0).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _suite():
+    return (
+        ExpectationSuite("ckpt")
+        .add("expect_column_values_to_not_be_null", column="text", mostly=0.9)
+        .add(
+            "expect_column_values_to_be_in_set",
+            column="role",
+            value_set=["system", "user", "assistant", "tool"],
+            mostly=0.99,
+        )
+        .add(
+            "expect_compound_columns_to_be_unique",
+            column_list=["conv_id", "turn_idx"],
+            mostly=0.9,
+        )
+        .add("expect_column_mean_to_be_between", column="turn_idx", min_value=0)
+    )
+
+
+def test_checkpoint_run_and_resume(spark, transcripts, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    summary = run_checkpoint(
+        transcripts, _suite(), "day", ckpt, result_format="SUMMARY"
+    )
+    assert summary["partitions_validated_now"] == summary["partitions_total"]
+    assert not summary["failures"]
+    assert summary["partitions_total"] == 30
+
+    # resume: nothing to do
+    summary2 = run_checkpoint(transcripts, _suite(), "day", ckpt)
+    assert summary2["partitions_validated_now"] == 0
+    assert summary2["partitions_skipped_resume"] == 30
+
+    # suite change => full re-run (different hash)
+    changed = _suite().add(
+        "expect_column_values_to_be_between", column="turn_idx", min_value=0
+    )
+    summary3 = run_checkpoint(transcripts, changed, "day", ckpt)
+    assert summary3["partitions_validated_now"] == 30
+
+    # manifest entries carry lineage + throughput
+    manifest = CheckpointManifest(ckpt)
+    entries = manifest.all_entries()
+    assert len(entries) == 60
+    e = entries[0]
+    assert e.rows > 0 and e.rows_per_sec > 0
+    with open(e.result_path) as f:
+        payload = json.load(f)
+    assert payload["meta"]["partition_id"] == e.partition_id
+    assert payload["statistics"]["evaluated_expectations"] in (4, 5)
+
+
+def test_checkpoint_concurrent_matches_serial(spark, transcripts, tmp_path):
+    s1 = run_checkpoint(
+        transcripts, _suite(), "day", str(tmp_path / "serial")
+    )
+    s2 = run_checkpoint(
+        transcripts,
+        _suite(),
+        "day",
+        str(tmp_path / "conc"),
+        max_concurrency=4,
+    )
+    assert s1["success"] == s2["success"]
+    assert s1["partitions_done"] == s2["partitions_done"]
+
+
+def test_single_pass_grouped_matches_per_partition(spark, transcripts, tmp_path):
+    suite = _suite()
+    grouped = validate_by_partition(transcripts, suite, "day")
+    assert len(grouped) == 30
+
+    # cross-check three partitions against the full validator
+    from great_expectations_spark.plans.planner import SuiteValidator
+    from pyspark.sql import functions as F
+
+    v = SuiteValidator()
+    for day in list(grouped)[:3]:
+        full = v.validate(
+            transcripts.filter(F.col("day") == day), suite, "BASIC"
+        )
+        g = grouped[day]
+        assert g.success == full.success
+        for gr, fr in zip(g.results, full.results):
+            assert gr.success == fr.success
+            if "unexpected_count" in fr.result:
+                assert (
+                    gr.result["unexpected_count"]
+                    == fr.result["unexpected_count"]
+                ), gr.expectation_config["expectation_type"]

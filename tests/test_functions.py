@@ -1,0 +1,225 @@
+"""Text / dedup / similarity / multimodal / splitter / streaming tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.functions import dedup, multimodal, similarity
+from great_expectations_spark.functions import text as gxtext
+from great_expectations_spark.sources import splitters
+from great_expectations_spark.streaming.validate_stream import (
+    streaming_quarantine,
+    validate_each_microbatch,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "THE  Quick  Brown Fox jumps over the lazy dog"),  # dup of 0
+        (3, "el rapido zorro marron salta sobre el perro"),
+        (4, "completely different content about spark engines"),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark, docs):
+    out = docs.select(
+        "doc_id", gxtext.token_count(F.col("text")).alias("n")
+    ).collect()
+    got = {r["doc_id"]: r["n"] for r in out}
+    assert got[0] == 9
+    assert got[5] == 0
+    assert got[6] is None
+
+
+def test_language_id(spark, docs):
+    out = docs.select(
+        "doc_id", gxtext.language_id(F.col("text")).alias("lang")
+    ).collect()
+    got = {r["doc_id"]: r["lang"] for r in out}
+    assert got[0] == "en"
+    assert got[3] == "es"
+    assert got[6] == "und"
+
+
+def test_quality_and_fingerprint(spark, docs):
+    out = docs.select(
+        "doc_id",
+        gxtext.quality_score(F.col("text")).alias("q"),
+        gxtext.fingerprint64(F.col("text")).alias("fp"),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 0 <= got[0]["q"] <= 1
+    assert got[5]["q"] == 0.0
+    # normalization: doc 2 is doc 0 with different case/whitespace
+    assert got[0]["fp"] == got[2]["fp"]
+
+
+def test_exact_dedup(spark, docs):
+    stats = dedup.exact_duplicate_stats(docs).first()
+    assert stats["n_rows"] == 6  # null text excluded
+    assert stats["n_duplicate_rows"] == 2  # docs 0 and 2
+    kept = dedup.exact_dedup(docs, "text", order_by="doc_id")
+    assert kept.count() == 6  # 7 rows - 1 dup (null kept)
+    assert kept.filter("doc_id = 2").count() == 0  # doc 0 wins
+
+
+def test_minhash_pairs(spark, docs):
+    pairs = dedup.minhash_candidate_pairs(
+        docs, "doc_id", "text", shingle_k=2, num_hashes=32, bands=16,
+        verify_threshold=0.5,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got  # exact dup found
+    assert (0, 1) in got  # near dup (one word differs)
+    assert all(a != 4 and b != 4 for a, b in got)
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = dedup.simhash_candidate_pairs(
+        docs.filter("text is not null"), "doc_id", "text", max_hamming=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 2)) == 0  # identical after normalization
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=2, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 2)] == pytest.approx(1.0)
+    assert 0.5 <= got[(0, 1)] < 1.0
+
+
+def test_cosine_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.brute_force_topk(emb, [1.0, 0.0, 0.0], 2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["cos_sim"] == pytest.approx(1.0)
+
+    near = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.9, n_bits=6
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in near} == {(0, 1)}
+
+
+def test_lsh_topk_matches_bruteforce_top1(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [float(x) for x in vecs[17]]
+    exact = similarity.brute_force_topk(emb, query, 1).first()
+    approx = similarity.lsh_topk(
+        emb, query, k=1, n_bits=8, max_hamming=1
+    ).first()
+    assert exact["vec_id"] == 17
+    assert approx is not None and approx["vec_id"] == 17
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(1, b"\x00\x01imagebytes"), (2, b"\xff\xfe"), (3, None)]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    out = multimodal.image_features(df).collect()
+    got = {r["id"]: r for r in out}
+    assert len(got[1]["features"]) == multimodal.IMAGE_FEATURE_DIM
+    assert got[1]["n_bytes"] == 12
+    assert got[3]["n_bytes"] == 0
+    # deterministic across partitioning
+    out2 = multimodal.image_features(df.repartition(3)).collect()
+    assert {r["id"]: tuple(r["features"]) for r in out2} == {
+        r["id"]: tuple(r["features"]) for r in out
+    }
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.image_features(df, deterministic_fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 3500)], "id long, duration_ms int")
+    frames = multimodal.frame_sample_plan(df, "duration_ms", 1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_splitters_and_samplers(spark):
+    events = spark.range(100).select(
+        F.col("id"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 28) + 1, 2, "0"))
+        ).alias("ts"),
+    )
+    jan5 = splitters.split_on_date_parts(
+        events, "ts", {"ts": {"year": 2024, "month": 1, "day": 5}},
+        ["year", "month", "day"],
+    )
+    assert jan5.count() == events.filter(F.dayofmonth("ts") == 5).count()
+    mod = splitters.split_on_mod_integer(events, "id", 10, {"id": 3})
+    assert mod.count() == 10
+    buckets = sum(
+        splitters.split_on_salted_bucket(events, "id", 4, b).count()
+        for b in range(4)
+    )
+    assert buckets == 100
+    assert splitters.sample_using_limit(events, 7).count() == 7
+    assert splitters.sample_using_mod(events, "id", 4, 1).count() == 25
+
+
+def test_streaming_quarantine_and_microbatch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "zz")],
+        "id long, cat string",
+    ).write.parquet(src)
+    suite = (
+        ExpectationSuite("s")
+        .add("expect_column_values_to_not_be_null", column="cat")
+        .add(
+            "expect_column_values_to_be_in_set",
+            column="cat",
+            value_set=["a", "b"],
+        )
+    )
+    stream = spark.readStream.schema("id long, cat string").parquet(src)
+    flagged = streaming_quarantine(stream, suite)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("gx_quarantine")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT id, __gx_unexpected FROM gx_quarantine ORDER BY id"
+    ).collect()
+    assert [r["__gx_unexpected"] for r in rows] == [False, True, False, True]
+
+    seen = {}
+    q2 = validate_each_microbatch(
+        stream,
+        suite,
+        on_result=lambda epoch, res: seen.setdefault(epoch, res),
+        trigger_once=True,
+        checkpoint_location=str(tmp_path / "ckpt_stream"),
+    )
+    q2.awaitTermination(60)
+    assert seen
+    res = next(iter(seen.values()))
+    assert res.statistics["evaluated_expectations"] == 2
+    assert not res.success
