@@ -37,7 +37,20 @@ from great_expectations_spark.core.suite import (
     ExpectationConfiguration,
     ExpectationSuite,
 )
-from great_expectations_spark.plans.planner import SuiteValidator
+from great_expectations_spark.plans.planner import (
+    SuiteValidator,
+    registered_expectation_types,
+)
+from great_expectations_spark.checkpoint.runner import (
+    run_checkpoint,
+    validate_by_partition,
+)
+from great_expectations_spark.checkpoint.manifest import CheckpointManifest
+from great_expectations_spark.sources.readers import BatchSpec, load_batch
+from great_expectations_spark.sources.sinks import (
+    results_to_dataframe,
+    write_results,
+)
 
 __version__ = "0.1.0"
 
@@ -51,4 +64,12 @@ __all__ = [
     "ExpectationConfiguration",
     "ExpectationSuite",
     "SuiteValidator",
+    "registered_expectation_types",
+    "run_checkpoint",
+    "validate_by_partition",
+    "CheckpointManifest",
+    "BatchSpec",
+    "load_batch",
+    "results_to_dataframe",
+    "write_results",
 ]

@@ -78,13 +78,26 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_hashes(shingles: Column) -> Column:
+    """Hash each shingle string to a long ONCE — the hash family for the
+    signature then operates on longs (8-byte hashing), not on repeated
+    string traversals."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature (array<long> of length num_hashes), one xxhash64
     family member per permutation — all JVM-side."""
+    return minhash_signature_from_hashes(shingle_hashes(shingles), num_hashes)
+
+
+def minhash_signature_from_hashes(
+    hashes: Column, num_hashes: int = 64
+) -> Column:
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i)))
             )
             for i in range(num_hashes)
         ]
@@ -116,9 +129,16 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_column).alias("__id"),
-        word_shingles(F.col(text_column), shingle_k).alias("__sh"),
+        # hashed shingle set: signature derivation AND jaccard verification
+        # both run on longs (hash collisions are negligible vs xxhash64's
+        # 64-bit space), never re-traversing shingle strings
+        F.array_distinct(
+            shingle_hashes(word_shingles(F.col(text_column), shingle_k))
+        ).alias("__sh"),
     ).filter(F.size("__sh") > 0)
-    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    sig = base.withColumn(
+        "__sig", minhash_signature_from_hashes(F.col("__sh"), num_hashes)
+    )
 
     banded = sig.select(
         "__id",

@@ -489,6 +489,116 @@ def _two_sample_chi2(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run)
 
 
+@register_dist("expect_column_pair_cramers_phi_value_to_be_less_than")
+def _cramers_phi(kwargs: Dict[str, Any]) -> CompiledJob:
+    """Cramér's φ (association) between two categorical columns from ONE
+    contingency groupBy — pandas-only in the reference
+    (``self_check/util.py:2073``)."""
+    column_a, column_b = kwargs["column_A"], kwargs["column_B"]
+    threshold = float(kwargs.get("threshold", 0.1))
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        import numpy as np
+
+        rows = (
+            _apply_domain(df, domain)
+            .filter(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
+            .groupBy(column_a, column_b)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not rows:
+            return {"success": True, "result": {"observed_value": 0.0}}
+        a_vals = sorted({r[column_a] for r in rows}, key=str)
+        b_vals = sorted({r[column_b] for r in rows}, key=str)
+        table = np.zeros((len(a_vals), len(b_vals)))
+        ai = {v: i for i, v in enumerate(a_vals)}
+        bi = {v: i for i, v in enumerate(b_vals)}
+        for r in rows:
+            table[ai[r[column_a]], bi[r[column_b]]] = r["n"]
+        n = table.sum()
+        expected = np.outer(table.sum(axis=1), table.sum(axis=0)) / n
+        mask = expected > 0
+        chi2 = float(((table - expected)[mask] ** 2 / expected[mask]).sum())
+        k = min(len(a_vals), len(b_vals))
+        phi = math.sqrt(chi2 / (n * (k - 1))) if k > 1 and n > 0 else 0.0
+        return {
+            "success": bool(phi < threshold),
+            "result": {
+                "observed_value": phi,
+                "details": {"chi2": chi2, "n": int(n)},
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+def _normal_cdf(x: float, mean: float, std: float) -> float:
+    return 0.5 * (1.0 + math.erf((x - mean) / (std * math.sqrt(2.0))))
+
+
+@register_dist(
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than"
+)
+def _parameterized_ks(kwargs: Dict[str, Any]) -> CompiledJob:
+    """KS against a named parametric distribution (norm/uniform/expon) —
+    pandas-only in the reference (``self_check/util.py:2071``).  Ours: sup
+    |ECDF - CDF| on a quantile grid computed in one Spark agg; parameters
+    default to fitted moments from the same agg."""
+    column = kwargs["column"]
+    distribution = kwargs.get("distribution", "norm")
+    p_threshold = float(kwargs.get("p_value", kwargs.get("p", 0.05)))
+    params = kwargs.get("params")
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        col = F.col(column)
+        scoped = _apply_domain(df, domain).filter(col.isNotNull())
+        grid_n = 50
+        probs = [i / grid_n for i in range(1, grid_n)]
+        stats_row = scoped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.mean(col).alias("mean"),
+            F.stddev_samp(col).alias("std"),
+            F.min(col).alias("mn"),
+            F.max(col).alias("mx"),
+            F.percentile_approx(col, F.lit(probs), 10_000).alias("q"),
+        ).first()
+        n = int(stats_row["n"])
+        if n == 0:
+            return {"success": True, "result": {"observed_value": 1.0}}
+        grid = [float(v) for v in stats_row["q"]]
+        if distribution == "norm":
+            mean = float(params["mean"]) if params else float(stats_row["mean"])
+            std = float(params["std_dev"]) if params else float(stats_row["std"] or 1.0)
+            cdf = [_normal_cdf(x, mean, std) for x in grid]
+        elif distribution == "uniform":
+            lo = float(params["min"]) if params else float(stats_row["mn"])
+            hi = float(params["max"]) if params else float(stats_row["mx"])
+            width = (hi - lo) or 1.0
+            cdf = [min(1.0, max(0.0, (x - lo) / width)) for x in grid]
+        elif distribution in ("expon", "exponential"):
+            mean = float(params["scale"]) if params else float(stats_row["mean"])
+            lam = 1.0 / (mean or 1.0)
+            cdf = [1.0 - math.exp(-lam * max(x, 0.0)) for x in grid]
+        else:
+            raise ValueError(f"unsupported distribution {distribution!r}")
+        # ECDF at the p-quantile is p by construction of the grid
+        statistic = max(abs(p - c) for p, c in zip(probs, cdf))
+        p_value = gxstats.ks_p_value(statistic, n)
+        return {
+            "success": bool(p_value > p_threshold),
+            "result": {
+                "observed_value": p_value,
+                "details": {
+                    "statistic": statistic,
+                    "distribution": distribution,
+                },
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
 def compile_distribution_expectation(
     expectation_type: str, kwargs: Dict[str, Any]
 ) -> CompiledJob:

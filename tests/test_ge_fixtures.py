@@ -1,0 +1,260 @@
+"""Run the reference's own golden JSON expectation fixtures through our
+engine (reference corpus: ``tests/test_definitions/**/*.json``, runner
+semantics mirrored from ``tests/test_definitions/test_expectations_v3_api.py``
+and ``self_check/util.py:2972-3443``).
+
+For every fixture test applicable to the Spark backend we assert:
+  * ``success`` matches,
+  * ``unexpected_list`` matches (sorted),
+  * ``unexpected_index_list`` pk_index values match (we inject the same
+    ``pk_index`` column the reference runner injects),
+  * ``observed_value`` matches (approx for floats, ``tolerance`` honored),
+  * error fixtures (``traceback_substring``) raise in our engine too.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import math
+import os
+
+import pytest
+
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.plans.planner import (
+    SuiteValidator,
+    registered_expectation_types,
+)
+
+FIXTURE_ROOT = "/root/reference/tests/test_definitions"
+
+# fixture datasets occasionally exercise semantics we deliberately changed
+# (documented deltas) or engine-specific type quirks; skip by (file, title)
+SKIP_TESTS = {
+    # reference evaluates increasing/decreasing over a single global
+    # partition; ours requires/honors partition_by (SURVEY.md §2.E delta)
+}
+
+IMPLEMENTED = set(registered_expectation_types())
+
+
+def _fixture_files():
+    out = []
+    for path in sorted(glob.glob(f"{FIXTURE_ROOT}/*/*.json")):
+        etype = os.path.splitext(os.path.basename(path))[0]
+        if etype in IMPLEMENTED:
+            out.append(path)
+    return out
+
+
+def _spark_allowed(test: dict) -> bool:
+    only_for = test.get("only_for") or []
+    suppress = test.get("suppress_test_for") or []
+    if only_for and not any(b.startswith("spark") for b in only_for):
+        return False
+    if any(b.startswith("spark") for b in suppress):
+        return False
+    return True
+
+
+def _coerce(value, type_name):
+    if value is None:
+        return None
+    if isinstance(value, float) and math.isnan(value):
+        return None
+    if type_name in ("TimestampType",):
+        if isinstance(value, str):
+            from dateutil import parser
+
+            return parser.parse(value)
+        return value
+    if type_name in ("DateType",):
+        if isinstance(value, str):
+            from dateutil import parser
+
+            return parser.parse(value).date()
+        return value
+    if type_name in ("IntegerType", "LongType", "ShortType", "ByteType"):
+        return int(value)
+    if type_name in ("FloatType", "DoubleType"):
+        return float(value)
+    if type_name == "DecimalType":
+        import decimal
+
+        return decimal.Decimal(str(value))
+    if type_name == "StringType":
+        return str(value)
+    return value
+
+
+def _build_df(spark, dataset):
+    from pyspark.sql import types as T
+
+    data = dataset["data"]
+    columns = list(data.keys())
+    n = max((len(v) for v in data.values()), default=0)
+    schema_spec = (dataset.get("schemas") or {}).get("spark")
+    fields = []
+    for c in columns:
+        tname = (schema_spec or {}).get(c, None)
+        if tname is None:
+            # infer: first non-null python value
+            sample = next(
+                (v for v in data[c] if v is not None
+                 and not (isinstance(v, float) and math.isnan(v))),
+                None,
+            )
+            if isinstance(sample, bool):
+                tname = "BooleanType"
+            elif isinstance(sample, int):
+                tname = "LongType"
+            elif isinstance(sample, float):
+                tname = "DoubleType"
+            elif isinstance(sample, str):
+                tname = "StringType"
+            else:
+                tname = "StringType"
+        cls = getattr(T, tname, None)
+        if cls is None:
+            raise pytest.skip.Exception(f"unsupported type {tname}")
+        fields.append((c, tname, cls() if tname != "DecimalType" else cls(20, 10)))
+    rows = []
+    for i in range(n):
+        row = tuple(
+            _coerce(data[c][i] if i < len(data[c]) else None, tname)
+            for c, tname, _ in fields
+        ) + (i,)
+        rows.append(row)
+    schema = T.StructType(
+        [T.StructField(c, dtype, True) for c, _, dtype in fields]
+        + [T.StructField("pk_index", T.LongType(), False)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _values_match(got, want, tolerance=None):
+    if isinstance(want, float) or isinstance(got, float):
+        try:
+            return math.isclose(
+                float(got), float(want),
+                rel_tol=tolerance or 1e-5, abs_tol=tolerance or 1e-8,
+            )
+        except (TypeError, ValueError):
+            return False
+    if isinstance(want, list) and isinstance(got, list):
+        if len(want) != len(got):
+            return False
+        return all(_values_match(g, w, tolerance) for g, w in zip(got, want))
+    return got == want
+
+
+def _sorted_safe(values):
+    try:
+        return sorted(values, key=lambda v: (v is None, str(type(v)), v))
+    except TypeError:
+        return sorted(values, key=lambda v: str(v))
+
+
+FIXTURES = _fixture_files()
+
+
+@pytest.mark.parametrize(
+    "path", FIXTURES, ids=[os.path.basename(p)[:-5] for p in FIXTURES]
+)
+def test_reference_fixture(spark, path):
+    with open(path) as f:
+        fixture = json.load(f)
+    etype = fixture["expectation_type"]
+    ran, skipped, failures = 0, 0, []
+    for dataset in fixture["datasets"]:
+        applicable = [
+            t
+            for t in dataset.get("tests", [])
+            if _spark_allowed(t)
+            and (os.path.basename(path), t.get("title")) not in SKIP_TESTS
+        ]
+        if not applicable:
+            continue
+        try:
+            df = _build_df(spark, dataset)
+        except Exception:
+            skipped += len(applicable)
+            continue
+        for test in applicable:
+            ran += 1
+            title = test.get("title", "?")
+            kwargs = dict(test["in"])
+            kwargs.pop("catch_exceptions", None)
+            out = test.get("out", {}) or {}
+            rf = {
+                "result_format": "COMPLETE",
+                "unexpected_index_column_names": ["pk_index"],
+            }
+            if isinstance(kwargs.get("result_format"), (str, dict)):
+                kwargs.pop("result_format")
+            suite = ExpectationSuite("fixture")
+            try:
+                suite.add(etype, **kwargs)
+                res = SuiteValidator().validate(
+                    df, suite, result_format=rf, catch_exceptions=True
+                )
+                r = res.results[0]
+            except Exception as exc:  # config-time error
+                if "traceback_substring" in out or out.get("success") is False:
+                    continue
+                failures.append(f"{title}: raised {exc}")
+                continue
+
+            if "traceback_substring" in out:
+                if not r.exception_info["raised_exception"]:
+                    failures.append(f"{title}: expected exception, got none")
+                continue
+            if r.exception_info["raised_exception"]:
+                failures.append(
+                    f"{title}: engine exception "
+                    f"{r.exception_info['exception_message']}"
+                )
+                continue
+            tolerance = test.get("tolerance")
+            if "success" in out and bool(r.success) != bool(out["success"]):
+                failures.append(
+                    f"{title}: success {r.success} != {out['success']} "
+                    f"(result={r.result})"
+                )
+                continue
+            if "unexpected_list" in out:
+                got = _sorted_safe(r.result.get("unexpected_list", []))
+                want = _sorted_safe(out["unexpected_list"])
+                if not _values_match(got, want, tolerance):
+                    failures.append(
+                        f"{title}: unexpected_list {got} != {want}"
+                    )
+            if "unexpected_index_list" in out and out["unexpected_index_list"]:
+                want_pks = sorted(
+                    d.get("pk_index") for d in out["unexpected_index_list"]
+                )
+                got_pks = sorted(
+                    d.get("pk_index")
+                    for d in r.result.get("unexpected_index_list", [])
+                )
+                if got_pks != want_pks:
+                    failures.append(
+                        f"{title}: index list {got_pks} != {want_pks}"
+                    )
+            if "observed_value" in out:
+                got_ov = r.result.get("observed_value")
+                want_ov = out["observed_value"]
+                if isinstance(want_ov, list) and isinstance(got_ov, list):
+                    got_ov = _sorted_safe(got_ov)
+                    want_ov = _sorted_safe(want_ov)
+                if not _values_match(got_ov, want_ov, tolerance):
+                    failures.append(
+                        f"{title}: observed {got_ov!r} != {want_ov!r}"
+                    )
+    assert not failures, (
+        f"{etype}: {len(failures)}/{ran} fixture tests failed "
+        f"({skipped} skipped):\n" + "\n".join(failures[:20])
+    )
+    assert ran > 0 or skipped > 0, "no applicable fixture tests found"
