@@ -13,8 +13,38 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
+
+
+_EXPR_TOKEN = re.compile(
+    r"^[\s0-9+\-*/().,a-z_=]*$"  # now()/timedelta(...) arithmetic only
+)
+
+
+def _eval_parameter_expression(expr: str) -> Any:
+    """Evaluate the reference's ``now() - timedelta(weeks=52)``-style
+    evaluation-parameter expressions (reference
+    ``core/evaluation_parameters.py:274-430`` uses a pyparsing grammar;
+    ours is a restricted-namespace eval over the same function set)."""
+    import datetime as _dt
+
+    if not isinstance(expr, str) or "(" not in expr:
+        return None
+    if not _EXPR_TOKEN.match(expr):
+        return None
+    namespace = {
+        "now": lambda: _dt.datetime.now(),
+        "timedelta": _dt.timedelta,
+        "datetime": _dt.datetime,
+    }
+    try:
+        return eval(  # noqa: S307 — namespace is closed, tokens filtered
+            expr, {"__builtins__": {}}, namespace
+        )
+    except Exception:
+        return None
 
 
 @dataclass
@@ -40,14 +70,22 @@ class ExpectationConfiguration:
     ) -> "ExpectationConfiguration":
         """Resolve ``{"$PARAMETER": name}`` kwargs against the provided
         evaluation parameters (plain lookup, v1 scope)."""
-        if not evaluation_parameters:
-            return self
+        evaluation_parameters = evaluation_parameters or {}
 
         def resolve(value: Any) -> Any:
             if isinstance(value, dict) and "$PARAMETER" in value:
                 name = value["$PARAMETER"]
                 if name in evaluation_parameters:
                     return evaluation_parameters[name]
+                # temp-value form: {"$PARAMETER": expr,
+                #                   "$PARAMETER.<expr>": value}
+                # (reference core/evaluation_parameters.py:226-271)
+                temp_key = f"$PARAMETER.{name}"
+                if temp_key in value:
+                    return value[temp_key]
+                evaluated = _eval_parameter_expression(name)
+                if evaluated is not None:
+                    return evaluated
                 raise KeyError(f"evaluation parameter {name!r} not supplied")
             if isinstance(value, list):
                 return [resolve(v) for v in value]

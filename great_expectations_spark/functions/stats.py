@@ -66,6 +66,82 @@ def chi2_sf(x: float, df: float) -> float:
     return max(0.0, min(1.0, _gammainc_upper_contfrac(s, half_x)))
 
 
+def betainc_regularized(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) via the standard continued
+    fraction (Numerical-Recipes-style), symmetric for convergence."""
+    if x <= 0:
+        return 0.0
+    if x >= 1:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+
+    def contfrac(a_: float, b_: float, x_: float) -> float:
+        tiny = 1e-300
+        qab, qap, qam = a_ + b_, a_ + 1.0, a_ - 1.0
+        c = 1.0
+        d = 1.0 - qab * x_ / qap
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        h = d
+        for m in range(1, 300):
+            m2 = 2 * m
+            aa = m * (b_ - m) * x_ / ((qam + m2) * (a_ + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a_ + m) * (qab + m) * x_ / ((a_ + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 1e-14:
+                break
+        return h
+
+    if x < (a + 1.0) / (a + b + 2.0):
+        return max(0.0, min(1.0, front * contfrac(a, b, x) / a))
+    # symmetry I_x(a,b) = 1 - I_{1-x}(b,a); the front factor is invariant
+    # under (a,b,x) -> (b,a,1-x)
+    return max(0.0, min(1.0, 1.0 - front * contfrac(b, a, 1.0 - x) / b))
+
+
+def gamma_cdf(x: float, alpha: float, loc: float = 0.0, scale: float = 1.0) -> float:
+    z = (x - loc) / scale
+    if z <= 0:
+        return 0.0
+    if z < alpha + 1.0:
+        return max(0.0, min(1.0, _gammainc_lower_series(alpha, z)))
+    return max(0.0, min(1.0, 1.0 - _gammainc_upper_contfrac(alpha, z)))
+
+
+def beta_cdf(
+    x: float, a: float, b: float, loc: float = 0.0, scale: float = 1.0
+) -> float:
+    return betainc_regularized(a, b, (x - loc) / scale)
+
+
+def norm_cdf(x: float, mean: float = 0.0, std: float = 1.0) -> float:
+    return 0.5 * (1.0 + math.erf((x - mean) / (std * math.sqrt(2.0))))
+
+
 def ks_p_value(statistic: float, n_effective: float) -> float:
     """Asymptotic two-sided KS p-value: Q_KS((sqrt(n)+0.12+0.11/sqrt(n))·D)."""
     if statistic <= 0:

@@ -53,8 +53,32 @@ def metric_key(name: str, column: Optional[str], **value_kwargs: Any) -> str:
 
 
 def _between_aggregate(
-    kwargs: Dict[str, Any], key: str, expr: Column
+    kwargs: Dict[str, Any],
+    key: str,
+    expr: Column,
+    integer_bounds: bool = False,
+    allow_both_none: bool = True,
 ) -> CompiledAggregate:
+    min_value, max_value = kwargs.get("min_value"), kwargs.get("max_value")
+    if min_value is None and max_value is None and not allow_both_none:
+        # parity quirk: only some reference expectations (sum) raise here;
+        # the rest are vacuously true with unbounded ranges
+        raise ValueError("min_value and max_value cannot both be None")
+    if integer_bounds:
+        for name, v in (("min_value", min_value), ("max_value", max_value)):
+            if v is not None and (
+                isinstance(v, bool) or not isinstance(v, int)
+            ):
+                raise ValueError(f"{name} and max_value must be integers")
+        if (
+            min_value is not None
+            and max_value is not None
+            and min_value > max_value
+        ):
+            raise ValueError(
+                "Minimum Threshold cannot be larger than Maximum Threshold"
+            )
+
     def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
         return validate_metric_value_between(
             metrics.get(key),
@@ -88,21 +112,27 @@ def _stdev_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
 def _sum_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
     column = kwargs["column"]
     key = metric_key("column.sum", column)
-    return _between_aggregate(kwargs, key, F.sum(F.col(column)))
+    return _between_aggregate(
+        kwargs, key, F.sum(F.col(column)), allow_both_none=False
+    )
 
 
 @register_agg("expect_column_min_to_be_between")
 def _min_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
     column = kwargs["column"]
     key = metric_key("column.min", column)
-    return _between_aggregate(kwargs, key, F.min(F.col(column)))
+    return _between_aggregate(
+        kwargs, key, F.min(F.col(column)), allow_both_none=False
+    )
 
 
 @register_agg("expect_column_max_to_be_between")
 def _max_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
     column = kwargs["column"]
     key = metric_key("column.max", column)
-    return _between_aggregate(kwargs, key, F.max(F.col(column)))
+    return _between_aggregate(
+        kwargs, key, F.max(F.col(column)), allow_both_none=False
+    )
 
 
 @register_agg("expect_column_median_to_be_between")
@@ -153,7 +183,7 @@ def _distinct_count_expr(kwargs: Dict[str, Any]) -> (str, Column):
 @register_agg("expect_column_unique_value_count_to_be_between")
 def _unique_count_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
     key, expr = _distinct_count_expr(kwargs)
-    return _between_aggregate(kwargs, key, expr)
+    return _between_aggregate(kwargs, key, expr, integer_bounds=True)
 
 
 @register_agg("expect_column_proportion_of_unique_values_to_be_between")
@@ -208,7 +238,9 @@ def _distinct_set_validator(
     observed: str = "sorted",
 ) -> CompiledAggregate:
     column = kwargs["column"]
-    value_set = set(kwargs.get("value_set") or [])
+    value_set_raw = kwargs.get("value_set")
+    value_set = set(value_set_raw or [])
+    vacuous = value_set_raw is None  # null set => vacuously true
     skey = _distinct_set_key(column)
     ckey = metric_key("column.distinct_values.count", column)
 
@@ -226,7 +258,7 @@ def _distinct_set_validator(
         except TypeError:
             observed_value = list(observed_set)
         return {
-            "success": check(observed_set, value_set),
+            "success": True if vacuous else check(observed_set, value_set),
             "result": {
                 "observed_value": observed_value,
                 "details": {"value_counts_count": count},
@@ -267,20 +299,35 @@ def _quantiles_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
         raise ValueError(
             "quantile_ranges must have one value_range per quantile"
         )
+    if sorted(quantiles) != quantiles:
+        raise ValueError("quantiles must be provided in ascending order")
+    for lo, hi in value_ranges:
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(
+                "quantile value_ranges must have lower_bound <= upper_bound"
+            )
     allow_err = kwargs.get("allow_relative_error", False)
-    if kwargs.get("exact") or allow_err == 0:
+    if kwargs.get("exact"):
+        # continuously-interpolated exact quantiles (DuckDB quantile_cont
+        # semantics) — NOT the reference default
         key = metric_key("column.quantile_values", column, q=quantiles)
         expr = F.percentile(F.col(column), F.lit(quantiles))
-    else:
-        accuracy = (
-            int(1.0 / float(allow_err))
-            if isinstance(allow_err, float) and allow_err > 0
-            else 10_000
-        )
+    elif isinstance(allow_err, float) and allow_err > 0:
+        accuracy = int(1.0 / float(allow_err))
         key = metric_key(
             "column.quantile_values.approx", column, q=quantiles, acc=accuracy
         )
         expr = F.percentile_approx(F.col(column), F.lit(quantiles), accuracy)
+    else:
+        # reference default: approxQuantile(relativeError=0) — exact
+        # order-statistic quantiles, no interpolation
+        # (column_quantile_values.py:177-209)
+        key = metric_key(
+            "column.quantile_values.exact_ds", column, q=quantiles
+        )
+        expr = F.percentile_approx(
+            F.col(column), F.lit(quantiles), 2147483647
+        )
 
     def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
         values = metrics.get(key)
@@ -314,7 +361,9 @@ def _quantiles_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
 @register_agg("expect_table_row_count_to_be_between")
 def _row_count_between(kwargs: Dict[str, Any]) -> CompiledAggregate:
     key = metric_key("table.row_count", None)
-    return _between_aggregate(kwargs, key, F.count(F.lit(1)))
+    return _between_aggregate(
+        kwargs, key, F.count(F.lit(1)), integer_bounds=True
+    )
 
 
 @register_agg("expect_table_row_count_to_equal")

@@ -168,12 +168,55 @@ def build_categorical_partition_object(
 @register_dist("expect_column_kl_divergence_to_be_less_than")
 def _kl_divergence(kwargs: Dict[str, Any]) -> CompiledJob:
     column = kwargs["column"]
-    partition = kwargs["partition_object"]
+    partition = kwargs.get("partition_object")
     threshold = kwargs.get("threshold")
     tail_holdout = float(kwargs.get("tail_weight_holdout", 0.0))
     internal_holdout = float(kwargs.get("internal_weight_holdout", 0.0))
+    if not 0 <= tail_holdout <= 1:
+        raise ValueError("tail_weight_holdout must be between 0 and 1")
+    if not 0 <= internal_holdout <= 1:
+        raise ValueError("internal_weight_holdout must be between 0 and 1")
+    if partition is not None and is_valid_categorical_partition_object(
+        partition
+    ) and internal_holdout > 0:
+        raise ValueError(
+            "internal_weight_holdout is not defined for categorical "
+            "partitions"
+        )
+    if partition is not None and is_valid_continuous_partition_object(
+        partition
+    ):
+        bins0 = float(partition["bins"][0])
+        bins1 = float(partition["bins"][-1])
+        has_inf = math.isinf(bins0) or math.isinf(bins1)
+        if has_inf and "tail_weights" in partition:
+            raise ValueError(
+                "There can be no tail weights for partitions with one or "
+                "both endpoints at infinity"
+            )
+        if (
+            tail_holdout > 0
+            and math.isinf(bins0)
+            and math.isinf(bins1)
+        ):
+            raise ValueError(
+                "tail_weight_holdout cannot be used for partitions with "
+                "infinite endpoints."
+            )
+        if tail_holdout > 0 and "tail_weights" in partition:
+            raise ValueError(
+                "tail_weight_holdout is not defined for partitions that "
+                "carry explicit tail_weights"
+            )
 
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        nonlocal partition
+        if partition is None:
+            # auto-profile: build the expected partition from the data
+            # itself (reference 'auto' partition support)
+            partition = build_continuous_partition_object(
+                df, column, bins=10, method="quantile", domain=domain
+            )
         if is_valid_categorical_partition_object(partition):
             observed = build_categorical_partition_object(df, column, domain)
             expected_map = dict(zip(partition["values"], partition["weights"]))
@@ -199,45 +242,77 @@ def _kl_divergence(kwargs: Dict[str, Any]) -> CompiledJob:
                 "expected_partition": partition,
             }
         elif is_valid_continuous_partition_object(partition):
+            # mirrors the reference's holdout/tail algebra exactly
+            # (expect_column_kl_divergence_to_be_less_than.py:525-700)
             bins = [float(b) for b in partition["bins"]]
             hist = histogram_counts(df, column, bins, domain)
             total = hist["nonnull_count"] or 1
-            pk = [c / total for c in hist["counts"]]
-            p_tails = [hist["below"] / total, hist["above"] / total]
-            qk = list(partition["weights"])
-            q_tails = list(partition.get("tail_weights", [0.0, 0.0]))
+            observed = [c / total for c in hist["counts"]]
+            below = hist["below"] / total
+            above = hist["above"] / total
+            expected = [
+                w * (1.0 - tail_holdout - internal_holdout)
+                for w in partition["weights"]
+            ]
             if internal_holdout > 0:
-                zero_bins = sum(1 for q in qk if q == 0.0)
+                zero_bins = sum(1 for q in expected if q == 0.0)
                 if zero_bins:
-                    qk = [
+                    expected = [
                         q if q > 0 else internal_holdout / zero_bins
-                        for q in qk
+                        for q in expected
                     ]
-            if tail_holdout > 0:
-                q_tails = [
-                    q_tails[0] + tail_holdout / 2,
-                    q_tails[1] + tail_holdout / 2,
-                ]
+            lo_inf, hi_inf = math.isinf(bins[0]), math.isinf(bins[-1])
+            if lo_inf and hi_inf:
+                exp_tails = [expected[0], expected[-1]]
+                expected = expected[1:-1]
+                obs_tails = [observed[0], observed[-1]]
+                observed = observed[1:-1]
+                detail_bins = bins[1:-1]
+            elif lo_inf:
+                exp_tails = [expected[0], tail_holdout]
+                expected = expected[1:]
+                obs_tails = [observed[0], above]
+                observed = observed[1:]
+                detail_bins = bins[1:]
+            elif hi_inf:
+                exp_tails = [tail_holdout, expected[-1]]
+                expected = expected[:-1]
+                obs_tails = [below, observed[-1]]
+                observed = observed[:-1]
+                detail_bins = bins[:-1]
+            else:
+                if "tail_weights" in partition:
+                    exp_tails = list(partition["tail_weights"])
+                else:
+                    exp_tails = [tail_holdout / 2, tail_holdout / 2]
+                obs_tails = [below, above]
+                detail_bins = bins
             kl = gxstats.kl_divergence(
-                pk + p_tails, qk + q_tails
+                observed + obs_tails, expected + exp_tails
             )
             observed_detail = {
                 "observed_partition": {
-                    "bins": bins,
-                    "weights": pk,
-                    "tail_weights": p_tails,
+                    "bins": detail_bins,
+                    "weights": observed,
+                    "tail_weights": obs_tails,
                 },
-                "expected_partition": partition,
+                "expected_partition": {
+                    "bins": detail_bins,
+                    "weights": expected,
+                    "tail_weights": exp_tails,
+                },
             }
         else:
             raise ValueError("invalid partition_object")
 
-        success = bool(
-            threshold is not None
-            and not math.isinf(kl)
-            and not math.isnan(kl)
-            and kl < threshold
-        )
+        if threshold is None:
+            # null threshold: informational run, always succeeds
+            success = True
+        else:
+            # reference compares inclusively despite the name
+            success = bool(
+                not math.isinf(kl) and not math.isnan(kl) and kl <= threshold
+            )
         return {
             "success": success,
             "result": {
@@ -258,6 +333,7 @@ def _chisquare(kwargs: Dict[str, Any]) -> CompiledJob:
     column = kwargs["column"]
     partition = kwargs["partition_object"]
     p_threshold = float(kwargs.get("p", 0.05))
+    tail_holdout = float(kwargs.get("tail_weight_holdout", 0.0))
 
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
         if not is_valid_categorical_partition_object(partition):
@@ -270,6 +346,16 @@ def _chisquare(kwargs: Dict[str, Any]) -> CompiledJob:
         exp_map = dict(zip(partition["values"], partition["weights"]))
         obs = [obs_map.get(v, 0.0) for v in all_values]
         exp = [exp_map.get(v, 0.0) for v in all_values]
+        if tail_holdout > 0:
+            # categories seen in data but absent from the expected partition
+            # share the holdout mass; known categories scale down
+            novel = [i for i, v in enumerate(all_values) if v not in exp_map]
+            if novel:
+                exp = [
+                    (e * (1.0 - tail_holdout)) if v in exp_map
+                    else tail_holdout / len(novel)
+                    for e, v in zip(exp, all_values)
+                ]
         # scale to counts for the chi2 statistic
         n = (
             _apply_domain(df, domain)
@@ -533,57 +619,112 @@ def _cramers_phi(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run)
 
 
-def _normal_cdf(x: float, mean: float, std: float) -> float:
-    return 0.5 * (1.0 + math.erf((x - mean) / (std * math.sqrt(2.0))))
+def _make_cdf(distribution: str, params: Any):
+    """CDF callable from scipy-style params (dict with GE names, or the
+    positional tuple scipy.cdf would take — reference conventions in
+    ``execution_engine/util.py:194-330``)."""
+    if isinstance(params, dict):
+        p = dict(params)
+        loc = float(p.get("loc", 0.0))
+        scale = float(p.get("scale", 1.0))
+        if distribution == "norm":
+            args = (float(p["mean"]), float(p["std_dev"]))
+        elif distribution == "beta":
+            args = (float(p["alpha"]), float(p["beta"]), loc, scale)
+        elif distribution == "gamma":
+            args = (float(p["alpha"]), loc, scale)
+        elif distribution == "uniform":
+            args = (float(p["min"]), float(p["max"]))
+        elif distribution == "chi2":
+            args = (float(p["df"]), loc, scale)
+        elif distribution in ("expon", "exponential"):
+            args = (loc, scale)
+        else:
+            raise AttributeError(
+                f"unsupported distribution {distribution!r}"
+            )
+    else:
+        args = tuple(float(v) for v in params)
+
+    if distribution == "norm":
+        mean, std = args[0], args[1]
+        return lambda x: gxstats.norm_cdf(x, mean, std)
+    if distribution == "beta":
+        a, b = args[0], args[1]
+        loc = args[2] if len(args) > 2 else 0.0
+        scale = args[3] if len(args) > 3 else 1.0
+        return lambda x: gxstats.beta_cdf(x, a, b, loc, scale)
+    if distribution == "gamma":
+        alpha = args[0]
+        loc = args[1] if len(args) > 1 else 0.0
+        scale = args[2] if len(args) > 2 else 1.0
+        return lambda x: gxstats.gamma_cdf(x, alpha, loc, scale)
+    if distribution == "uniform":
+        # scipy uniform positional convention: (loc, scale)
+        lo, width = args[0], args[1] or 1.0
+        return lambda x: min(1.0, max(0.0, (x - lo) / width))
+    if distribution == "chi2":
+        dof = args[0]
+        loc = args[1] if len(args) > 1 else 0.0
+        scale = args[2] if len(args) > 2 else 1.0
+        return lambda x: gxstats.gamma_cdf(x, dof / 2.0, loc, 2.0 * scale)
+    if distribution in ("expon", "exponential"):
+        loc = args[0] if len(args) > 0 else 0.0
+        scale = args[1] if len(args) > 1 else 1.0
+        return lambda x: (
+            0.0 if x < loc else 1.0 - math.exp(-(x - loc) / scale)
+        )
+    raise AttributeError(f"unsupported distribution {distribution!r}")
+
+
+EXACT_KS_COLLECT_CAP = 1_000_000
 
 
 @register_dist(
     "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than"
 )
 def _parameterized_ks(kwargs: Dict[str, Any]) -> CompiledJob:
-    """KS against a named parametric distribution (norm/uniform/expon) —
-    pandas-only in the reference (``self_check/util.py:2071``).  Ours: sup
-    |ECDF - CDF| on a quantile grid computed in one Spark agg; parameters
-    default to fitted moments from the same agg."""
+    """One-sample KS against a named parametric distribution
+    (norm/uniform/expon/beta/gamma/chi2) — pandas-only in the reference
+    (``self_check/util.py:2071``).  Small columns (≤1e6 non-null) compute
+    the exact KS statistic from sorted values; larger columns use the
+    quantile-grid sup-distance (mergeable percentile sketch), keeping the
+    check one Spark agg at 10^12 rows."""
     column = kwargs["column"]
     distribution = kwargs.get("distribution", "norm")
     p_threshold = float(kwargs.get("p_value", kwargs.get("p", 0.05)))
     params = kwargs.get("params")
+    if params is None:
+        raise ValueError(
+            "params (dict or scipy positional tuple) is required"
+        )
+    cdf = _make_cdf(distribution, params)
 
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
         col = F.col(column)
         scoped = _apply_domain(df, domain).filter(col.isNotNull())
-        grid_n = 50
-        probs = [i / grid_n for i in range(1, grid_n)]
-        stats_row = scoped.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.mean(col).alias("mean"),
-            F.stddev_samp(col).alias("std"),
-            F.min(col).alias("mn"),
-            F.max(col).alias("mx"),
-            F.percentile_approx(col, F.lit(probs), 10_000).alias("q"),
-        ).first()
-        n = int(stats_row["n"])
+        n = scoped.count()
         if n == 0:
             return {"success": True, "result": {"observed_value": 1.0}}
-        grid = [float(v) for v in stats_row["q"]]
-        if distribution == "norm":
-            mean = float(params["mean"]) if params else float(stats_row["mean"])
-            std = float(params["std_dev"]) if params else float(stats_row["std"] or 1.0)
-            cdf = [_normal_cdf(x, mean, std) for x in grid]
-        elif distribution == "uniform":
-            lo = float(params["min"]) if params else float(stats_row["mn"])
-            hi = float(params["max"]) if params else float(stats_row["mx"])
-            width = (hi - lo) or 1.0
-            cdf = [min(1.0, max(0.0, (x - lo) / width)) for x in grid]
-        elif distribution in ("expon", "exponential"):
-            mean = float(params["scale"]) if params else float(stats_row["mean"])
-            lam = 1.0 / (mean or 1.0)
-            cdf = [1.0 - math.exp(-lam * max(x, 0.0)) for x in grid]
+        if n <= EXACT_KS_COLLECT_CAP:
+            values = sorted(
+                r[0] for r in scoped.select(col.cast("double")).collect()
+            )
+            statistic = 0.0
+            for i, x in enumerate(values):
+                fx = cdf(float(x))
+                statistic = max(
+                    statistic, abs((i + 1) / n - fx), abs(i / n - fx)
+                )
         else:
-            raise ValueError(f"unsupported distribution {distribution!r}")
-        # ECDF at the p-quantile is p by construction of the grid
-        statistic = max(abs(p - c) for p, c in zip(probs, cdf))
+            grid_n = 200
+            probs = [i / grid_n for i in range(1, grid_n)]
+            row = scoped.agg(
+                F.percentile_approx(col, F.lit(probs), 10_000).alias("q")
+            ).first()
+            statistic = max(
+                abs(p - cdf(float(x))) for p, x in zip(probs, row["q"])
+            )
         p_value = gxstats.ks_p_value(statistic, n)
         return {
             "success": bool(p_value > p_threshold),

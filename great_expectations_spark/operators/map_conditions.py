@@ -110,7 +110,18 @@ def _in_set(kwargs: Dict[str, Any]) -> CompiledMap:
 
 @register_map("expect_column_values_to_not_be_in_set")
 def _not_in_set(kwargs: Dict[str, Any]) -> CompiledMap:
-    value_set = list(kwargs.get("value_set") or [])
+    if kwargs.get("value_set") is None:
+        # parity: the reference raises when value_set is missing/None here
+        # (unlike in_set, where None means vacuously-expected)
+        raise TypeError(
+            "expect_column_values_to_not_be_in_set requires a value_set"
+        )
+    value_set = list(kwargs["value_set"])
+    if any(v is None for v in value_set):
+        raise ValueError(
+            "value_set may not contain None on the Spark engine (isin "
+            "cannot match NULL)"
+        )
     col = F.col(kwargs["column"])
     return _column_map(kwargs["column"], ~col.isin(value_set))
 
@@ -144,17 +155,53 @@ def between_condition(
     return expected
 
 
+def _maybe_parse_datetime_bound(value: Any, kwargs: Dict[str, Any]) -> Any:
+    """GE's deprecated ``parse_strings_as_datetimes`` coerces string bounds
+    to datetimes (``column_values_between.py:301-355``)."""
+    if kwargs.get("parse_strings_as_datetimes") and isinstance(value, str):
+        from dateutil import parser
+
+        return parser.parse(value)
+    return value
+
+
 @register_map("expect_column_values_to_be_between")
 def _between(kwargs: Dict[str, Any]) -> CompiledMap:
     col = F.col(kwargs["column"])
+    min_value = _maybe_parse_datetime_bound(kwargs.get("min_value"), kwargs)
+    max_value = _maybe_parse_datetime_bound(kwargs.get("max_value"), kwargs)
+    if min_value is None and max_value is None:
+        raise ValueError("min_value and max_value cannot both be None")
+    if (
+        min_value is not None
+        and max_value is not None
+        and type(min_value) is type(max_value)
+        and not isinstance(min_value, str)
+        and min_value > max_value
+    ):
+        raise ValueError("min_value cannot be greater than max_value")
     expected = between_condition(
         col,
-        kwargs.get("min_value"),
-        kwargs.get("max_value"),
+        min_value,
+        max_value,
         bool(kwargs.get("strict_min", False)),
         bool(kwargs.get("strict_max", False)),
     )
-    return _column_map(kwargs["column"], expected)
+    out = _column_map(kwargs["column"], expected)
+
+    numeric_bound = any(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in (min_value, max_value)
+    )
+    if numeric_bound:
+        def check(dtype) -> None:
+            if isinstance(dtype, T.StringType):
+                raise TypeError(
+                    "cannot compare string column to numeric min/max bounds"
+                )
+
+        out.type_check = check
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -172,6 +219,12 @@ def _length_equal(kwargs: Dict[str, Any]) -> CompiledMap:
 
 @register_map("expect_column_value_lengths_to_be_between")
 def _length_between(kwargs: Dict[str, Any]) -> CompiledMap:
+    if kwargs.get("min_value") is None and kwargs.get("max_value") is None:
+        raise ValueError("min_value and max_value cannot both be None")
+    for bound in ("min_value", "max_value"):
+        v = kwargs.get(bound)
+        if v is not None and float(v) != int(float(v)):
+            raise ValueError(f"{bound} must be an integer")
     col = F.col(kwargs["column"])
     expected = between_condition(
         F.length(col),
@@ -180,7 +233,9 @@ def _length_between(kwargs: Dict[str, Any]) -> CompiledMap:
         bool(kwargs.get("strict_min", False)),
         bool(kwargs.get("strict_max", False)),
     )
-    return _column_map(kwargs["column"], expected)
+    out = _column_map(kwargs["column"], expected)
+    out.required_column_types = (T.StringType,)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -282,7 +337,11 @@ def _strftime_matches(fmt: str):
 def _match_strftime(kwargs: Dict[str, Any]) -> CompiledMap:
     col = F.col(kwargs["column"])
     expected = _strftime_matches(kwargs["strftime_format"])(col)
-    return _column_map(kwargs["column"], expected)
+    out = _column_map(kwargs["column"], expected)
+    # GE raises on non-string input columns (parity with the reference's
+    # Python strptime UDF TypeError)
+    out.required_column_types = (T.StringType,)
+    return out
 
 
 def _json_parseable_udf():
@@ -378,7 +437,9 @@ def _dateutil_parseable_udf():
 @register_map("expect_column_values_to_be_dateutil_parseable")
 def _dateutil_parseable(kwargs: Dict[str, Any]) -> CompiledMap:
     col = F.col(kwargs["column"])
-    return _column_map(kwargs["column"], _dateutil_parseable_udf()(col))
+    out = _column_map(kwargs["column"], _dateutil_parseable_udf()(col))
+    out.required_column_types = (T.StringType,)
+    return out
 
 
 def compile_map_expectation(

@@ -81,9 +81,11 @@ def _most_common_in_set(kwargs: Dict[str, Any]) -> CompiledJob:
             counts.unpersist()
         modes_sorted = sorted(modes, key=lambda v: (v is None, v))
         if ties_okay:
+            # any tied mode in the set counts
             success = any(m in value_set for m in modes_sorted)
         else:
-            success = all(m in value_set for m in modes_sorted)
+            # parity: without ties_okay a tie fails outright
+            success = len(modes_sorted) == 1 and modes_sorted[0] in value_set
         return {
             "success": success,
             "result": {"observed_value": modes_sorted},

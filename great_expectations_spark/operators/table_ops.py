@@ -101,10 +101,13 @@ def _columns_match_set(kwargs: Dict[str, Any]) -> CompiledSchemaCheck:
 
 @register_schema("expect_table_columns_to_match_ordered_list")
 def _columns_match_ordered(kwargs: Dict[str, Any]) -> CompiledSchemaCheck:
+    vacuous = kwargs.get("column_list") is None
     column_list = list(kwargs.get("column_list") or [])
 
     def validate(df: DataFrame) -> Dict[str, Any]:
         observed = list(df.columns)
+        if vacuous:
+            return {"success": True, "result": {"observed_value": observed}}
         success = observed == column_list
         result: Dict[str, Any] = {"observed_value": observed}
         if not success:
@@ -140,6 +143,15 @@ def _column_count_between(kwargs: Dict[str, Any]) -> CompiledSchemaCheck:
     from great_expectations_spark.core.result_format import (
         validate_metric_value_between,
     )
+
+    min_value, max_value = kwargs.get("min_value"), kwargs.get("max_value")
+    for name, v in (("min_value", min_value), ("max_value", max_value)):
+        if v is not None and (isinstance(v, bool) or not isinstance(v, int)):
+            raise ValueError(f"{name} must be an integer")
+    if min_value is not None and max_value is not None and min_value > max_value:
+        raise ValueError(
+            "Minimum Threshold cannot be larger than Maximum Threshold"
+        )
 
     def validate(df: DataFrame) -> Dict[str, Any]:
         return validate_metric_value_between(

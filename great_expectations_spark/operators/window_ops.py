@@ -77,8 +77,36 @@ def _uniqueness_window(
         return {"unexpected_count": int(row["unexpected_count"])}
 
     def sample(
-        df: DataFrame, domain: Optional[Column], n: int
-    ) -> List[Any]:
+        df: DataFrame,
+        domain: Optional[Column],
+        n: int,
+        index_cols: Optional[List[str]] = None,
+    ) -> Dict[str, List[Any]]:
+        if index_cols:
+            # row-level sample: semi-join rows back to duplicated keys so
+            # each violating ROW carries its index lineage
+            dup_keys = dup_groups(df, domain).select(*key_cols)
+            rows = (
+                base(df, domain)
+                .join(F.broadcast(dup_keys), key_cols, "left_semi")
+                .select(*key_cols, *[c for c in index_cols if c not in key_cols])
+                .limit(n)
+                .collect()
+            )
+            values: List[Any] = []
+            for r in rows:
+                if value_is_dict:
+                    values.append({c: r[c] for c in key_cols})
+                elif len(key_cols) == 1:
+                    values.append(r[key_cols[0]])
+                else:
+                    values.append(tuple(r[c] for c in key_cols))
+            return {
+                "unexpected_list": values,
+                "unexpected_index_list": [
+                    {c: r[c] for c in index_cols} for r in rows
+                ],
+            }
         rows = dup_groups(df, domain).limit(n).collect()
         out: List[Any] = []
         for r in rows:
@@ -92,7 +120,7 @@ def _uniqueness_window(
             out.extend([value] * min(int(r["__gx_cnt"]), n - len(out)))
             if len(out) >= n:
                 break
-        return out[:n]
+        return {"unexpected_list": out[:n]}
 
     considered = None
     for c in key_cols:
@@ -192,15 +220,26 @@ def _monotonic_window(
         ).first()
         return {"unexpected_count": int(row["unexpected_count"])}
 
-    def sample(df: DataFrame, domain: Optional[Column], n: int) -> List[Any]:
+    def sample(
+        df: DataFrame,
+        domain: Optional[Column],
+        n: int,
+        index_cols: Optional[List[str]] = None,
+    ) -> Dict[str, List[Any]]:
+        extra = [c for c in (index_cols or []) if c != column]
         rows = (
             annotated(df, domain)
             .filter(F.col("__gx_unexpected"))
-            .select(column)
+            .select(column, *extra)
             .limit(n)
             .collect()
         )
-        return [r[column] for r in rows]
+        out = {"unexpected_list": [r[column] for r in rows]}
+        if index_cols:
+            out["unexpected_index_list"] = [
+                {c: r[c] for c in index_cols} for r in rows
+            ]
+        return out
 
     cw = CompiledWindow(
         kind="column_map",

@@ -256,6 +256,35 @@ class SuiteValidator:
                     f"column(s) {missing} not found in batch; available: "
                     f"{sorted(available)}"
                 )
+                continue
+            checker = getattr(c, "type_check", None)
+            if checker is not None and referenced:
+                from great_expectations_spark.operators.table_ops import (
+                    flattened_column_types,
+                )
+
+                types = flattened_column_types(df.schema)
+                try:
+                    for col in referenced:
+                        checker(types[col])
+                except Exception as exc:  # noqa: BLE001
+                    item.error = exc
+                    continue
+            required = getattr(c, "required_column_types", None)
+            if required and referenced:
+                from great_expectations_spark.operators.table_ops import (
+                    flattened_column_types,
+                )
+
+                types = flattened_column_types(df.schema)
+                for col in referenced:
+                    if not isinstance(types[col], required):
+                        item.error = TypeError(
+                            f"{item.config.expectation_type} requires column "
+                            f"type {required}, got {type(types[col]).__name__} "
+                            f"for {col!r}"
+                        )
+                        break
 
     def _run_bundled_phase(
         self,
@@ -547,7 +576,7 @@ class SuiteValidator:
     ) -> ExpectationValidationResult:
         element_count = int(metrics.get(item.element_alias) or 0)
         considered_count = int(
-            metrics.get(item.considered_alias)
+            (metrics.get(item.considered_alias) or 0)
             if item.considered_alias
             else element_count
         )
@@ -557,6 +586,8 @@ class SuiteValidator:
             element_count, considered_count, unexpected_count, mostly
         )
         unexpected_list: Optional[List[Any]] = None
+        unexpected_index_list: Optional[List[Any]] = None
+        index_cols = rf.get("unexpected_index_column_names")
         if rf["result_format"] != "BOOLEAN_ONLY":
             if unexpected_count:
                 limit = (
@@ -564,7 +595,12 @@ class SuiteValidator:
                     if rf["result_format"] == "COMPLETE"
                     else rf["partial_unexpected_count"]
                 )
-                unexpected_list = c.sample(df, item.domain, limit)
+                sample = c.sample(df, item.domain, limit, index_cols)
+                if isinstance(sample, dict):
+                    unexpected_list = sample.get("unexpected_list", [])
+                    unexpected_index_list = sample.get("unexpected_index_list")
+                else:  # legacy list return
+                    unexpected_list = sample
             else:
                 unexpected_list = []
         out = format_map_output(
@@ -574,6 +610,8 @@ class SuiteValidator:
             nonnull_count=considered_count,
             unexpected_count=unexpected_count,
             unexpected_list=unexpected_list,
+            unexpected_index_list=unexpected_index_list,
+            unexpected_index_column_names=index_cols,
         )
         return ExpectationValidationResult(
             success=bool(out["success"]),

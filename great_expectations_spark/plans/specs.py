@@ -34,6 +34,9 @@ class CompiledMap:
     denominator: str = "nonnull"
     value_expr: Optional[Column] = None  # what lands in unexpected_list
     value_is_dict: bool = False  # multicolumn: entries are {col: val} dicts
+    required_column_types: Optional[tuple] = None  # e.g. (StringType,)
+    # optional custom schema validation: fn(column_datatype) raises on bad
+    type_check: Optional[Callable[[Any], None]] = None
 
 
 @dataclass
