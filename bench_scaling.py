@@ -21,6 +21,11 @@ def run_bench(cpus: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # scaling evidence needs a compute-dominated workload (~12.5M turns):
+    # the suite runs ~9 Spark jobs with ~4s of fixed driver/planning cost,
+    # so per-core work must dwarf that for 4x cores to show. The parquet
+    # input is written once and byte-identical for both runs.
+    env.setdefault("SPARK_GRAFT_CONVS", "1000000")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -36,8 +41,8 @@ def main() -> None:
     low, high = 8, 32
     r_low = run_bench(low)
     r_high = run_bench(high)
-    t_low = r_low["queries"]["suite_transcripts"]
-    t_high = r_high["queries"]["suite_transcripts"]
+    t_low = r_low["queries"]["suite_transcripts_warm"]
+    t_high = r_high["queries"]["suite_transcripts_warm"]
     tput_low = r_low["extra"]["turns_per_sec"]
     tput_high = r_high["extra"]["turns_per_sec"]
     efficiency = round((t_low / t_high) / (high / low), 3)

@@ -46,6 +46,7 @@ from great_expectations_spark.checkpoint.runner import (
     validate_by_partition,
 )
 from great_expectations_spark.checkpoint.manifest import CheckpointManifest
+from great_expectations_spark.core.validator_api import Validator
 from great_expectations_spark.sources.readers import BatchSpec, load_batch
 from great_expectations_spark.sources.sinks import (
     results_to_dataframe,
@@ -64,6 +65,7 @@ __all__ = [
     "ExpectationConfiguration",
     "ExpectationSuite",
     "SuiteValidator",
+    "Validator",
     "registered_expectation_types",
     "run_checkpoint",
     "validate_by_partition",

@@ -377,6 +377,33 @@ def _grouped_window_counts(
         )
         return {r[partition_column]: int(r["u"] or 0) for r in rows}
 
+    if etype == "expect_sequence_to_be_contiguous":
+        from pyspark.sql import Window
+
+        group_column = kwargs.get("group_column", "conv_id")
+        index_column = kwargs.get("index_column", "turn_idx")
+        first_index = int(kwargs.get("first_index", 0))
+        w = (
+            Window.partitionBy(partition_column, group_column)
+            .orderBy(index_column)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        idx = F.col(index_column)
+        prev = F.last(idx, ignorenulls=True).over(w)
+        flag = (
+            idx.isNotNull()
+            & (idx > F.lit(first_index))
+            & (prev.isNull() | (prev < idx - F.lit(1)))
+        )
+        rows = (
+            scoped.filter(idx.isNotNull())
+            .select(partition_column, flag.alias("f"))
+            .groupBy(partition_column)
+            .agg(F.sum(F.when(F.col("f"), 1).otherwise(0)).alias("u"))
+            .collect()
+        )
+        return {r[partition_column]: int(r["u"] or 0) for r in rows}
+
     raise NotImplementedError(
         f"no grouped window implementation for {etype!r}"
     )

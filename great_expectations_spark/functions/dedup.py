@@ -140,10 +140,12 @@ def minhash_candidate_pairs(
         "__sig", minhash_signature_from_hashes(F.col("__sh"), num_hashes)
     )
 
+    sig = sig.persist()
+    # candidate generation works on (id, band, bucket) ONLY — no arrays
+    # travel through the shuffle, and duplicate pairs (same pair caught by
+    # several bands) are deduped BEFORE any verification work
     banded = sig.select(
         "__id",
-        "__sig",
-        "__sh",
         F.explode(
             F.array(
                 *[
@@ -163,11 +165,11 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("__band"),
-    ).select("__id", "__sig", "__sh", "__band.band", "__band.bucket")
+    ).select("__id", "__band.band", "__band.bucket")
 
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    candidates = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -175,14 +177,27 @@ def minhash_candidate_pairs(
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    payload = sig.select(
+        F.col("__id"), F.col("__sig"), F.col("__sh")
+    )
+    pa = payload.alias("pa")
+    pb = payload.alias("pb")
+    pairs = (
+        candidates.join(pa, F.col("id_a") == F.col("pa.__id"))
+        .join(pb, F.col("id_b") == F.col("pb.__id"))
+        .select(
+            "id_a",
+            "id_b",
             (
                 F.size(
                     F.filter(
                         F.zip_with(
-                            F.col("l.__sig"),
-                            F.col("r.__sig"),
+                            F.col("pa.__sig"),
+                            F.col("pb.__sig"),
                             lambda x, y: x == y,
                         ),
                         lambda v: v,
@@ -190,9 +205,8 @@ def minhash_candidate_pairs(
                 )
                 / F.lit(num_hashes)
             ).alias("jaccard_est"),
-            jaccard(F.col("l.__sh"), F.col("r.__sh")).alias("jaccard"),
+            jaccard(F.col("pa.__sh"), F.col("pb.__sh")).alias("jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is not None:
         pairs = pairs.filter(F.col("jaccard") >= verify_threshold)

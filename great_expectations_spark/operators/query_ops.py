@@ -278,87 +278,6 @@ def _estimate_small(df: DataFrame, threshold_rows: int = 5_000_000) -> bool:
         return False
 
 
-@register_query_job("expect_sequence_to_be_contiguous")
-def _sequence_contiguous(kwargs: Dict[str, Any]) -> CompiledJob:
-    """Every (group, index-1) predecessor exists — the transcript
-    referential check (north rule: every (conv_id, turn_idx-1) exists).
-
-    Physical plan: ONE shuffle — ``lag(index) over (partition by group
-    order by index)``; a row with ``index > first_expected`` whose
-    predecessor isn't ``index - 1`` is a violation.  This avoids the naive
-    self-anti-join (two shuffles + join) entirely.
-    """
-    group_column = kwargs.get("group_column", "conv_id")
-    index_column = kwargs.get("index_column", "turn_idx")
-    first_index = int(kwargs.get("first_index", 0))
-    mostly = float(kwargs.get("mostly", 1.0))
-
-    def run(
-        df: DataFrame,
-        spark,
-        domain,
-        result_format: Optional[dict] = None,
-    ) -> Dict[str, Any]:
-        result_format = parse_result_format(result_format or "BASIC")
-        scoped = _apply_domain(df, domain).filter(
-            F.col(index_column).isNotNull()
-        )
-        w = Window.partitionBy(group_column).orderBy(index_column)
-        prev = F.lag(F.col(index_column)).over(w)
-        flagged = scoped.select(
-            group_column,
-            index_column,
-            (
-                (F.col(index_column) > F.lit(first_index))
-                & (
-                    # a duplicate predecessor (prev == index) still counts
-                    # as "predecessor exists"; only true gaps flag
-                    prev.isNull()
-                    | (prev < F.col(index_column) - F.lit(1))
-                )
-            ).alias("__gx_unexpected"),
-        )
-        agg = flagged.agg(
-            F.count(F.lit(1)).alias("element_count"),
-            F.sum(F.when(F.col("__gx_unexpected"), 1).otherwise(0)).alias(
-                "unexpected_count"
-            ),
-        ).first()
-        element_count = int(agg["element_count"])
-        unexpected_count = int(agg["unexpected_count"] or 0)
-        unexpected_list: List[Any] = []
-        if (
-            unexpected_count
-            and result_format["result_format"] != "BOOLEAN_ONLY"
-        ):
-            limit = (
-                unexpected_count
-                if result_format["result_format"] == "COMPLETE"
-                else result_format["partial_unexpected_count"]
-            )
-            unexpected_list = [
-                {group_column: r[group_column], index_column: r[index_column]}
-                for r in flagged.filter(F.col("__gx_unexpected"))
-                .select(group_column, index_column)
-                .limit(limit)
-                .collect()
-            ]
-        success = map_expectation_success(
-            element_count, element_count, unexpected_count, mostly
-        )
-        return format_map_output(
-            result_format,
-            success=success,
-            element_count=element_count,
-            nonnull_count=element_count,
-            unexpected_count=unexpected_count,
-            unexpected_list=unexpected_list,
-            unexpected_index_column_names=[group_column, index_column],
-        )
-
-    return CompiledJob(run=run)
-
-
 def compile_query_job_expectation(
     expectation_type: str, kwargs: Dict[str, Any]
 ) -> CompiledJob:

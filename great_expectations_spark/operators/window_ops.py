@@ -160,6 +160,30 @@ def _multicolumn_unique(kwargs: Dict[str, Any]) -> CompiledWindow:
     )
 
 
+def _window_spec(partition_by, order_by):
+    if partition_by:
+        w = Window.partitionBy(*partition_by)
+    else:
+        w = Window.partitionBy()
+    return w.orderBy(
+        *[F.col(c) for c in order_by]
+        if order_by
+        else [F.monotonically_increasing_id()]
+    )
+
+
+def _prev_nonnull(column: str, partition_by, order_by) -> Column:
+    """Previous NON-NULL value of ``column`` in window order.  Unlike
+    ``lag`` over a pre-filtered frame, this is null-transparent, so several
+    window expectations with different null columns can share ONE pass
+    over the unfiltered rows (null rows simply don't count and don't
+    perturb each other's predecessors)."""
+    w = _window_spec(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return F.last(F.col(column), ignorenulls=True).over(w)
+
+
 def _monotonic_window(
     kwargs: Dict[str, Any], increasing: bool
 ) -> CompiledWindow:
@@ -171,31 +195,27 @@ def _monotonic_window(
     order_by = kwargs.get("order_by")
     if isinstance(order_by, str):
         order_by = [order_by]
-
-    def unexpected_flag(df: DataFrame) -> Column:
-        if partition_by:
-            w = Window.partitionBy(*partition_by)
-        else:
-            logger.warning(
-                "expect_column_values_to_be_%s without partition_by forces a "
-                "single-partition global window (reference semantics, "
-                "column_values_increasing.py:70-150); pass partition_by for "
-                "scale.",
-                "increasing" if increasing else "decreasing",
-            )
-            w = Window.partitionBy()
-        w = w.orderBy(
-            *[F.col(c) for c in order_by]
-            if order_by
-            else [F.monotonically_increasing_id()]
+    if not partition_by:
+        logger.warning(
+            "expect_column_values_to_be_%s without partition_by forces a "
+            "single-partition global window (reference semantics, "
+            "column_values_increasing.py:70-150); pass partition_by for "
+            "scale.",
+            "increasing" if increasing else "decreasing",
         )
-        prev = F.lag(F.col(column)).over(w)
+
+    def unexpected_flag() -> Column:
         col = F.col(column)
+        prev = _prev_nonnull(column, partition_by, order_by)
         if increasing:
             bad = (col <= prev) if strictly else (col < prev)
         else:
             bad = (col >= prev) if strictly else (col > prev)
-        return prev.isNotNull() & F.coalesce(bad, F.lit(False))
+        return (
+            col.isNotNull()
+            & prev.isNotNull()
+            & F.coalesce(bad, F.lit(False))
+        )
 
     _cache: Dict[int, DataFrame] = {}
 
@@ -205,10 +225,9 @@ def _monotonic_window(
             out = df
             if domain is not None:
                 out = out.filter(domain_gate(domain))
-            out = out.filter(F.col(column).isNotNull())
             _cache[key] = out.withColumn(
-                "__gx_unexpected", unexpected_flag(out)
-            )
+                "__gx_unexpected", unexpected_flag()
+            ).filter(F.col(column).isNotNull())
         return _cache[key]
 
     def execute(df: DataFrame, domain: Optional[Column]) -> Dict[str, int]:
@@ -247,8 +266,96 @@ def _monotonic_window(
         denominator="nonnull",
         execute=execute,
         sample=sample,
+        flag_builder=unexpected_flag,
+        window_signature=(
+            tuple(partition_by or ()),
+            tuple(order_by or ()),
+        ),
     )
     cw.considered = F.col(column).isNotNull()
+    return cw
+
+
+@register_window("expect_sequence_to_be_contiguous")
+def _sequence_contiguous_window(kwargs: Dict[str, Any]) -> CompiledWindow:
+    """Every (group, index-1) predecessor exists — the transcript
+    referential check (north rule: every (conv_id, turn_idx-1) exists).
+
+    ONE shuffle: previous non-null index per group; a row whose
+    predecessor is below ``index - 1`` (duplicates of ``index`` still
+    count as present) is a violation.  Shares its window pass with any
+    monotonicity expectation on the same (group, order) spec.
+    """
+    group_column = kwargs.get("group_column", "conv_id")
+    index_column = kwargs.get("index_column", "turn_idx")
+    first_index = int(kwargs.get("first_index", 0))
+    partition_by = [group_column]
+    order_by = [index_column]
+
+    def unexpected_flag() -> Column:
+        idx = F.col(index_column)
+        prev = _prev_nonnull(index_column, partition_by, order_by)
+        return (
+            idx.isNotNull()
+            & (idx > F.lit(first_index))
+            & (prev.isNull() | (prev < idx - F.lit(1)))
+        )
+
+    _cache: Dict[int, DataFrame] = {}
+
+    def annotated(df: DataFrame, domain: Optional[Column]) -> DataFrame:
+        key = id(df)
+        if key not in _cache:
+            out = df
+            if domain is not None:
+                out = out.filter(domain_gate(domain))
+            _cache[key] = out.withColumn(
+                "__gx_unexpected", unexpected_flag()
+            ).filter(F.col(index_column).isNotNull())
+        return _cache[key]
+
+    def execute(df: DataFrame, domain: Optional[Column]) -> Dict[str, int]:
+        row = annotated(df, domain).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__gx_unexpected"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("unexpected_count")
+        ).first()
+        return {"unexpected_count": int(row["unexpected_count"])}
+
+    def sample(
+        df: DataFrame,
+        domain: Optional[Column],
+        n: int,
+        index_cols: Optional[List[str]] = None,
+    ) -> Dict[str, List[Any]]:
+        rows = (
+            annotated(df, domain)
+            .filter(F.col("__gx_unexpected"))
+            .select(group_column, index_column)
+            .limit(n)
+            .collect()
+        )
+        values = [
+            {group_column: r[group_column], index_column: r[index_column]}
+            for r in rows
+        ]
+        return {
+            "unexpected_list": values,
+            "unexpected_index_list": values,
+        }
+
+    cw = CompiledWindow(
+        kind="multicolumn_map",
+        domain_columns=[group_column, index_column],
+        denominator="nonnull",
+        execute=execute,
+        sample=sample,
+        value_is_dict=True,
+        flag_builder=unexpected_flag,
+        window_signature=(tuple(partition_by), tuple(order_by)),
+    )
+    cw.considered = F.col(index_column).isNotNull()
     return cw
 
 

@@ -373,9 +373,57 @@ class SuiteValidator:
         metrics: Dict[str, Any],
         catch_exceptions: bool,
     ) -> None:
+        """Window expectations sharing a (partition_by, order_by) spec and
+        domain evaluate together: ONE select computes every flag column,
+        ONE agg sums them — one shuffle for the whole group (e.g. the
+        transcript suite's ts-monotonicity + turn-contiguity share the
+        (conv_id, turn_idx) window)."""
+        groups: Dict[Any, List[_PlannedItem]] = {}
+        singles: List[_PlannedItem] = []
         for item in items:
-            if not isinstance(item.compiled, CompiledWindow) or item.error:
+            c = item.compiled
+            if not isinstance(c, CompiledWindow) or item.error:
                 continue
+            if c.flag_builder is not None and c.window_signature is not None:
+                key = (
+                    c.window_signature,
+                    str(item.config.kwargs.get("row_condition") or ""),
+                )
+                groups.setdefault(key, []).append(item)
+            else:
+                singles.append(item)
+
+        for members in groups.values():
+            try:
+                scoped = df
+                if members[0].domain is not None:
+                    scoped = scoped.filter(domain_gate(members[0].domain))
+                # window expressions can't sit inside agg — project the
+                # flags first, then sum
+                flagged = scoped.select(
+                    *[
+                        domain_gate(m.compiled.flag_builder()).alias(f"f{i}")
+                        for i, m in enumerate(members)
+                    ]
+                )
+                row = flagged.agg(
+                    *[
+                        F.coalesce(
+                            F.sum(F.when(F.col(f"f{i}"), 1).otherwise(0)),
+                            F.lit(0),
+                        ).alias(f"w{i}")
+                        for i in range(len(members))
+                    ]
+                ).first()
+                for i, m in enumerate(members):
+                    metrics[f"window_unexpected::{id(m)}"] = int(row[f"w{i}"])
+            except Exception as exc:
+                if not catch_exceptions:
+                    raise
+                for m in members:
+                    m.error = exc
+
+        for item in singles:
             try:
                 out = item.compiled.execute(df, item.domain)
                 metrics[f"window_unexpected::{id(item)}"] = out["unexpected_count"]

@@ -57,6 +57,11 @@ class CompiledWindow:
     sample: Callable[[DataFrame, Optional[Column], int], List[Any]]
     value_is_dict: bool = False
     considered: Optional[Column] = None  # counted in the bundled agg phase
+    # lag/window-flag expectations sharing a window spec can be evaluated
+    # together in ONE pass: flag_builder returns the row-level unexpected
+    # Column; window_signature groups compatible specs
+    flag_builder: Optional[Callable[[], Column]] = None
+    window_signature: Optional[tuple] = None
 
 
 @dataclass
