@@ -32,15 +32,21 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_CONVS", str(int(500_000 * SF))))
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # shuffle partitioning is a DATA-size decision, not a core-count one:
+    # pin it so the only variable between scaling runs is parallelism
+    # (8 partitions at 12M rows spills and poisons the comparison)
+    shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("gx-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        # heap must scale with thread count: 32 concurrent tasks' working
+        # sets in a small heap GC-thrash and anti-scale
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -75,13 +81,15 @@ def main() -> None:
     # validate against the parquet scan like a real job would.  In-memory
     # persist is deliberately avoided: cache-writes of multi-KB strings
     # serialize on the block manager and anti-scale with thread count.
+    max_text = int(os.environ.get("SPARK_GRAFT_MAXTEXT", "20000"))
     transcripts_path = os.environ.get(
-        "SPARK_GRAFT_TRANSCRIPTS", f"/tmp/gx_bench_transcripts_{N_CONVS}"
+        "SPARK_GRAFT_TRANSCRIPTS",
+        f"/tmp/gx_bench_transcripts_{N_CONVS}_{max_text}",
     )
     if not os.path.exists(os.path.join(transcripts_path, "_SUCCESS")):
-        generate_transcripts(spark, N_CONVS).write.mode("overwrite").parquet(
-            transcripts_path
-        )
+        generate_transcripts(
+            spark, N_CONVS, max_text_chars=max_text
+        ).write.mode("overwrite").parquet(transcripts_path)
     transcripts = spark.read.parquet(transcripts_path)
     n_turns = transcripts.count()  # materialize outside the timed window
     validator = SuiteValidator()
@@ -113,6 +121,22 @@ def main() -> None:
         n_turns / timings["suite_transcripts"], 1
     )
     extra["suite_evaluated"] = res.statistics["evaluated_expectations"]
+
+    if os.environ.get("SPARK_GRAFT_ONLY") == "transcripts":
+        print(
+            json.dumps(
+                {
+                    "metric": "transcript suite wall time",
+                    "value": timings["suite_transcripts_warm"],
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": SF,
+                    "extra": extra,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     # --- TPC-H-ish operator workloads -------------------------------------
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")

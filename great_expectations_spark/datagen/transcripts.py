@@ -47,6 +47,7 @@ def generate_transcripts(
     hot_conversations: int = 4,
     hot_turns: int = 10_000,
     partitions: int | None = None,
+    max_text_chars: int = 20_000,
 ) -> DataFrame:
     """Build the transcript DataFrame; ~n_conversations * 12 rows."""
     convs = spark.range(n_conversations).select(
@@ -112,9 +113,19 @@ def generate_transcripts(
     sigma = F.when(is_drift, F.lit(1.2)).otherwise(F.lit(1.0))
     text_len = F.least(
         F.greatest(F.exp(mu + sigma * z).cast("int"), F.lit(1)),
-        F.lit(20_000),
+        F.lit(int(max_text_chars)),
     )
-    seedtext = F.sha2(F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx")), 256)
+    # seed text from xxhash64+hex, NOT sha2: Spark's sha2 goes through
+    # java.security MessageDigest lookup whose synchronization becomes a
+    # futex storm at 32 threads (measured: 92% sys time, Stage stuck)
+    seedtext = F.lower(
+        F.concat(
+            F.hex(h),
+            F.hex(F.xxhash64(h, F.lit(101))),
+            F.hex(F.xxhash64(h, F.lit(202))),
+            F.hex(F.xxhash64(h, F.lit(303))),
+        )
+    )
     text = F.when(F.pmod(hp, F.lit(1000)) == 7, F.lit(None).cast("string")).otherwise(
         F.substring(
             F.repeat(seedtext, (text_len / F.lit(64)).cast("int") + 2),

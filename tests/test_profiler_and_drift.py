@@ -1,0 +1,83 @@
+"""Profiler suggestion + two-sample drift numeric checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.operators.profiler import suggest_suite
+from great_expectations_spark.plans.planner import SuiteValidator
+
+
+def test_suggest_suite_and_self_validate(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    suite = suggest_suite(df)
+    types = [e.expectation_type for e in suite.expectations]
+    assert "expect_table_columns_to_match_set" in types
+    assert types.count("expect_column_values_to_not_be_null") >= 5
+    in_set = [
+        e for e in suite.expectations
+        if e.expectation_type == "expect_column_values_to_be_in_set"
+    ]
+    assert any(e.kwargs["column"] == "l_returnflag" for e in in_set)
+    # a profiled suite must validate green against its own data
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    assert res.success, [
+        (r.expectation_config, r.result)
+        for r in res.results
+        if not r.success
+    ]
+
+
+def test_two_sample_drift_detects_planted_shift(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, 4000)
+    drifted = rng.normal(0.8, 1.3, 4000)
+    rows = [(float(v), 0) for v in base] + [(float(v), 1) for v in drifted]
+    df = spark.createDataFrame(rows, "x double, side int")
+    suite = (
+        ExpectationSuite("drift")
+        .add(
+            "expect_column_two_sample_ks_to_be_less_than",
+            column="x",
+            baseline_condition="side = 0",
+            threshold=0.05,
+            n_bins=30,
+        )
+        .add(
+            "expect_column_two_sample_psi_to_be_less_than",
+            column="x",
+            baseline_condition="side = 0",
+            threshold=0.1,
+            n_bins=30,
+        )
+    )
+    res = SuiteValidator().validate(df, suite)
+    ks, psi = res.results
+    assert not ks.success and ks.result["observed_value"] > 0.2
+    assert not psi.success and psi.result["observed_value"] > 0.3
+
+    # identical halves: no drift flagged
+    rows2 = [(float(v), i % 2) for i, v in enumerate(base)]
+    df2 = spark.createDataFrame(rows2, "x double, side int")
+    res2 = SuiteValidator().validate(df2, suite)
+    assert res2.success
+
+
+def test_two_sample_chi2_role_mix(spark):
+    rows = (
+        [("user", 0)] * 500 + [("assistant", 0)] * 500
+        + [("user", 1)] * 200 + [("assistant", 1)] * 800
+    )
+    df = spark.createDataFrame(rows, "role string, side int")
+    suite = ExpectationSuite("mix").add(
+        "expect_column_two_sample_chisquare_p_to_be_greater_than",
+        column="role",
+        baseline_condition="side = 0",
+        p=0.05,
+    )
+    res = SuiteValidator().validate(df, suite)
+    assert not res.results[0].success  # 50/50 vs 20/80 must flag
