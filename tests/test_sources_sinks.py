@@ -1,0 +1,80 @@
+"""BatchSpec readers and results sinks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.plans.planner import SuiteValidator
+from great_expectations_spark.sources.readers import (
+    BatchSpec,
+    guess_reader_format,
+    load_batch,
+)
+from great_expectations_spark.sources.sinks import (
+    results_to_dataframe,
+    write_results,
+)
+
+
+def test_guess_reader_format():
+    assert guess_reader_format("/a/b.parquet") == "parquet"
+    assert guess_reader_format("/a/b.pqt") == "parquet"
+    assert guess_reader_format("/a/b.csv") == "csv"
+    assert guess_reader_format("/a/b.tsv") == "csv"
+    assert guess_reader_format("/a/b.jsonl") == "json"
+    assert guess_reader_format("/a/b.csv.gz") == "csv"
+    assert guess_reader_format("/a/dir") == "parquet"
+
+
+def test_load_batch_parquet_and_runtime(spark):
+    df = load_batch(
+        spark, BatchSpec(path="/root/testdata/sf0.001/orders.parquet")
+    )
+    assert df.count() == 1500
+    df2 = load_batch(spark, BatchSpec(dataframe=df))
+    assert df2 is df
+
+
+def test_load_batch_csv_with_schema(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = load_batch(
+        spark, BatchSpec(path=p, schema="a INT, b STRING")
+    )
+    assert df.schema.simpleString() == "struct<a:int,b:string>"
+    assert df.count() == 2
+
+
+def test_load_batch_delta_gated(spark):
+    with pytest.raises(RuntimeError, match="delta"):
+        load_batch(spark, BatchSpec(path="/nope/x", format="delta"))
+
+
+def test_results_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id int, name string"
+    )
+    suite = (
+        ExpectationSuite("sink")
+        .add("expect_column_values_to_not_be_null", column="name")
+        .add("expect_column_mean_to_be_between", column="id", min_value=0)
+    )
+    result = SuiteValidator().validate(df, suite, result_format="BASIC")
+    flat = results_to_dataframe(spark, result)
+    rows = {r["expectation_type"]: r for r in flat.collect()}
+    assert rows["expect_column_values_to_not_be_null"]["success"] is False
+    assert rows["expect_column_values_to_not_be_null"]["unexpected_count"] == 1
+    observed = json.loads(
+        rows["expect_column_mean_to_be_between"]["observed_value"]
+    )
+    assert observed == pytest.approx(1.5)
+
+    out = str(tmp_path / "results")
+    write_results(spark, result, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert "partition_id" in back.columns
