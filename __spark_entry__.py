@@ -368,6 +368,34 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, query, k=10, n_bits=8, max_hamming=2)
 
 
+def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-partition validation (validate_by_partition): every
+    day's whole-suite counters from ONE groupBy pass."""
+    from great_expectations_spark.checkpoint.runner import validate_by_partition
+
+    df = _load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    suite = ExpectationSuite("daily").add(
+        "expect_column_values_to_be_between",
+        column="value",
+        min_value=0,
+        max_value=400,
+    )
+    per_day = validate_by_partition(df, suite, "day")
+    rows = [
+        (
+            day,
+            int(res.results[0].result["element_count"]),
+            int(res.results[0].result["unexpected_count"]),
+        )
+        for day, res in per_day.items()
+    ]
+    return spark.createDataFrame(
+        rows, "day string, element_count bigint, unexpected_count bigint"
+    )
+
+
 def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _map_counts(
         spark,
@@ -460,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts_returnflag": _value_counts_flag,
         "most_common_priority": _most_common,
         "histogram_extendedprice": _histogram,
+        # --- per-partition single-pass grouped validation ---
+        "grouped_by_day_between": _grouped_by_day,
         # --- referential / cross-table ---
         "anti_join_lineitem_orders": _anti_join,
         "rowcount_compare": _rowcount_compare,
@@ -662,6 +692,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {bucket_case('l_extendedprice', hist_edges)} AS bucket, "
             "count(*)::BIGINT AS n FROM lineitem WHERE l_extendedprice IS "
             "NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "grouped_by_day_between": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS "
+            "element_count, count(*) FILTER (WHERE value IS NOT NULL AND "
+            "NOT (value >= 0 AND value <= 400))::BIGINT AS unexpected_count "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         "anti_join_lineitem_orders": (
             "SELECT count(*)::BIGINT AS orphan_rows FROM lineitem l WHERE "
