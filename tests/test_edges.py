@@ -1,0 +1,124 @@
+"""Edge coverage: GE mini-DSL row conditions, empty batches, streaming
+windowed violation rates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.core.domain import parse_row_condition
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.plans.planner import SuiteValidator
+from great_expectations_spark.streaming.validate_stream import (
+    windowed_violation_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "a", None)],
+        "id int, cat string, x double",
+    )
+
+
+def test_ge_dsl_comparison(spark, table):
+    cond = parse_row_condition('col("id") > 2', "great_expectations")
+    assert table.filter(cond).count() == 2
+
+
+def test_ge_dsl_string_and_notnull(spark, table):
+    cond = parse_row_condition('col("cat") == "a"', "great_expectations")
+    assert table.filter(cond).count() == 2
+    cond = parse_row_condition('col("cat").notNull()', "great_expectations")
+    assert table.filter(cond).count() == 3
+
+
+def test_ge_dsl_conjunction(spark, table):
+    cond = parse_row_condition(
+        'col("id") > 1 & col("x") < 25.0', "great_expectations"
+    )
+    assert table.filter(cond).count() == 1  # id=2
+
+
+def test_ge_dsl_in_expectation(spark, table):
+    suite = ExpectationSuite("dsl").add(
+        "expect_column_values_to_not_be_null",
+        column="cat",
+        row_condition='col("id") > 2',
+        condition_parser="great_expectations",
+    )
+    r = SuiteValidator().validate(table, suite).results[0]
+    assert r.result["element_count"] == 2
+    assert r.result["unexpected_count"] == 1
+
+
+def test_ge_dsl_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_row_condition("totally not parseable", "great_expectations")
+    with pytest.raises(ValueError):
+        parse_row_condition("x > 1", "no_such_parser")
+
+
+def test_empty_batch_vacuous(spark):
+    empty = spark.createDataFrame([], "id int, cat string, ts timestamp")
+    suite = (
+        ExpectationSuite("empty")
+        .add("expect_column_values_to_not_be_null", column="cat")
+        .add("expect_column_values_to_be_in_set", column="cat", value_set=["a"])
+        .add("expect_column_values_to_be_unique", column="id")
+        .add(
+            "expect_column_values_to_be_increasing",
+            column="id",
+            partition_by="cat",
+            order_by="id",
+        )
+        .add("expect_column_mean_to_be_between", column="id", min_value=0)
+        .add("expect_sequence_to_be_contiguous", group_column="cat",
+             index_column="id")
+    )
+    res = SuiteValidator().validate(empty, suite, result_format="SUMMARY")
+    by_type = {
+        r.expectation_config["expectation_type"]: r for r in res.results
+    }
+    # map/window expectations: vacuously true on empty batches
+    for t in (
+        "expect_column_values_to_not_be_null",
+        "expect_column_values_to_be_in_set",
+        "expect_column_values_to_be_unique",
+        "expect_column_values_to_be_increasing",
+        "expect_sequence_to_be_contiguous",
+    ):
+        assert by_type[t].success, t
+    # aggregate over empty: observed None -> failure (reference semantics)
+    assert not by_type["expect_column_mean_to_be_between"].success
+
+
+def test_streaming_windowed_violation_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [
+        (i, "a" if i % 4 else None, f"2024-01-01 00:{i:02d}:00")
+        for i in range(30)
+    ]
+    spark.createDataFrame(rows, "id long, cat string, ts_str string").select(
+        "id", "cat", F.to_timestamp("ts_str").alias("ts")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, cat string, ts timestamp").parquet(src)
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_not_be_null", column="cat"
+    )
+    agg = windowed_violation_counts(stream, suite, "ts", "10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("gx_windowed")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(
+        "SELECT * FROM gx_windowed ORDER BY window_start"
+    ).collect()
+    assert len(out) == 3  # 30 minutes / 10-minute windows
+    assert sum(r["unexpected_rows"] for r in out) == 8  # ids 0,4,...28
+    assert all(0 <= r["unexpected_rate"] <= 1 for r in out)
