@@ -44,6 +44,29 @@ def register_window(name: str):
     return deco
 
 
+def uniqueness_flag_over_window(
+    key_cols: List[str], partition_by: List[str], order_by: List[str]
+) -> Column:
+    """Row-level duplicate flag for key_cols == partition_by + order_by:
+    a row is a duplicate iff a window-adjacent row carries the same order
+    value (within a group of k equal keys every row has an equal
+    neighbor, so all k rows flag — identical counts to the two-phase
+    groupBy).  Lets a compound-uniqueness expectation ride an existing
+    window pass instead of shuffling all rows by key."""
+    w = _window_spec(partition_by, order_by)
+    order_struct = F.struct(*[F.col(c) for c in order_by])
+    prev = F.lag(order_struct).over(w)
+    nxt = F.lead(order_struct).over(w)
+    nonnull = None
+    for c in key_cols:
+        cond = F.col(c).isNotNull()
+        nonnull = cond if nonnull is None else nonnull & cond
+    dup = F.coalesce(prev == order_struct, F.lit(False)) | F.coalesce(
+        nxt == order_struct, F.lit(False)
+    )
+    return nonnull & dup
+
+
 def _uniqueness_window(
     key_cols: List[str], kind: str, value_is_dict: bool
 ) -> CompiledWindow:

@@ -393,6 +393,39 @@ class SuiteValidator:
             else:
                 singles.append(item)
 
+        # uniqueness expectations whose key columns equal an existing
+        # window spec (partition_by + order_by) ride that pass as a
+        # lag/lead duplicate flag instead of shuffling all rows by key
+        still_single: List[_PlannedItem] = []
+        for item in singles:
+            c = item.compiled
+            adopted = False
+            for (signature, domain_key), members in groups.items():
+                partition_by, order_by = signature
+                if (
+                    order_by
+                    and set(c.domain_columns)
+                    == set(partition_by) | set(order_by)
+                    and domain_key
+                    == str(item.config.kwargs.get("row_condition") or "")
+                ):
+                    from great_expectations_spark.operators.window_ops import (
+                        uniqueness_flag_over_window,
+                    )
+
+                    key_cols = list(c.domain_columns)
+                    c.flag_builder = (
+                        lambda kc=key_cols, p=list(partition_by), o=list(
+                            order_by
+                        ): uniqueness_flag_over_window(kc, p, o)
+                    )
+                    members.append(item)
+                    adopted = True
+                    break
+            if not adopted:
+                still_single.append(item)
+        singles = still_single
+
         for members in groups.values():
             try:
                 scoped = df
