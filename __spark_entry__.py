@@ -317,7 +317,8 @@ def _stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (argmax-over-stopword-hits heuristic)
+    # argmax-over-stopword-hits heuristic; oracle replicates the argmax
+    # (incl. the struct-comparison tie-break) in SQL
     df = _load(spark, sf_dir, "documents")
     return (
         df.select(gxtext.language_id(F.col("text")).alias("lang_pred"))
@@ -345,27 +346,56 @@ def _ann_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: MinHash+LSH near-dup candidates, jaccard-verified
+    """MinHash+LSH near-dup candidates, exact-jaccard verified.  Oracle:
+    DuckDB exact all-pairs shingle Jaccard — identical output because LSH
+    recall at j>=0.9 (the planted near-dup band; nothing else clears 0.4)
+    is 1 - (1 - 0.9^4)^16 ≈ 1-3e-8 with 64 hashes / 16 bands."""
     df = _load(spark, sf_dir, "documents")
-    return dedup.minhash_candidate_pairs(
-        df, "doc_id", "text", shingle_k=3, num_hashes=64, bands=16,
-        verify_threshold=0.4,
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return (
+        dedup.minhash_candidate_pairs(
+            df, "doc_id", "text", shingle_k=3, num_hashes=64, bands=16,
+            verify_threshold=0.4,
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: SimHash near-dup pairs (Arrow-batched signature UDF)
+    """Shingle-feature SimHash near-dup pairs (block-combination banding).
+    Oracle: exact shingle-Jaccard pairs at 0.7 — equal sets because
+    3-shingle SimHash separates cleanly here (near-dups land at hamming
+    <= 8, unrelated docs >= 15, so the <=10 cut recovers exactly the
+    planted near-dup pairs)."""
     df = _load(spark, sf_dir, "documents")
-    return dedup.simhash_candidate_pairs(df, "doc_id", "text", max_hamming=10)
+    return (
+        dedup.simhash_candidate_pairs(
+            df, "doc_id", "text", max_hamming=10, shingle_k=3
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+LSH_ANN_BITS = 8
+LSH_ANN_HAMMING = 2
+LSH_ANN_SEED = 42
 
 
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: hyperplane-LSH bucketed ANN vs the same query vector
+    """Hyperplane-LSH bucketed ANN (multi-probe hamming<=2) vs the vec_id=0
+    query.  The oracle replicates the FULL algorithm in DuckDB — seeded
+    hyperplanes as literals, sign-bit signature, probe filter, exact
+    cosine top-k — so this is a value-level check of candidate generation
+    AND refinement, not a recall proxy."""
     df = _load(spark, sf_dir, "embeddings")
     qrow = df.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(v) for v in qrow["embedding"]]
     emb = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    return similarity.lsh_topk(emb, query, k=10, n_bits=8, max_hamming=2)
+    return similarity.lsh_topk(
+        emb, query, k=10, n_bits=LSH_ANN_BITS, max_hamming=LSH_ANN_HAMMING,
+        seed=LSH_ANN_SEED,
+    )
 
 
 def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,7 +776,99 @@ def oracle_sql() -> dict[str, str]:
             "e.embedding::DOUBLE[], q.embedding::DOUBLE[]) >= 0.2 "
             "ORDER BY e.vec_id"
         ),
-    } | _quality_oracle()
+    } | _quality_oracle() | _dedup_ann_oracles()
+
+
+def _exact_jaccard_pairs_sql(threshold: float, select: str) -> str:
+    """DuckDB replica of word_shingles + all-pairs Jaccard (the ground
+    truth the LSH/SimHash pipelines must recover on this corpus)."""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT doc_id, string_split(norm, ' ') AS w FROM base
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+    ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]) END AS shingles
+  FROM words
+), sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+  FROM inv l JOIN inv r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT {select}
+FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _lang_id_sql() -> str:
+    from great_expectations_spark.functions.text import LANG_STOPWORDS
+
+    counts = ", ".join(
+        "len(regexp_extract_all(text, '(?i)\\b("
+        + "|".join(words)
+        + ")\\b')) AS c_" + lang
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    # Spark's greatest() over (score, lang) structs breaks score ties by
+    # the lexicographically greatest language code: fr > es > en > de
+    tie_order = sorted(LANG_STOPWORDS, reverse=True)
+    pick = " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in tie_order[:-1]
+    )
+    return (
+        f"WITH c AS (SELECT text, {counts} FROM documents), "
+        "b AS (SELECT *, greatest("
+        + ", ".join(f"c_{lang}" for lang in LANG_STOPWORDS)
+        + ") AS best FROM c) "
+        "SELECT CASE WHEN text IS NULL OR best = 0 THEN 'und' "
+        + pick
+        + f" ELSE '{tie_order[-1]}' END AS lang_pred, "
+        "count(*)::BIGINT AS n FROM b GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _lsh_ann_sql() -> str:
+    """Full DuckDB replica of lsh_topk: the same seeded hyperplanes as
+    float literals, sign-bit signature per vector, multi-probe filter
+    (hamming(sig, query_sig) <= H), exact cosine top-k refinement."""
+    import numpy as np
+
+    planes = similarity.random_hyperplanes(64, LSH_ANN_BITS, LSH_ANN_SEED)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(float(v)) for v in p)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"s AS (SELECT vec_id, e, ({bits}) AS sig FROM v), "
+        "q AS (SELECT e AS qe, sig AS qsig FROM s WHERE vec_id = 0) "
+        "SELECT s.vec_id, round(list_cosine_similarity(s.e, q.qe), 6) AS "
+        "cos_sim FROM s, q "
+        f"WHERE bit_count(xor(s.sig, q.qsig)) <= {LSH_ANN_HAMMING} "
+        "ORDER BY cos_sim DESC, s.vec_id LIMIT 10"
+    )
+
+
+def _dedup_ann_oracles() -> dict[str, str]:
+    return {
+        "minhash_pairs_docs": _exact_jaccard_pairs_sql(
+            0.4,
+            "id_a, id_b, round(inter::DOUBLE / (sa.n + sb.n - inter), 6) "
+            "AS jaccard",
+        ),
+        "simhash_pairs_docs": _exact_jaccard_pairs_sql(0.7, "id_a, id_b"),
+        "lang_id_docs": _lang_id_sql(),
+        "lsh_ann_topk": _lsh_ann_sql(),
+    }
 
 
 def _quality_oracle() -> dict[str, str]:

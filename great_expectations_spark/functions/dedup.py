@@ -246,14 +246,36 @@ def _simhash_udf():
     return simhash
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash of the normalized token stream (Arrow-batched UDF)."""
-    tokens = F.split(normalize_text(col), " ")
-    return _simhash_udf()(tokens)
+def simhash64(col: Column, shingle_k: int = 3) -> Column:
+    """64-bit SimHash over k-word shingle features (Arrow-batched UDF).
+
+    Shingle features (k>=2) are the standard choice for near-duplicate
+    detection: near-dup docs share most shingles so their fingerprints land
+    within a few bits, while unrelated docs that merely share vocabulary
+    share almost no shingles and land ~32 bits apart — a clean hamming gap
+    unigram tokens cannot give on short texts.  ``shingle_k=1`` degrades to
+    the classic token-frequency SimHash.
+    """
+    if shingle_k <= 1:
+        features = F.split(normalize_text(col), " ")
+    else:
+        features = word_shingles(col, shingle_k)
+    return _simhash_udf()(features)
 
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def _simhash_block_bounds(n_blocks: int) -> List[tuple]:
+    """Split the 64 signature bits into n_blocks near-equal [start, width)
+    spans."""
+    bounds, start = [], 0
+    for i in range(n_blocks):
+        width = (64 - start) // (n_blocks - i)
+        bounds.append((start, width))
+        start += width
+    return bounds
 
 
 def simhash_candidate_pairs(
@@ -261,46 +283,97 @@ def simhash_candidate_pairs(
     id_column: str,
     text_column: str = "text",
     max_hamming: int = 3,
+    shingle_k: int = 3,
+    n_blocks: Optional[int] = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
-    (pigeonhole: distance ≤3 ⇒ at least one chunk equal), bucket-join on
-    chunk value, verify full hamming distance JVM-side."""
+    """SimHash near-dup pairs via block-combination banding (the
+    permute-and-split scheme of Manku et al., WWW'07, re-expressed as a
+    bucket join).
+
+    The 64-bit signature is split into ``n_blocks`` near-equal bit blocks.
+    If two signatures differ in at most ``max_hamming`` bits then at most
+    ``max_hamming`` blocks differ, so every pair within distance H agrees
+    on SOME combination of ``n_blocks - max_hamming`` blocks (pigeonhole).
+    Each row therefore emits one bucket key per C(n_blocks, n_blocks-H)
+    block-combination — the key is the hash of the concatenated block
+    values — and candidates come from a self-join within buckets only.
+
+    Scale knob: bucket key width is ``(n_blocks - H) * 64/n_blocks`` bits.
+    The default ``n_blocks = max_hamming + 1`` uses single-block keys
+    (cheapest: H+1 keys/row) — right up to ~10^8 docs.  For >=10^9 docs
+    raise ``n_blocks`` (e.g. H=3, n_blocks=6 -> C(6,3)=20 keys/row of
+    ~32-bit width, expected bucket size n/2^32) so buckets stay bounded;
+    the pigeonhole guarantee holds for any ``n_blocks > max_hamming``.
+    """
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    keep = n_blocks - max_hamming
+    combos = list(combinations(range(n_blocks), keep))
+    if len(combos) > 512:
+        raise ValueError(
+            f"C({n_blocks},{keep}) = {len(combos)} bucket tables — too many; "
+            "lower n_blocks or split the job"
+        )
+    bounds = _simhash_block_bounds(n_blocks)
+
+    def block_value(sim: Column, idx: int) -> Column:
+        start, width = bounds[idx]
+        if width >= 64:  # single-block case: the whole signature is the key
+            return sim
+        mask = (1 << width) - 1
+        return F.shiftright(sim, start).bitwiseAND(F.lit(mask))
+
     sigs = df.select(
         F.col(id_column).alias("__id"),
-        simhash64(F.col(text_column)).alias("__sim"),
-    )
-    chunks = sigs.select(
+        simhash64(F.col(text_column), shingle_k).alias("__sim"),
+    ).persist()
+    # one bucket key per block-combination; keys are 8-byte hashes so the
+    # shuffle carries (id, table, key) only — no text, no signatures
+    keyed = sigs.select(
         "__id",
-        "__sim",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("__sim"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("value"),
+                        F.lit(t).alias("table"),
+                        F.xxhash64(
+                            *[block_value(F.col("__sim"), b) for b in combo]
+                        ).alias("key"),
                     )
-                    for i in range(4)
+                    for t, combo in enumerate(combos)
                 ]
             )
-        ).alias("__c"),
-    ).select("__id", "__sim", "__c.chunk", "__c.value")
-    left, right = chunks.alias("l"), chunks.alias("r")
-    return (
+        ).alias("__k"),
+    ).select("__id", "__k.table", "__k.key")
+    left, right = keyed.alias("l"), keyed.alias("r")
+    candidates = (
         left.join(
             right,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.value") == F.col("r.value"))
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"))
+    sb = sigs.select(F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("__sim_a"), F.col("__sim_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -313,10 +386,21 @@ def ngram_jaccard_pairs(
     text_column: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_frequency: Optional[int] = 10_000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle inverted index: explode
     shingles, join on shingle, count shared, compute |A∩B|/|A|+|B|-|A∩B|.
-    Distributed (shuffle on shingle keys) — no cartesian product."""
+    Distributed (shuffle on shingle keys) — no cartesian product.
+
+    A shingle appearing in d documents emits d(d-1)/2 pair rows, so one
+    corpus-common shingle goes quadratic.  ``max_doc_frequency`` drops
+    shingles with document frequency above the cap BEFORE the join
+    (standard stop-shingle practice); since such shingles are shared by a
+    large fraction of the corpus they carry almost no Jaccard signal for
+    high thresholds, and the per-shingle pair fan-out stays bounded by
+    cap²/2.  Pass ``None`` to disable (exact semantics, small corpora
+    only) — or route truly large corpora to ``minhash_candidate_pairs``.
+    """
     base = df.select(
         F.col(id_column).alias("__id"),
         word_shingles(F.col(text_column), k).alias("__sh"),
@@ -325,6 +409,17 @@ def ngram_jaccard_pairs(
     inverted = base.select(
         "__id", F.explode("__sh").alias("shingle")
     )
+    if max_doc_frequency is not None:
+        # df-per-shingle is a map-side-combined count; the anti-join build
+        # side holds only shingles ABOVE the cap (few, by Zipf) and AQE
+        # picks broadcast when it is small
+        hot = (
+            inverted.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_frequency)
+            .select("shingle")
+        )
+        inverted = inverted.join(hot, "shingle", "left_anti")
     l, r = inverted.alias("l"), inverted.alias("r")
     shared = (
         l.join(

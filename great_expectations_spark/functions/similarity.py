@@ -108,6 +108,36 @@ def lsh_signature(
     return sig
 
 
+def query_signature(query_arr: np.ndarray, planes: np.ndarray) -> int:
+    """Driver-side sign-bit signature of one query vector.  Matches
+    ``lsh_signature``'s per-element left-fold dot product exactly (same
+    addition order) so the query lands in the same bucket the executors
+    would put it in."""
+    qsig = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(query_arr, p):
+            acc += float(x) * float(y)
+        if acc >= 0:
+            qsig |= 1 << i
+    return qsig
+
+
+def probe_signatures(qsig: int, n_bits: int, max_hamming: int) -> List[int]:
+    """All bucket signatures within ``max_hamming`` bit flips of ``qsig``
+    (multi-probe set, sum_{h<=H} C(n_bits, h) entries)."""
+    from itertools import combinations
+
+    probes = []
+    for h in range(max_hamming + 1):
+        for combo in combinations(range(n_bits), h):
+            s = qsig
+            for b in combo:
+                s ^= 1 << b
+            probes.append(s)
+    return probes
+
+
 def lsh_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -125,13 +155,8 @@ def lsh_topk(
     into partition pruning."""
     query_arr = np.asarray(query, dtype=float)
     planes = random_hyperplanes(len(query_arr), n_bits, seed)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(query_arr, p)) >= 0:
-            qsig |= 1 << i
-    probe_sigs = [qsig]
-    if max_hamming >= 1:
-        probe_sigs += [qsig ^ (1 << i) for i in range(n_bits)]
+    qsig = query_signature(query_arr, planes)
+    probe_sigs = probe_signatures(qsig, n_bits, max_hamming)
     sig_col = lsh_signature(F.col(embedding_column), planes)
     candidates = df.withColumn("__sig", sig_col).filter(
         F.col("__sig").isin(probe_sigs)

@@ -83,12 +83,78 @@ def test_minhash_pairs(spark, docs):
 
 
 def test_simhash_pairs(spark, docs):
+    # token features (shingle_k=1): one changed word out of nine keeps the
+    # fingerprints within a few bits
     pairs = dedup.simhash_candidate_pairs(
-        docs.filter("text is not null"), "doc_id", "text", max_hamming=8
+        docs.filter("text is not null"), "doc_id", "text", max_hamming=8,
+        shingle_k=1,
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert got.get((0, 2)) == 0  # identical after normalization
     assert (0, 1) in got
+    # shingle features (default): exact dup still at hamming 0
+    sh = dedup.simhash_candidate_pairs(
+        docs.filter("text is not null"), "doc_id", "text", max_hamming=0
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(0, 2)}
+
+
+def test_simhash_banding_combinations(spark, docs):
+    # wider-key banding (n_blocks > max_hamming + 1) must find the same
+    # pairs — the pigeonhole guarantee holds for any n_blocks > H
+    base = dedup.simhash_candidate_pairs(
+        docs.filter("text is not null"), "doc_id", "text", max_hamming=8,
+        shingle_k=1,
+    ).collect()
+    wide = dedup.simhash_candidate_pairs(
+        docs.filter("text is not null"), "doc_id", "text", max_hamming=8,
+        shingle_k=1, n_blocks=12,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in base} == {
+        (r["id_a"], r["id_b"]) for r in wide
+    }
+    with pytest.raises(ValueError, match="must exceed"):
+        dedup.simhash_candidate_pairs(
+            docs, "doc_id", "text", max_hamming=4, n_blocks=4
+        )
+
+
+def test_ngram_jaccard_df_cap(spark):
+    # a corpus-common ("hot") shingle must not explode the pair count:
+    # with the doc-frequency cap the shared boilerplate shingle is dropped
+    # before the join, so unrelated docs produce NO candidate rows at all
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"document {i} unique body text {i} " + boiler) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=4, threshold=0.0, max_doc_frequency=10
+    )
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=4, threshold=0.0, max_doc_frequency=None
+    )
+    assert uncapped.count() == 40 * 39 // 2  # hot shingle went quadratic
+    assert capped.count() == 0  # bounded: hot shingle dropped pre-join
+
+
+def test_lsh_topk_multiprobe_recall(spark):
+    # probes must cover ALL buckets within max_hamming bits (not just 1):
+    # with max_hamming = n_bits every vector is a candidate, so the
+    # result must equal exact brute force
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = rows[0][1]
+    exact = similarity.brute_force_topk(emb, query, 5).collect()
+    full_probe = similarity.lsh_topk(
+        emb, query, k=5, n_bits=6, max_hamming=6
+    ).collect()
+    assert [r["vec_id"] for r in full_probe] == [r["vec_id"] for r in exact]
+    # probe-set size is sum_{h<=H} C(n_bits, h)
+    assert len(similarity.probe_signatures(0, 8, 2)) == 1 + 8 + 28
 
 
 def test_ngram_jaccard(spark, docs):
