@@ -151,7 +151,10 @@ def run_checkpoint(
         "partitions_skipped_resume": len(partitions) - len(todo),
         "partitions_done": len(all_done),
         "failures": [e.partition_id for e in entries if e.status == "failed"],
-        "success": all(
+        # a raised partition (status='failed') is a run failure too — the
+        # top-level flag must never read True while 'failures' is non-empty
+        "success": all(e.status != "failed" for e in entries)
+        and all(
             e.success for e in all_done.values() if e.success is not None
         ),
         "entries": [e.to_json_dict() for e in entries],
@@ -242,6 +245,15 @@ def validate_by_partition(
                         k: metrics.get(alias)
                         for k, alias in item.agg_aliases.items()
                     }
+                    if c.followup is not None:
+                        values.update(
+                            c.followup(
+                                df.filter(
+                                    F.col(partition_column) == F.lit(part)
+                                ),
+                                values,
+                            )
+                        )
                     vout = c.validate(values)
                     results.append(
                         ExpectationValidationResult(

@@ -18,31 +18,127 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 
-_EXPR_TOKEN = re.compile(
-    r"^[\s0-9+\-*/().,a-z_=]*$"  # now()/timedelta(...) arithmetic only
+_EXPR_LEXER = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)|(?P<name>[a-z_][a-z_0-9]*)"
+    r"|(?P<op>[+\-*/(),=]))"
 )
 
 
 def _eval_parameter_expression(expr: str) -> Any:
     """Evaluate the reference's ``now() - timedelta(weeks=52)``-style
     evaluation-parameter expressions (reference
-    ``core/evaluation_parameters.py:274-430`` uses a pyparsing grammar;
-    ours is a restricted-namespace eval over the same function set)."""
+    ``core/evaluation_parameters.py:274-430`` uses a pyparsing grammar).
+
+    This is a tiny recursive-descent parser over exactly now() /
+    datetime() / timedelta() calls, numeric literals, and +-*/ arithmetic
+    — NOT eval(): attribute access, dunder chains, subscripts, and names
+    outside the whitelist are unparseable by construction, so untrusted
+    suite JSON cannot escape into the interpreter.  Returns None when the
+    string is not such an expression (same contract as before).
+    """
     import datetime as _dt
 
     if not isinstance(expr, str) or "(" not in expr:
         return None
-    if not _EXPR_TOKEN.match(expr):
-        return None
-    namespace = {
-        "now": lambda: _dt.datetime.now(),
+
+    tokens: List[tuple] = []
+    pos = 0
+    while pos < len(expr):
+        m = _EXPR_LEXER.match(expr, pos)
+        if m is None:
+            if expr[pos:].strip() == "":
+                break
+            return None  # unexpected character => not an expression
+        if m.group("num") is not None:
+            text = m.group("num")
+            tokens.append(("num", float(text) if "." in text else int(text)))
+        elif m.group("name") is not None:
+            tokens.append(("name", m.group("name")))
+        else:
+            tokens.append(("op", m.group("op")))
+        pos = m.end()
+
+    functions = {
+        "now": lambda *a, **k: _dt.datetime.now(),
         "timedelta": _dt.timedelta,
         "datetime": _dt.datetime,
     }
+    i = 0
+
+    def peek() -> Optional[tuple]:
+        return tokens[i] if i < len(tokens) else None
+
+    def take(kind: str, value: Any = None) -> tuple:
+        nonlocal i
+        tok = peek()
+        if tok is None or tok[0] != kind or (
+            value is not None and tok[1] != value
+        ):
+            raise ValueError(f"unexpected token {tok!r}")
+        i += 1
+        return tok
+
+    def parse_expr() -> Any:
+        value = parse_term()
+        while peek() == ("op", "+") or peek() == ("op", "-"):
+            op = take("op")[1]
+            rhs = parse_term()
+            value = value + rhs if op == "+" else value - rhs
+        return value
+
+    def parse_term() -> Any:
+        value = parse_factor()
+        while peek() == ("op", "*") or peek() == ("op", "/"):
+            op = take("op")[1]
+            rhs = parse_factor()
+            value = value * rhs if op == "*" else value / rhs
+        return value
+
+    def parse_factor() -> Any:
+        tok = peek()
+        if tok == ("op", "-"):
+            take("op", "-")
+            return -parse_factor()
+        if tok == ("op", "("):
+            take("op", "(")
+            value = parse_expr()
+            take("op", ")")
+            return value
+        if tok is not None and tok[0] == "num":
+            return take("num")[1]
+        if tok is not None and tok[0] == "name":
+            name = take("name")[1]
+            if name not in functions:
+                raise ValueError(f"unknown function {name!r}")
+            take("op", "(")
+            args: List[Any] = []
+            kwargs: Dict[str, Any] = {}
+            if peek() != ("op", ")"):
+                while True:
+                    if (
+                        peek() is not None
+                        and peek()[0] == "name"
+                        and i + 1 < len(tokens)
+                        and tokens[i + 1] == ("op", "=")
+                    ):
+                        key = take("name")[1]
+                        take("op", "=")
+                        kwargs[key] = parse_expr()
+                    else:
+                        args.append(parse_expr())
+                    if peek() == ("op", ","):
+                        take("op", ",")
+                        continue
+                    break
+            take("op", ")")
+            return functions[name](*args, **kwargs)
+        raise ValueError(f"unexpected token {tok!r}")
+
     try:
-        return eval(  # noqa: S307 — namespace is closed, tokens filtered
-            expr, {"__builtins__": {}}, namespace
-        )
+        value = parse_expr()
+        if i != len(tokens):
+            return None
+        return value
     except Exception:
         return None
 

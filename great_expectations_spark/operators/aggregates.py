@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 from typing import Any, Callable, Dict, List, Optional
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from great_expectations_spark.core.result_format import (
@@ -222,10 +222,11 @@ def _distinct_set_key(column: str) -> str:
 
 
 def _distinct_set_exprs(column: str) -> Dict[str, Column]:
-    # collect_set is a mergeable aggregate; the planner caps observed
-    # cardinality via the companion count (see validate guards below).
+    # phase A carries ONLY the exact distinct count (a fixed-width partial
+    # aggregate); the actual value set is collected in a followup job that
+    # runs iff the count clears the cap — so a high-cardinality column
+    # fails fast without ever shipping its values
     return {
-        _distinct_set_key(column): F.collect_set(F.col(column)),
         metric_key("column.distinct_values.count", column): F.count_distinct(
             F.col(column)
         ),
@@ -244,14 +245,20 @@ def _distinct_set_validator(
     skey = _distinct_set_key(column)
     ckey = metric_key("column.distinct_values.count", column)
 
-    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
-        count = metrics.get(ckey) or 0
+    def followup(df: DataFrame, values: Dict[str, Any]) -> Dict[str, Any]:
+        count = values.get(ckey) or 0
         if count > DISTINCT_COLLECT_CAP:
             raise ValueError(
                 f"distinct cardinality {count} of {column!r} exceeds the "
                 f"collect cap {DISTINCT_COLLECT_CAP}; use an approximate "
                 "expectation instead"
             )
+        # tiny second job: single-column scan, map-side-combined set merge
+        row = df.agg(F.collect_set(F.col(column)).alias("s")).first()
+        return {skey: row["s"]}
+
+    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
+        count = metrics.get(ckey) or 0
         observed_set = set(metrics.get(skey) or [])
         try:
             observed_value: Any = sorted(observed_set)
@@ -266,7 +273,9 @@ def _distinct_set_validator(
         }
 
     return CompiledAggregate(
-        agg_exprs=_distinct_set_exprs(column), validate=validate
+        agg_exprs=_distinct_set_exprs(column),
+        validate=validate,
+        followup=followup,
     )
 
 

@@ -222,20 +222,21 @@ def _kl_divergence(kwargs: Dict[str, Any]) -> CompiledJob:
             expected_map = dict(zip(partition["values"], partition["weights"]))
             values = list(observed["values"])
             pk = list(observed["weights"])
-            qk = []
-            unknown_mass = 0.0
-            for v, w in zip(values, pk):
-                if v in expected_map:
-                    qk.append(expected_map[v])
-                else:
-                    unknown_mass += w
-                    qk.append(0.0)
-            if tail_holdout > 0 and unknown_mass > 0:
-                n_unknown = sum(1 for q in qk if q == 0.0)
+            # membership, not weight magnitude, decides known vs unknown:
+            # the reference scales EVERY known expected weight by
+            # (1 - holdout) and gives each unknown category an equal share
+            # of the holdout (kl_divergence...py:480-485)
+            known = [v in expected_map for v in values]
+            n_unknown = sum(1 for k in known if not k)
+            if tail_holdout > 0 and n_unknown > 0:
                 qk = [
-                    q if q > 0 else tail_holdout / n_unknown for q in qk
+                    expected_map[v] * (1.0 - tail_holdout)
+                    if k
+                    else tail_holdout / n_unknown
+                    for v, k in zip(values, known)
                 ]
-                qk = [q * (1 - tail_holdout) if q > tail_holdout else q for q in qk]
+            else:
+                qk = [expected_map[v] if k else 0.0 for v, k in zip(values, known)]
             kl = gxstats.kl_divergence(pk, qk)
             observed_detail: Dict[str, Any] = {
                 "observed_partition": observed,
@@ -535,6 +536,27 @@ def _two_sample_psi(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run)
 
 
+CATEGORICAL_COLLECT_CAP = 10_000
+
+
+def _collect_categories_capped(grouped: DataFrame, what: str) -> List[Any]:
+    """Collect a per-category aggregate with a hard cardinality cap.
+
+    ``limit(cap + 1)`` bounds the driver transfer in the SAME job (no extra
+    scan — the limit rides after the aggregation), and one overflow row is
+    enough to prove the column isn't categorical-scale and fail clearly
+    instead of OOMing the driver.  Mirrors ``EXACT_KS_COLLECT_CAP``.
+    """
+    rows = grouped.limit(CATEGORICAL_COLLECT_CAP + 1).collect()
+    if len(rows) > CATEGORICAL_COLLECT_CAP:
+        raise ValueError(
+            f"cardinality of {what} exceeds the categorical cap "
+            f"{CATEGORICAL_COLLECT_CAP}; these tests are for categorical "
+            "columns — bucketize continuous data first"
+        )
+    return rows
+
+
 @register_dist("expect_column_two_sample_chisquare_p_to_be_greater_than")
 def _two_sample_chi2(kwargs: Dict[str, Any]) -> CompiledJob:
     """Categorical homogeneity drift (role mix): chi² of current counts vs
@@ -546,15 +568,15 @@ def _two_sample_chi2(kwargs: Dict[str, Any]) -> CompiledJob:
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
         baseline = _resolve_split(kwargs)
         side = domain_gate(baseline)
-        rows = (
+        rows = _collect_categories_capped(
             _apply_domain(df, domain)
             .filter(F.col(column).isNotNull())
             .groupBy(column)
             .agg(
                 F.sum(F.when(side, 1).otherwise(0)).alias("n_base"),
                 F.sum(F.when(~side, 1).otherwise(0)).alias("n_cur"),
-            )
-            .collect()
+            ),
+            column,
         )
         obs = [float(r["n_cur"]) for r in rows]
         exp = [float(r["n_base"]) for r in rows]
@@ -586,12 +608,12 @@ def _cramers_phi(kwargs: Dict[str, Any]) -> CompiledJob:
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
         import numpy as np
 
-        rows = (
+        rows = _collect_categories_capped(
             _apply_domain(df, domain)
             .filter(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
             .groupBy(column_a, column_b)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .agg(F.count(F.lit(1)).alias("n")),
+            f"({column_a}, {column_b})",
         )
         if not rows:
             return {"success": True, "result": {"observed_value": 0.0}}

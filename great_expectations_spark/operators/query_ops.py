@@ -33,6 +33,12 @@ def register_query_job(name: str):
     return deco
 
 
+def _unique_view_name() -> str:
+    import uuid
+
+    return f"gx_tmp_batch_{uuid.uuid4().hex}"
+
+
 def _apply_domain(df: DataFrame, domain: Optional[Column]) -> DataFrame:
     return df if domain is None else df.filter(domain_gate(domain))
 
@@ -180,10 +186,16 @@ def _query_row_count_between(kwargs: Dict[str, Any]) -> CompiledJob:
     query = kwargs["query"]
 
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        view = "gx_tmp_batch"
+        # per-invocation view name: run_checkpoint(max_concurrency>1) runs
+        # validations concurrently on one SparkSession, and a shared name
+        # would let one partition's query silently read another's batch
+        view = _unique_view_name()
         _apply_domain(df, domain).createOrReplaceTempView(view)
-        rendered = query.format(batch=view, active_batch=view)
-        observed = spark.sql(rendered).count()
+        try:
+            rendered = query.format(batch=view, active_batch=view)
+            observed = spark.sql(rendered).count()
+        finally:
+            spark.catalog.dropTempView(view)
         out = validate_metric_value_between(
             observed,
             kwargs.get("min_value"),

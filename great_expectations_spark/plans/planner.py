@@ -717,9 +717,12 @@ class SuiteValidator:
             ).first()
             values = {k: row[a] for k, a in aliases.items()}
         else:
+            scoped = df
             values = {
                 k: metrics.get(alias) for k, alias in item.agg_aliases.items()
             }
+        if c.followup is not None:
+            values.update(c.followup(scoped, values))
         out = c.validate(values)
         return ExpectationValidationResult(
             success=bool(out["success"]),

@@ -73,11 +73,19 @@ class CompiledAggregate:
     ``validate(metric_values)`` -> {'success': bool, 'result': {...}}.
     ``needs_prepass`` metric keys must be resolved before the main bundle
     (e.g. z-score needs mean/std scalars first).
+    ``followup(df, values)`` — optional second tiny job that runs AFTER the
+    bundled agg, given the (domain-scoped) DataFrame and the phase-A metric
+    values; returns extra metric values merged before ``validate``.  Used
+    to gate unbounded collects (e.g. ``collect_set``) behind a phase-A
+    cardinality check so the guard fires BEFORE any heavy aggregation.
     """
 
     agg_exprs: Dict[str, Column]
     validate: Callable[[Dict[str, Any]], Dict[str, Any]]
     finisher_inputs: List[str] = field(default_factory=list)
+    followup: Optional[
+        Callable[[DataFrame, Dict[str, Any]], Dict[str, Any]]
+    ] = None
 
 
 @dataclass

@@ -22,7 +22,7 @@ from typing import Callable, List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from great_expectations_spark.core.domain import domain_gate
+from great_expectations_spark.core.domain import domain_gate, parse_row_condition
 from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.plans.planner import SuiteValidator, compile_expectation
 from great_expectations_spark.plans.specs import CompiledMap
@@ -37,8 +37,17 @@ def _combined_unexpected_flag(suite: ExpectationSuite) -> Column:
                 f"{config.expectation_type} is not a stateless map "
                 "expectation; use validate_each_microbatch for aggregates"
             )
+        # each expectation's row_condition domain gates its flag, mirroring
+        # the batch planner (_run_bundled_phase): rows outside the domain
+        # are never "unexpected" for that expectation
+        domain = parse_row_condition(
+            config.kwargs.get("row_condition"),
+            config.kwargs.get("condition_parser"),
+        )
         flags.append(
-            domain_gate(compiled.considered) & domain_gate(compiled.unexpected)
+            domain_gate(domain)
+            & domain_gate(compiled.considered)
+            & domain_gate(compiled.unexpected)
         )
     out = flags[0]
     for f in flags[1:]:

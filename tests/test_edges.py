@@ -94,6 +94,33 @@ def test_empty_batch_vacuous(spark):
     assert not by_type["expect_column_mean_to_be_between"].success
 
 
+def test_streaming_quarantine_respects_row_condition(spark):
+    # the expectation's row_condition must gate the streaming flag exactly
+    # like the batch planner: rows outside the domain are never unexpected
+    from great_expectations_spark.streaming.validate_stream import (
+        _combined_unexpected_flag,
+    )
+
+    rows = [
+        (1, "A", 5),    # in domain, violates between(10, 50)
+        (2, "A", 20),   # in domain, ok
+        (3, "B", 5),    # OUT of domain: must not be flagged
+    ]
+    df = spark.createDataFrame(rows, "id int, flag string, qty int")
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_be_between",
+        column="qty", min_value=10, max_value=50,
+        row_condition="flag = 'A'", condition_parser="spark",
+    )
+    flagged = {
+        r["id"]
+        for r in df.withColumn(
+            "__u", _combined_unexpected_flag(suite)
+        ).filter("__u").collect()
+    }
+    assert flagged == {1}
+
+
 def test_streaming_windowed_violation_counts(spark, tmp_path):
     src = str(tmp_path / "src")
     rows = [
