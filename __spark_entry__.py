@@ -398,6 +398,58 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-SQL query expectation (pair template): correlation scalar."""
+    df = _load(spark, sf_dir, "lineitem")
+    suite = ExpectationSuite("q").add(
+        "expect_query_value_to_be_between",
+        query="SELECT round(corr({column_A}, {column_B}), 6) FROM {batch}",
+        column_A="l_quantity", column_B="l_extendedprice",
+        min_value=-1.0, max_value=1.0,
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    r = res.results[0]
+    if r.exception_info["raised_exception"]:
+        raise RuntimeError(r.exception_info["exception_message"])
+    return spark.createDataFrame(
+        [(float(r.result["observed_value"]), bool(r.success))],
+        "corr_qty_price double, success boolean",
+    )
+
+
+def _query_no_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'No rows returned' violation query over the orders table."""
+    df = _load(spark, sf_dir, "orders")
+    suite = ExpectationSuite("q").add(
+        "expect_query_results_to_return_no_rows",
+        query="SELECT o_orderkey FROM {batch} WHERE o_totalprice > 400000",
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    r = res.results[0]
+    if r.exception_info["raised_exception"]:
+        raise RuntimeError(r.exception_info["exception_message"])
+    return spark.createDataFrame(
+        [(int(r.result["unexpected_count"]),)], "violation_rows bigint"
+    )
+
+
+def _query_freq_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical QueryExpectation: value-frequency threshold."""
+    df = _load(spark, sf_dir, "orders")
+    suite = ExpectationSuite("q").add(
+        "expect_queried_column_value_frequency_to_meet_threshold",
+        column="o_orderpriority", value="1-URGENT", threshold=0.05,
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    r = res.results[0]
+    if r.exception_info["raised_exception"]:
+        raise RuntimeError(r.exception_info["exception_message"])
+    return spark.createDataFrame(
+        [(round(float(r.result["observed_value"]), 6), bool(r.success))],
+        "freq_urgent double, success boolean",
+    )
+
+
 def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-partition validation (validate_by_partition): every
     day's whole-suite counters from ONE groupBy pass."""
@@ -518,6 +570,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts_returnflag": _value_counts_flag,
         "most_common_priority": _most_common,
         "histogram_extendedprice": _histogram,
+        # --- user-SQL query expectations (escape hatch) ---
+        "query_value_corr": _query_value_corr,
+        "query_no_rows_orders": _query_no_rows,
+        "query_freq_urgent": _query_freq_urgent,
         # --- per-partition single-pass grouped validation ---
         "grouped_by_day_between": _grouped_by_day,
         # --- referential / cross-table ---
@@ -722,6 +778,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {bucket_case('l_extendedprice', hist_edges)} AS bucket, "
             "count(*)::BIGINT AS n FROM lineitem WHERE l_extendedprice IS "
             "NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "query_value_corr": (
+            "SELECT round(corr(l_quantity, l_extendedprice), 6) AS "
+            "corr_qty_price, TRUE AS success FROM lineitem"
+        ),
+        "query_no_rows_orders": (
+            "SELECT count(*)::BIGINT AS violation_rows FROM orders "
+            "WHERE o_totalprice > 400000"
+        ),
+        "query_freq_urgent": (
+            "SELECT round(count(*) FILTER (WHERE o_orderpriority = "
+            "'1-URGENT')::DOUBLE / count(*), 6) AS freq_urgent, "
+            "count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::DOUBLE "
+            "/ count(*) >= 0.05 AS success FROM orders"
         ),
         "grouped_by_day_between": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS "

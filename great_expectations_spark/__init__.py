@@ -47,6 +47,7 @@ from great_expectations_spark.checkpoint.runner import (
 )
 from great_expectations_spark.checkpoint.manifest import CheckpointManifest
 from great_expectations_spark.core.validator_api import Validator
+from great_expectations_spark.operators.table_ops import table_head
 from great_expectations_spark.sources.readers import BatchSpec, load_batch
 from great_expectations_spark.sources.sinks import (
     results_to_dataframe,
@@ -66,6 +67,7 @@ __all__ = [
     "ExpectationSuite",
     "SuiteValidator",
     "Validator",
+    "table_head",
     "registered_expectation_types",
     "run_checkpoint",
     "validate_by_partition",

@@ -192,7 +192,10 @@ def _query_row_count_between(kwargs: Dict[str, Any]) -> CompiledJob:
         view = _unique_view_name()
         _apply_domain(df, domain).createOrReplaceTempView(view)
         try:
-            rendered = query.format(batch=view, active_batch=view)
+            rendered = query.format(
+                batch=view, active_batch=view, **_query_template_kwargs(kwargs)
+            )
+            # count() stays distributed — no row ever reaches the driver
             observed = spark.sql(rendered).count()
         finally:
             spark.catalog.dropTempView(view)
@@ -205,6 +208,144 @@ def _query_row_count_between(kwargs: Dict[str, Any]) -> CompiledJob:
         )
         out["result"]["details"] = {"query": rendered}
         return out
+
+    return CompiledJob(run=run)
+
+
+QUERY_RESULT_COLLECT_CAP = 10_000
+
+
+def _query_template_kwargs(kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Template variables for user SQL, covering all four reference query
+    metric providers in one renderer (``query_metrics/query_column.py:70-95``
+    ``{col}``; ``query_column_pair.py:49-67`` ``{column_A}/{column_B}``;
+    ``query_multiple_columns.py:51-77`` ``{col_1}..{col_n}``;
+    ``query_template_values.py:51-71`` ``{**template_dict}``)."""
+    out: Dict[str, Any] = {}
+    if kwargs.get("column") is not None:
+        out["col"] = kwargs["column"]
+        out["column"] = kwargs["column"]
+    for key in ("column_A", "column_B"):
+        if kwargs.get(key) is not None:
+            out[key] = kwargs[key]
+    columns = kwargs.get("columns")
+    if isinstance(columns, list):
+        for i, entry in enumerate(columns, 1):
+            out[f"col_{i}"] = entry
+    template_dict = kwargs.get("template_dict")
+    if isinstance(template_dict, dict):
+        out.update(template_dict)
+    return out
+
+
+def _run_templated_query(
+    df: DataFrame, spark, domain, query: str, kwargs: Dict[str, Any]
+) -> tuple:
+    """Render + run user SQL against the batch; returns (rows, rendered).
+
+    The collect is bounded (``limit(cap + 1)`` rides inside the job):
+    query expectations are assertions over small result sets, and a
+    user query returning table-sized output must fail clearly rather
+    than OOM the driver."""
+    view = _unique_view_name()
+    _apply_domain(df, domain).createOrReplaceTempView(view)
+    try:
+        rendered = query.format(
+            batch=view, active_batch=view, **_query_template_kwargs(kwargs)
+        )
+        rows = spark.sql(rendered).limit(QUERY_RESULT_COLLECT_CAP + 1).collect()
+    finally:
+        spark.catalog.dropTempView(view)
+    if len(rows) > QUERY_RESULT_COLLECT_CAP:
+        raise ValueError(
+            f"query returned more than {QUERY_RESULT_COLLECT_CAP} rows; "
+            "query expectations assert over small result sets — aggregate "
+            "in the SQL itself"
+        )
+    return rows, rendered
+
+
+@register_query_job("expect_query_results_to_return_no_rows")
+def _query_no_rows(kwargs: Dict[str, Any]) -> CompiledJob:
+    """User-SQL violation check: ANY row the query returns is a violation
+    (the escape hatch for checks not built in — the 'unexpected rows
+    query' pattern).  Returned rows surface as unexpected samples."""
+    query = kwargs["query"]
+    max_rows = int(kwargs.get("max_unexpected_rows", 0))
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        rows, rendered = _run_templated_query(df, spark, domain, query, kwargs)
+        sample = [r.asDict() for r in rows[:20]]
+        return {
+            "success": len(rows) <= max_rows,
+            "result": {
+                "observed_value": len(rows),
+                "unexpected_count": len(rows),
+                "partial_unexpected_list": sample,
+                "details": {"query": rendered},
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
+@register_query_job("expect_query_value_to_be_between")
+def _query_value_between(kwargs: Dict[str, Any]) -> CompiledJob:
+    """User SQL returning ONE scalar (first column of first row), bounded
+    by min/max — covers the column / pair / multi-column / template-value
+    query-metric shapes via the shared template renderer."""
+    query = kwargs["query"]
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        rows, rendered = _run_templated_query(df, spark, domain, query, kwargs)
+        if len(rows) != 1 or len(rows[0]) < 1:
+            raise ValueError(
+                f"expected exactly one scalar result row, got {len(rows)} "
+                "rows"
+            )
+        observed = rows[0][0]
+        out = validate_metric_value_between(
+            observed,
+            kwargs.get("min_value"),
+            kwargs.get("max_value"),
+            bool(kwargs.get("strict_min", False)),
+            bool(kwargs.get("strict_max", False)),
+        )
+        out["result"]["details"] = {"query": rendered}
+        return out
+
+    return CompiledJob(run=run)
+
+
+@register_query_job("expect_queried_column_value_frequency_to_meet_threshold")
+def _queried_value_frequency(kwargs: Dict[str, Any]) -> CompiledJob:
+    """The reference's canonical QueryExpectation
+    (``tests/integration/docusaurus/.../expect_queried_column_value_
+    frequency_to_meet_threshold.py``): share of ``value`` in ``column``
+    must be >= ``threshold``.  Default query matches the reference's."""
+    column = kwargs["column"]
+    value = kwargs["value"]
+    threshold = float(kwargs.get("threshold", 1.0))
+    query = kwargs.get("query") or (
+        "SELECT {col}, CAST(COUNT({col}) AS DOUBLE) / "
+        "(SELECT COUNT({col}) FROM {active_batch}) "
+        "FROM {active_batch} GROUP BY {col}"
+    )
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        rows, rendered = _run_templated_query(df, spark, domain, query, kwargs)
+        frequency = 0.0
+        for r in rows:
+            if r[0] == value:
+                frequency = float(r[1])
+                break
+        return {
+            "success": frequency >= threshold,
+            "result": {
+                "observed_value": frequency,
+                "details": {"value": value, "query": rendered},
+            },
+        }
 
     return CompiledJob(run=run)
 

@@ -254,6 +254,29 @@ def _row_count_equal_other(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run)
 
 
+def table_head(
+    df: DataFrame,
+    n_rows: int = 5,
+    fetch_all: bool = False,
+    domain=None,
+) -> List[Dict[str, Any]]:
+    """First rows of the batch as dicts (reference
+    ``table_metrics/table_head.py:195-224``: ``fetch_all`` collects
+    everything; negative ``n_rows`` counts from the end, pandas-style).
+    ``df.limit(n)`` keeps the fetch a single partial scan — no sort, no
+    full materialization."""
+    if domain is not None:
+        df = df.filter(domain)
+    if fetch_all:
+        rows = df.collect()
+    elif n_rows >= 0:
+        rows = df.limit(n_rows).collect()
+    else:
+        total = df.count()
+        rows = df.limit(max(total + n_rows, 0)).collect()
+    return [r.asDict() for r in rows]
+
+
 def compile_schema_expectation(
     expectation_type: str, kwargs: Dict[str, Any]
 ) -> CompiledSchemaCheck:
