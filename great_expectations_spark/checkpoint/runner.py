@@ -66,9 +66,21 @@ def run_checkpoint(
     validator: Optional[SuiteValidator] = None,
     max_concurrency: int = 1,
     run_id: Optional[str] = None,
+    actions: Optional[List["CheckpointAction"]] = None,
 ) -> Dict[str, Any]:
     """Validate every partition, resuming past ``done`` ones. Returns a
-    summary dict with per-partition manifest entries."""
+    summary dict with per-partition manifest entries.
+
+    ``actions`` (checkpoint.actions.CheckpointAction) fire after each
+    partition's validation — store results/metrics, notify on failure —
+    mirroring the reference's post-validation action list
+    (``checkpoint/actions.py:826,976``); action errors never fail the run.
+    """
+    from great_expectations_spark.checkpoint.actions import (
+        ActionContext,
+        run_actions,
+    )
+
     validator = validator or SuiteValidator()
     manifest = CheckpointManifest(checkpoint_dir)
     suite_hash = suite.suite_hash()
@@ -118,7 +130,19 @@ def run_checkpoint(
                 rows_per_sec=round(rows / duration, 1) if duration else 0.0,
                 success=bool(result.success),
             )
-            return manifest.record(entry, result.to_json())
+            recorded = manifest.record(entry, result.to_json())
+            run_actions(
+                actions,
+                ActionContext(
+                    run_id=run_id,
+                    suite_name=suite.expectation_suite_name,
+                    partition_column=partition_column,
+                    partition_id=str(partition_value),
+                    result=result,
+                    entry_status="done",
+                ),
+            )
+            return recorded
         except Exception as exc:  # noqa: BLE001 — survive partition failure
             finished = datetime.datetime.now(datetime.timezone.utc)
             entry = ManifestEntry(
@@ -134,7 +158,24 @@ def run_checkpoint(
                 success=None,
                 error=str(exc),
             )
-            return manifest.record(entry)
+            recorded = manifest.record(entry)
+            run_actions(
+                actions,
+                ActionContext(
+                    run_id=run_id,
+                    suite_name=suite.expectation_suite_name,
+                    partition_column=partition_column,
+                    partition_id=str(partition_value),
+                    result=ExpectationSuiteValidationResult(
+                        success=False,
+                        results=[],
+                        statistics={},
+                        meta={"error": str(exc)},
+                    ),
+                    entry_status="failed",
+                ),
+            )
+            return recorded
 
     if max_concurrency > 1 and len(todo) > 1:
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:

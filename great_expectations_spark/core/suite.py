@@ -162,10 +162,16 @@ class ExpectationConfiguration:
         return float(self.kwargs.get("mostly", 1.0))
 
     def substituted(
-        self, evaluation_parameters: Optional[Dict[str, Any]]
+        self,
+        evaluation_parameters: Optional[Dict[str, Any]],
+        urn_resolver: Optional[Any] = None,
     ) -> "ExpectationConfiguration":
         """Resolve ``{"$PARAMETER": name}`` kwargs against the provided
-        evaluation parameters (plain lookup, v1 scope)."""
+        evaluation parameters (plain lookup, v1 scope).  Names beginning
+        with ``urn:great_expectations:validations:`` resolve through
+        ``urn_resolver`` (a callable, e.g.
+        ``ValidationResultStore.resolve_urn``) — cross-suite chained
+        parameters, reference ``core/evaluation_parameters.py:274-430``."""
         evaluation_parameters = evaluation_parameters or {}
 
         def resolve(value: Any) -> Any:
@@ -173,6 +179,15 @@ class ExpectationConfiguration:
                 name = value["$PARAMETER"]
                 if name in evaluation_parameters:
                     return evaluation_parameters[name]
+                if isinstance(name, str) and name.startswith(
+                    "urn:great_expectations:"
+                ):
+                    if urn_resolver is None:
+                        raise KeyError(
+                            f"URN parameter {name!r} requires a "
+                            "parameter_store (ValidationResultStore)"
+                        )
+                    return urn_resolver(name)
                 # temp-value form: {"$PARAMETER": expr,
                 #                   "$PARAMETER.<expr>": value}
                 # (reference core/evaluation_parameters.py:226-271)

@@ -168,6 +168,7 @@ class SuiteValidator:
         catch_exceptions: bool = True,
         evaluation_parameters: Optional[Dict[str, Any]] = None,
         batch_meta: Optional[Dict[str, Any]] = None,
+        parameter_store: Optional[Any] = None,
     ) -> ExpectationSuiteValidationResult:
         started = datetime.datetime.now(datetime.timezone.utc)
         spark = self._spark or df.sparkSession
@@ -177,7 +178,9 @@ class SuiteValidator:
             **(evaluation_parameters or {}),
         }
 
-        items = self._compile(suite, eval_params, catch_exceptions)
+        items = self._compile(
+            suite, eval_params, catch_exceptions, parameter_store
+        )
         self._check_columns_exist(df, items)
         metrics = self._run_bundled_phase(df, items)
         self._run_window_phase(df, items, metrics, catch_exceptions)
@@ -217,11 +220,18 @@ class SuiteValidator:
         suite: ExpectationSuite,
         eval_params: Dict[str, Any],
         catch_exceptions: bool,
+        parameter_store: Optional[Any] = None,
     ) -> List[_PlannedItem]:
+        urn_resolver = (
+            parameter_store.resolve_urn
+            if parameter_store is not None
+            and hasattr(parameter_store, "resolve_urn")
+            else parameter_store
+        )
         items: List[_PlannedItem] = []
         for config in suite.expectations:
             try:
-                resolved = config.substituted(eval_params)
+                resolved = config.substituted(eval_params, urn_resolver)
                 compiled = compile_expectation(resolved)
                 domain = parse_row_condition(
                     resolved.kwargs.get("row_condition"),
@@ -504,9 +514,16 @@ class SuiteValidator:
         if not needing:
             return {}
 
-        projected = df.select(
-            *[F.col(c) for c in index_cols], *value_cols, *flag_cols
-        )
+        include_rows = bool(rf.get("include_unexpected_rows"))
+        if include_rows:
+            # full original rows must survive the projection so violating
+            # records can be returned verbatim (reference
+            # map_condition_auxilliary_methods.py:664-694)
+            projected = df.select(F.col("*"), *value_cols, *flag_cols)
+        else:
+            projected = df.select(
+                *[F.col(c) for c in index_cols], *value_cols, *flag_cols
+            )
         persisted = False
         if self.persist_for_samples and len(needing) > 1:
             projected = projected.persist(StorageLevel.MEMORY_AND_DISK)
@@ -520,11 +537,14 @@ class SuiteValidator:
                     limit = self.max_complete_collect
                 else:
                     limit = rf["partial_unexpected_count"]
+                row_cols = list(df.columns) if include_rows else []
+                # row_cols already cover the index columns when present
+                keep = row_cols if include_rows else list(index_cols)
                 rows = (
                     projected.filter(F.col(f"__gx_flag_{idx}"))
-                    .select(f"__gx_val_{idx}", *index_cols)
-                    .limit(limit)
-                    .collect()
+                    .select(f"__gx_val_{idx}", *keep)
+                    .limit(limit)  # reference :774 builds but DISCARDS this
+                    .collect()     # limit — applied for real here
                 )
                 values: List[Any] = []
                 for r in rows:
@@ -538,6 +558,10 @@ class SuiteValidator:
                 if index_cols:
                     entry["unexpected_index_list"] = [
                         {ic: r[ic] for ic in index_cols} for r in rows
+                    ]
+                if include_rows:
+                    entry["unexpected_rows"] = [
+                        {rc: r[rc] for rc in row_cols} for r in rows
                     ]
                 samples[id(item)] = entry
         finally:
@@ -627,6 +651,22 @@ class SuiteValidator:
             nonnull_for_format = considered_count
 
         sample = samples.get(id(item), {})
+        unexpected_index_query: Optional[str] = None
+        if rf["result_format"] == "COMPLETE" and rf.get(
+            "return_unexpected_index_query", True
+        ) is not False:
+            # reference map_condition_auxilliary_methods.py:785-824: render
+            # the violation condition as a df.filter(F.expr(...)) string
+            gate = (
+                domain_gate(item.domain)
+                if item.domain is not None
+                else F.lit(True)
+            )
+            flag = gate & domain_gate(c.considered) & domain_gate(c.unexpected)
+            cond = str(flag)
+            if cond.startswith("Column<'") and cond.endswith("'>"):
+                cond = cond[len("Column<'") : -len("'>")]
+            unexpected_index_query = f"df.filter(F.expr({cond}))"
         out = format_map_output(
             rf,
             success=success,
@@ -639,6 +679,11 @@ class SuiteValidator:
             ),
             unexpected_index_list=sample.get("unexpected_index_list"),
             unexpected_index_column_names=rf.get("unexpected_index_column_names"),
+            unexpected_index_query=unexpected_index_query,
+            unexpected_rows=sample.get(
+                "unexpected_rows",
+                [] if rf.get("include_unexpected_rows") else None,
+            ),
         )
         return ExpectationValidationResult(
             success=bool(out["success"]),

@@ -113,3 +113,80 @@ def test_single_pass_grouped_matches_per_partition(spark, transcripts, tmp_path)
                     gr.result["unexpected_count"]
                     == fr.result["unexpected_count"]
                 ), gr.expectation_config["expectation_type"]
+
+
+def test_checkpoint_actions(spark, transcripts, tmp_path):
+    from great_expectations_spark.checkpoint.actions import (
+        FunctionAction,
+        NotificationAction,
+        StoreMetricsAction,
+        StoreValidationResultAction,
+    )
+
+    seen = []
+    notified = []
+    metrics = StoreMetricsAction()
+    store = StoreValidationResultAction(str(tmp_path / "results"))
+    actions = [
+        FunctionAction(lambda ctx: seen.append(ctx.partition_id)),
+        NotificationAction(notified.append, notify_on="failure"),
+        metrics,
+        store,
+    ]
+    summary = run_checkpoint(
+        transcripts, _suite(), "day", str(tmp_path / "ckpt_act"),
+        actions=actions,
+    )
+    # custom action received EVERY partition's result
+    assert sorted(seen) == sorted(
+        e["partition_id"] for e in summary["entries"]
+    )
+    # all partitions pass here, so the failure-only notifier stayed quiet
+    assert notified == []
+    # metric rows: per expectation + suite statistics, for each partition
+    per_part = {r["partition_id"] for r in metrics.rows}
+    assert per_part == set(seen)
+    stat_rows = [
+        r for r in metrics.rows
+        if r["expectation_type"] == "__suite_statistics__"
+    ]
+    assert len(stat_rows) == len(seen)
+    # stored result files exist and parse
+    import glob
+    files = glob.glob(str(tmp_path / "results" / "*" / "*.json"))
+    assert len(files) == len(seen)
+    with open(files[0]) as f:
+        assert "results" in json.load(f)
+
+
+def test_checkpoint_failure_action_fires(spark, tmp_path):
+    from great_expectations_spark.checkpoint.actions import NotificationAction
+
+    df = spark.createDataFrame(
+        [("p1", 5), ("p1", 7), ("p2", 500)], "part string, qty int"
+    )
+    suite = ExpectationSuite("f").add(
+        "expect_column_values_to_be_between",
+        column="qty", min_value=0, max_value=100,
+    )
+    notified = []
+    summary = run_checkpoint(
+        df, suite, "part", str(tmp_path / "ckpt_fail"),
+        actions=[NotificationAction(notified.append, notify_on="failure")],
+    )
+    assert len(notified) == 1  # only the violating partition
+    assert notified[0]["partition"] == {"part": "p2"}
+    assert notified[0]["failed_expectations"] == [
+        "expect_column_values_to_be_between"
+    ]
+    # a broken action must not fail the run
+    def boom(ctx):
+        raise RuntimeError("sender down")
+
+    from great_expectations_spark.checkpoint.actions import FunctionAction
+
+    summary2 = run_checkpoint(
+        df, suite, "part", str(tmp_path / "ckpt_fail2"),
+        actions=[FunctionAction(boom)],
+    )
+    assert summary2["partitions_validated_now"] == 2

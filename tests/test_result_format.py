@@ -146,3 +146,70 @@ def test_validate_between_null_observed():
     assert out == {"success": False, "result": {"observed_value": None}}
     out = validate_metric_value_between(float("nan"), 0, 1)
     assert not out["success"]
+
+
+def test_planner_include_unexpected_rows(spark):
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, "y", 100), (3, "z", 200)],
+        "id int, name string, qty int",
+    )
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_be_between",
+        column="qty", min_value=0, max_value=50,
+    )
+    res = SuiteValidator().validate(
+        df, suite,
+        result_format={
+            "result_format": "SUMMARY",
+            "include_unexpected_rows": True,
+        },
+    )
+    rows = res.results[0].result["unexpected_rows"]
+    assert {r["id"] for r in rows} == {2, 3}
+    assert set(rows[0]) == {"id", "name", "qty"}  # full original rows
+
+
+def test_planner_unexpected_index_query_complete(spark):
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    df = spark.createDataFrame([(1, 5), (2, 100)], "id int, qty int")
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_be_between",
+        column="qty", min_value=0, max_value=50,
+    )
+    res = SuiteValidator().validate(df, suite, result_format="COMPLETE")
+    q = res.results[0].result["unexpected_index_query"]
+    assert q.startswith("df.filter(F.expr(")
+    assert "qty" in q
+    # opting out suppresses the query (reference :807-812)
+    res2 = SuiteValidator().validate(
+        df, suite,
+        result_format={
+            "result_format": "COMPLETE",
+            "return_unexpected_index_query": False,
+        },
+    )
+    assert "unexpected_index_query" not in res2.results[0].result
+
+
+def test_planner_unexpected_rows_empty_when_no_violations(spark):
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    df = spark.createDataFrame([(1, 5)], "id int, qty int")
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_be_between",
+        column="qty", min_value=0, max_value=50,
+    )
+    res = SuiteValidator().validate(
+        df, suite,
+        result_format={
+            "result_format": "BASIC",
+            "include_unexpected_rows": True,
+        },
+    )
+    assert res.results[0].result["unexpected_rows"] == []
