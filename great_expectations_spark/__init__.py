@@ -49,6 +49,7 @@ from great_expectations_spark.checkpoint.manifest import CheckpointManifest
 from great_expectations_spark.core.validator_api import Validator
 from great_expectations_spark.operators.table_ops import table_head
 from great_expectations_spark.sources.readers import BatchSpec, load_batch
+from great_expectations_spark.sources.fluent import DataAsset, Datasource
 from great_expectations_spark.sources.sinks import (
     results_to_dataframe,
     write_results,
@@ -73,6 +74,8 @@ __all__ = [
     "validate_by_partition",
     "CheckpointManifest",
     "BatchSpec",
+    "Datasource",
+    "DataAsset",
     "load_batch",
     "results_to_dataframe",
     "write_results",

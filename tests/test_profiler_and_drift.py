@@ -30,6 +30,56 @@ def test_suggest_suite_and_self_validate(spark):
     ]
 
 
+def test_suggest_suite_depth_on_transcripts(spark):
+    from great_expectations_spark.datagen.transcripts import (
+        generate_transcripts,
+    )
+
+    df = generate_transcripts(spark, 300, hot_conversations=0)
+    suite = suggest_suite(df)
+    types = {e.expectation_type for e in suite.expectations}
+    # the profiler must cover >= 8 expectation families on transcripts
+    assert len(types) >= 8, sorted(types)
+    assert {
+        "expect_table_columns_to_match_set",
+        "expect_column_values_to_not_be_null",
+        "expect_column_values_to_be_in_set",
+        "expect_column_values_to_be_between",
+        "expect_column_value_lengths_to_be_between",
+        "expect_column_values_to_match_regex",
+        "expect_column_mean_to_be_between",
+        "expect_column_quantile_values_to_be_between",
+    } <= types, sorted(types)
+    # the regex candidate chosen for conv_id actually matches its shape
+    rx = [
+        e for e in suite.expectations
+        if e.expectation_type == "expect_column_values_to_match_regex"
+        and e.kwargs["column"] == "conv_id"
+    ]
+    assert rx, "conv_id should get a regex candidate"
+    # the suggested suite self-validates green
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    assert res.success, [
+        (r.expectation_config, r.result)
+        for r in res.results
+        if not r.success
+    ]
+
+
+def test_suggest_suite_datetime_string_candidate(spark):
+    df = spark.createDataFrame(
+        [("2024-01-15 10:00:00",), ("2024-02-20 11:30:00",)], "when string"
+    )
+    suite = suggest_suite(df)
+    types = [
+        (e.expectation_type, e.kwargs.get("column"))
+        for e in suite.expectations
+    ]
+    assert ("expect_column_values_to_be_dateutil_parseable", "when") in types
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    assert res.success
+
+
 def test_two_sample_drift_detects_planted_shift(spark):
     import numpy as np
 

@@ -78,3 +78,30 @@ def test_results_sink_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert "partition_id" in back.columns
+
+
+def test_fluent_datasource(spark, tmp_path):
+    from great_expectations_spark import Datasource
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "id int, flag string"
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    ds = Datasource("lake", spark)
+    asset = ds.add_parquet_asset("t", path)
+    assert asset.build_batch().count() == 3
+    assert ds.get_asset("t") is asset
+    # column-value split selects one batch
+    batch = asset.batch_on_column_value("flag", flag="A")
+    assert batch.count() == 2
+    assert asset.batch_values("flag") == ["A", "B"]
+    # samplers
+    assert asset.sample_limit(2).count() == 2
+    # dataframe asset passthrough + duplicate-name guard
+    ds.add_dataframe_asset("mem", df)
+    assert ds.get_asset("mem").build_batch().count() == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        ds.add_parquet_asset("t", path)
