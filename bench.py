@@ -239,6 +239,20 @@ def main() -> None:
             documents, "doc_id", "text", verify_threshold=0.4
         ).count(),
     )
+    # steady-state: first run pays Python-worker startup + JIT; at the
+    # 100 TB design point those amortize to zero, so report both
+    timed(
+        "dedup_minhash_warm",
+        lambda: dedup.minhash_candidate_pairs(
+            documents, "doc_id", "text", verify_threshold=0.4
+        ).count(),
+    )
+    timed(
+        "dedup_simhash",
+        lambda: dedup.simhash_candidate_pairs(
+            documents, "doc_id", "text", max_hamming=10
+        ).count(),
+    )
 
     qrow = embeddings.select("embedding").first()
     query = [float(v) for v in qrow["embedding"]]

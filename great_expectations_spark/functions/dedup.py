@@ -3,13 +3,17 @@
 Scale design:
 * Exact dedup is a hash-groupBy (map-side combined — hot duplicate groups
   collapse before the shuffle).
-* MinHash signatures are computed entirely JVM-side:
-  shingle -> ``xxhash64(shingle, seed_i)`` -> ``array_min`` per permutation.
-  No Python in the row path.
+* MinHash signatures: default engine is ONE Arrow batch pass (normalize ->
+  shingle -> blake2b hash -> numpy multiply-shift min) — Catalyst runs
+  higher-order functions interpreted, so the equivalent JVM expression
+  chain pays heavy first-execution JIT; a pure-JVM expression engine
+  (``signature_engine="jvm"``: xxhash64 family + ``array_min``) remains
+  for zero-Python deployments.
 * LSH banding: signatures are sliced into bands, each band hashed to a
-  bucket; candidate pairs come from a self-join *within buckets only*
-  (quadratic only in bucket size, never in table size).  Verification
-  (true Jaccard) runs on candidates only.
+  bucket (one ``hash(slice(sig))`` per band — tiny expression tree);
+  candidate pairs come from a self-join *within buckets only* (quadratic
+  only in bucket size, never in table size).  Verification (true Jaccard)
+  runs on candidates only.
 * SimHash runs as an Arrow-batched pandas UDF (numpy bit ops); hamming
   distance via JVM ``bit_count(a ^ b)``.
 """
@@ -24,6 +28,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from great_expectations_spark.functions.text import normalize_text
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition UP to the session's default parallelism when the input
+    arrives under-partitioned (e.g. one small parquet file -> 1 task, so
+    the whole shingle/signature compute would run single-threaded).  Never
+    repartitions DOWN — a 100 TB corpus already has thousands of
+    partitions and keeps them."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:  # pragma: no cover — connect-mode etc.
+        pass
+    return df
+
 
 # --- exact ----------------------------------------------------------------
 
@@ -104,6 +123,113 @@ def minhash_signature_from_hashes(
     )
 
 
+_MINHASH_SEED = 1234567
+
+
+def _minhash_family(num_hashes: int):
+    """Deterministic multiply-shift hash family (odd multipliers + offsets)
+    over uint64, seeded — the standard 2-universal family for MinHash."""
+    import numpy as np
+
+    rng = np.random.default_rng(_MINHASH_SEED)
+    mult = (
+        rng.integers(1, 2**62, num_hashes, dtype=np.int64).astype(np.uint64)
+        * 2
+        + 1
+    )
+    add = rng.integers(0, 2**62, num_hashes, dtype=np.int64).astype(np.uint64)
+    return mult, add
+
+
+def minhash_signature_arrow(num_hashes: int = 64):
+    """Arrow-batched signature UDF: one numpy (num_hashes × n_shingles)
+    multiply-add-min per document.  Catalyst doesn't codegen ``transform``/
+    ``array_min`` chains, so 64 interpreted array traversals per row lose
+    to one vectorized batch; this is the sanctioned Arrow fallback, not a
+    per-row Python UDF."""
+    mult, add = _minhash_family(num_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(h):
+            if h is None or len(h) == 0:
+                return None
+            arr = np.asarray(h, dtype=np.int64).view(np.uint64)
+            m = mult[:, None] * arr[None, :] + add[:, None]  # uint64 wrap
+            return m.min(axis=1).view(np.int64).tolist()
+
+        return hashes.map(one)
+
+    return sig
+
+
+def _shingles_and_signature_arrow(shingle_k: int, num_hashes: int):
+    """One Arrow pass: normalize -> k-word shingles -> 8-byte blake2b
+    shingle hashes -> multiply-shift MinHash signature, all in Python/
+    numpy.  Semantics mirror ``word_shingles`` + ``shingle_hashes`` (trim,
+    lower, collapse whitespace, distinct shingles; texts shorter than k
+    words collapse to one whole-text shingle).  This exists because the
+    equivalent JVM expression chain is interpreted (no codegen for
+    higher-order functions) and its first-execution JIT dominated the
+    operator's wall time; one vectorized batch avoids both."""
+    mult, add = _minhash_family(num_hashes)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("sh", T.ArrayType(T.LongType())),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def both(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"\s+")
+
+        def one(t):
+            if t is None:
+                return None, None
+            words = ws.sub(" ", t.strip().lower()).split(" ")
+            if len(words) < shingle_k:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {
+                    " ".join(words[i : i + shingle_k])
+                    for i in range(len(words) - shingle_k + 1)
+                }
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            s.encode("utf-8"), digest_size=8
+                        ).digest(),
+                        "little",
+                    )
+                    for s in shingles
+                ),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            m = mult[:, None] * h[None, :] + add[:, None]  # uint64 wrap
+            return (
+                np.unique(h).view(np.int64).tolist(),
+                m.min(axis=1).view(np.int64).tolist(),
+            )
+
+        pairs = [one(t) for t in texts]
+        return pd.DataFrame(
+            {"sh": [p[0] for p in pairs], "sig": [p[1] for p in pairs]}
+        )
+
+    return both
+
+
 def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
@@ -118,54 +244,67 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: Optional[float] = 0.7,
+    signature_engine: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH.
 
     Returns (id_a, id_b, jaccard_est[, jaccard]) with id_a < id_b.
     The per-bucket self-join is the only join; bucket keys are
     (band_index, band_hash), so the shuffle is on tiny keys, AQE splits
-    skewed buckets.
+    skewed buckets.  ``signature_engine``: "arrow" (numpy-vectorized
+    batch, default) or "jvm" (pure expression path, zero Python).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_column).alias("__id"),
-        # hashed shingle set: signature derivation AND jaccard verification
-        # both run on longs (hash collisions are negligible vs xxhash64's
-        # 64-bit space), never re-traversing shingle strings
-        F.array_distinct(
-            shingle_hashes(word_shingles(F.col(text_column), shingle_k))
-        ).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    sig = base.withColumn(
-        "__sig", minhash_signature_from_hashes(F.col("__sh"), num_hashes)
-    )
+    df = _ensure_parallelism(df)
+    if signature_engine == "arrow":
+        # hashed shingle set + signature in ONE Arrow batch pass
+        both = _shingles_and_signature_arrow(shingle_k, num_hashes)
+        sig = (
+            df.select(
+                F.col(id_column).alias("__id"),
+                both(F.col(text_column)).alias("__b"),
+            )
+            .select(
+                "__id",
+                F.col("__b.sh").alias("__sh"),
+                F.col("__b.sig").alias("__sig"),
+            )
+            .filter(F.col("__sh").isNotNull() & (F.size("__sh") > 0))
+        )
+    else:
+        base = df.select(
+            F.col(id_column).alias("__id"),
+            # hashed shingle set: signature derivation AND jaccard
+            # verification both run on longs (hash collisions negligible vs
+            # the 64-bit space), never re-traversing shingle strings
+            F.array_distinct(
+                shingle_hashes(word_shingles(F.col(text_column), shingle_k))
+            ).alias("__sh"),
+        ).filter(F.size("__sh") > 0)
+        sig = base.withColumn(
+            "__sig", minhash_signature_from_hashes(F.col("__sh"), num_hashes)
+        )
 
     sig = sig.persist()
     # candidate generation works on (id, band, bucket) ONLY — no arrays
     # travel through the shuffle, and duplicate pairs (same pair caught by
-    # several bands) are deduped BEFORE any verification work
+    # several bands) are deduped BEFORE any verification work.  One
+    # hash(slice) per band keeps the expression tree tiny (a 16×4-column
+    # concat tree made codegen the dominant cold cost).
     banded = sig.select(
         "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("__sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(
+                        F.col("__sig"), b * rows_per_band + 1, rows_per_band
+                    ),
+                    b,
+                ),
             )
-        ).alias("__band"),
-    ).select("__id", "__band.band", "__band.bucket")
+        ).alias("band", "bucket"),
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -330,7 +469,7 @@ def simhash_candidate_pairs(
         mask = (1 << width) - 1
         return F.shiftright(sim, start).bitwiseAND(F.lit(mask))
 
-    sigs = df.select(
+    sigs = _ensure_parallelism(df).select(
         F.col(id_column).alias("__id"),
         simhash64(F.col(text_column), shingle_k).alias("__sim"),
     ).persist()
@@ -401,7 +540,7 @@ def ngram_jaccard_pairs(
     cap²/2.  Pass ``None`` to disable (exact semantics, small corpora
     only) — or route truly large corpora to ``minhash_candidate_pairs``.
     """
-    base = df.select(
+    base = _ensure_parallelism(df).select(
         F.col(id_column).alias("__id"),
         word_shingles(F.col(text_column), k).alias("__sh"),
     ).filter(F.size("__sh") > 0)
