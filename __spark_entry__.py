@@ -450,6 +450,31 @@ def _query_freq_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard inverted-index pairs (df-capped)."""
+    df = _load(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.7)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH signature buckets + exact-cosine
+    refine.  Oracle replicates the FULL pipeline in DuckDB (literal
+    hyperplanes -> sign-bit signature -> same-bucket join -> cosine)."""
+    df = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return (
+        similarity.embedding_near_dup_pairs(
+            df, threshold=0.2, n_bits=LSH_ANN_BITS, seed=LSH_ANN_SEED
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-partition validation (validate_by_partition): every
     day's whole-suite counters from ONE groupBy pass."""
@@ -590,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": _lang_id,
         "ann_threshold_cosine": _ann_threshold,
         "minhash_pairs_docs": _minhash_pairs,
+        "ngram_pairs_docs": _ngram_pairs,
+        "embed_near_dup_pairs": _embed_near_dup,
         "simhash_pairs_docs": _simhash_pairs,
         "lsh_ann_topk": _lsh_ann,
     }
@@ -928,6 +955,29 @@ def _lsh_ann_sql() -> str:
     )
 
 
+def _embed_near_dup_sql() -> str:
+    """DuckDB replica of embedding_near_dup_pairs: identical seeded
+    hyperplanes as literals, sign-bit bucket signature, same-bucket
+    self-join, cosine refine on the ROUNDED value (matching the Spark
+    filter order)."""
+    planes = similarity.random_hyperplanes(64, LSH_ANN_BITS, LSH_ANN_SEED)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(float(v)) for v in p)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"s AS (SELECT vec_id, e, ({bits}) AS sig FROM v) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim "
+        "FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2 "
+        "ORDER BY id_a, id_b"
+    )
+
+
 def _dedup_ann_oracles() -> dict[str, str]:
     return {
         "minhash_pairs_docs": _exact_jaccard_pairs_sql(
@@ -936,6 +986,12 @@ def _dedup_ann_oracles() -> dict[str, str]:
             "AS jaccard",
         ),
         "simhash_pairs_docs": _exact_jaccard_pairs_sql(0.7, "id_a, id_b"),
+        "ngram_pairs_docs": _exact_jaccard_pairs_sql(
+            0.7,
+            "id_a, id_b, round(inter::DOUBLE / (sa.n + sb.n - inter), 6) "
+            "AS jaccard",
+        ),
+        "embed_near_dup_pairs": _embed_near_dup_sql(),
         "lang_id_docs": _lang_id_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
     }

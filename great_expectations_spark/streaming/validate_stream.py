@@ -13,6 +13,9 @@ engine's semantics onto streams:
   idempotent on (run_id=epoch_id).
 * ``windowed_violation_counts`` — event-time windowed unexpected-rate
   aggregation with a watermark for late data.
+* ``streaming_sequence_gaps`` — custom stateful operator
+  (``applyInPandasWithState``): per-conversation contiguity violations
+  with self-healing out-of-order arrival handling and bounded state.
 """
 
 from __future__ import annotations
@@ -127,5 +130,101 @@ def windowed_violation_counts(
             (F.col("unexpected_rows") / F.col("rows")).alias(
                 "unexpected_rate"
             ),
+        )
+    )
+
+
+def streaming_sequence_gaps(
+    stream_df: DataFrame,
+    group_column: str = "conv_id",
+    index_column: str = "turn_idx",
+    first_index: int = 0,
+    max_tracked: int = 4096,
+):
+    """Custom stateful streaming operator: per-group sequence-contiguity
+    violations (the streaming analogue of
+    ``expect_sequence_to_be_contiguous``) via ``applyInPandasWithState``.
+
+    For every group (conversation) the state keeps the set of indexes seen
+    so far, compressed to (contiguous-prefix watermark, pending
+    out-of-order set).  Each micro-batch emits one row per group whose
+    pending set is non-empty — i.e. groups with at least one MISSING
+    predecessor at that point in the stream:
+
+        (group, max_seen, missing_count, first_missing)
+
+    Late/out-of-order arrivals self-heal: when the gap fills, the prefix
+    watermark advances and the group stops being reported.  State is
+    bounded: ``max_tracked`` caps the pending set (beyond it the group is
+    reported with missing_count = -1, meaning "gap too wide to track" —
+    at that point the batch validator should handle the conversation).
+
+    Spark-first notes: state shuffles by ``group_column`` exactly once per
+    micro-batch; Arrow carries the per-group rows; nothing leaves the
+    executors except the per-group summary rows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group_column} string, max_seen int, missing_count int, "
+        "first_missing int"
+    )
+    state_schema = "watermark int, pending array<int>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            watermark, pending_list = state.get
+            pending = set(pending_list)
+        else:
+            watermark, pending = first_index - 1, set()
+        overflow = watermark is None
+        for pdf in pdfs:
+            for idx in pdf[index_column]:
+                if idx is None:
+                    continue
+                idx = int(idx)
+                if overflow or idx <= watermark:
+                    continue
+                pending.add(idx)
+                if len(pending) > max_tracked:
+                    overflow = True
+                    pending = set()
+                    break
+            # advance the contiguous prefix
+            while not overflow and (watermark + 1) in pending:
+                watermark += 1
+                pending.discard(watermark)
+        if overflow:
+            state.update((None, []))
+            yield pd.DataFrame(
+                {
+                    group_column: [key[0]],
+                    "max_seen": [-1],
+                    "missing_count": [-1],
+                    "first_missing": [-1],
+                }
+            )
+            return
+        state.update((watermark, sorted(pending)))
+        if pending:
+            yield pd.DataFrame(
+                {
+                    group_column: [key[0]],
+                    "max_seen": [max(pending)],
+                    "missing_count": [max(pending) - watermark - len(pending)],
+                    "first_missing": [watermark + 1],
+                }
+            )
+
+    return (
+        stream_df.groupBy(group_column)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

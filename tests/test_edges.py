@@ -149,3 +149,56 @@ def test_streaming_windowed_violation_counts(spark, tmp_path):
     assert len(out) == 3  # 30 minutes / 10-minute windows
     assert sum(r["unexpected_rows"] for r in out) == 8  # ids 0,4,...28
     assert all(0 <= r["unexpected_rate"] <= 1 for r in out)
+
+
+def test_streaming_sequence_gaps_stateful(spark, tmp_path):
+    """applyInPandasWithState contiguity: gaps reported per group, and a
+    late arrival that fills the gap self-heals in the next batch."""
+    import json as _json
+    import os
+
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_sequence_gaps,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: conv a has 0,1,3 (missing 2); conv b has 0,1 (complete)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for cid, idx in [("a", 0), ("a", 1), ("a", 3), ("b", 0), ("b", 1)]:
+            f.write(_json.dumps({"conv_id": cid, "turn_idx": idx}) + "\n")
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int")
+        .json(src)
+    )
+    gaps = streaming_sequence_gaps(stream, "conv_id", "turn_idx")
+    seen = []
+
+    q = (
+        gaps.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: seen.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flat = [r for batch in seen for r in batch]
+    assert {r["conv_id"] for r in flat} == {"a"}
+    assert flat[0]["first_missing"] == 2
+    assert flat[0]["missing_count"] == 1
+    assert flat[0]["max_seen"] == 3
+
+    # batch 2: the missing turn arrives late -> group heals (no gap rows)
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(_json.dumps({"conv_id": "a", "turn_idx": 2}) + "\n")
+    seen.clear()
+    q2 = (
+        gaps.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: seen.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert [r for batch in seen for r in batch] == []

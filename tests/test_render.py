@@ -1,0 +1,121 @@
+"""Markdown renderer (Data-Docs-lite) — pure-Python, no Spark needed."""
+
+from great_expectations_spark.render.markdown import (
+    render_checkpoint_summary_markdown,
+    render_suite_result_markdown,
+)
+
+RESULT = {
+    "success": False,
+    "meta": {
+        "expectation_suite_name": "orders.daily",
+        "run_id": "r-1",
+        "validation_time": "2026-08-17T00:00:00",
+    },
+    "statistics": {
+        "evaluated_expectations": 2,
+        "successful_expectations": 1,
+        "unsuccessful_expectations": 1,
+        "success_percent": 50.0,
+    },
+    "results": [
+        {
+            "success": True,
+            "expectation_config": {
+                "expectation_type": "expect_column_values_to_not_be_null",
+                "kwargs": {"column": "id"},
+            },
+            "result": {"element_count": 10, "unexpected_count": 0},
+        },
+        {
+            "success": False,
+            "expectation_config": {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "qty", "min_value": 0, "max_value": 5},
+            },
+            "result": {
+                "element_count": 10,
+                "unexpected_count": 2,
+                "observed_value": None,
+                "partial_unexpected_list": [9, 12],
+            },
+        },
+    ],
+}
+
+
+def test_render_suite_result_markdown():
+    doc = render_suite_result_markdown(RESULT)
+    assert doc.startswith("# ❌ orders.daily")
+    assert "1/2 passed (50.0%)" in doc
+    assert "| ✅ | `expect_column_values_to_not_be_null` | id |" in doc
+    assert "## ❌ `expect_column_values_to_be_between`" in doc
+    assert "- `9`" in doc and "- `12`" in doc
+
+
+def test_render_handles_exception_results():
+    bad = dict(RESULT)
+    bad["results"] = [
+        {
+            "success": False,
+            "expectation_config": {
+                "expectation_type": "expect_x",
+                "kwargs": {},
+            },
+            "result": {},
+            "exception_info": {
+                "raised_exception": True,
+                "exception_message": "boom | with pipe\nand newline",
+            },
+        }
+    ]
+    doc = render_suite_result_markdown(bad)
+    assert "Raised:" in doc
+    assert "boom \\| with pipe and newline" in doc
+
+
+def test_render_checkpoint_summary():
+    summary = {
+        "success": True,
+        "run_id": "r-2",
+        "partitions_total": 2,
+        "partitions_done": 2,
+        "partitions_skipped_resume": 0,
+        "failures": [],
+        "entries": [
+            {
+                "partition_id": "2024-01-01",
+                "status": "done",
+                "success": True,
+                "rows": 100,
+                "rows_per_sec": 1000.0,
+            },
+        ],
+    }
+    doc = render_checkpoint_summary_markdown(summary)
+    assert doc.startswith("# ✅ checkpoint run")
+    assert "| 2024-01-01 | done | ✅ | 100 | 1000.0 |" in doc
+
+
+def test_render_docs_action_writes_file(tmp_path):
+    from great_expectations_spark.checkpoint.actions import ActionContext
+    from great_expectations_spark.core.results import (
+        ExpectationSuiteValidationResult,
+    )
+    from great_expectations_spark.render.markdown import RenderDocsAction
+
+    res = ExpectationSuiteValidationResult(
+        success=True, results=[], statistics={"evaluated_expectations": 0,
+                                              "successful_expectations": 0,
+                                              "success_percent": 100.0},
+        meta={"expectation_suite_name": "s", "run_id": "r-3"},
+    )
+    action = RenderDocsAction(str(tmp_path / "docs"))
+    ctx = ActionContext(
+        run_id="r-3", suite_name="s", partition_column="day",
+        partition_id="2024-01-01", result=res, entry_status="done",
+    )
+    path = action.run(ctx)
+    assert path.endswith("2024-01-01.md")
+    with open(path) as f:
+        assert f.read().startswith("# ✅ s — day=2024-01-01")
