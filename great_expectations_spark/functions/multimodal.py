@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode/feature-extraction libs (PIL/ffmpeg/etc.) are NOT in this
-container, so the decode kernels are stubs: ``deterministic_fake=True``
-produces a seeded, reproducible feature payload so the Spark-side plumbing
-(schema, partition-preserving mapInPandas, Arrow batch shape) is fully real
-and testable; ``deterministic_fake=False`` raises NotImplementedError at
-the decode site.
+Decode support tiers:
+
+1. **netpbm (PPM P6 / PGM P5) — REAL decode, no external libs**: parsed
+   with stdlib + numpy (`decode_image`), with real nearest-neighbor /
+   block-mean resize and a real 16-dim feature vector (4×4 grayscale
+   block means).  `encode_ppm` produces valid PPM bytes for tests and
+   synthetic corpora.
+2. **PIL formats (JPEG/PNG/...)**: used when PIL is importable (absent
+   from this container — gated behind an import-try).
+3. Anything else raises ``NotImplementedError`` at the decode site,
+   unless ``deterministic_fake=True``, which yields a seeded,
+   content-derived payload for pure plumbing tests.
 
 Schema convention:
   media struct<data: binary, mime: string, width: int, height: int,
@@ -50,21 +56,118 @@ def attach_media_metadata(
     )
 
 
-def _decode_image_bytes(data: bytes, deterministic_fake: bool) -> List[float]:
-    if not deterministic_fake:
-        # Real implementation: PIL.Image.open(io.BytesIO(data)) → resize →
-        # normalized pixel stats / embedding. Image libs absent here.
-        raise NotImplementedError(
-            "image decode requires PIL/opencv, not available in this "
-            "environment; pass deterministic_fake=True for plumbing tests"
-        )
-    import hashlib
-
+def encode_ppm(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6) — valid netpbm
+    bytes for tests / synthetic corpora."""
     import numpy as np
 
-    digest = hashlib.blake2b(data or b"", digest_size=IMAGE_FEATURE_DIM * 2).digest()
-    arr = np.frombuffer(digest, dtype=np.uint16).astype(np.float64)
-    return list(arr / 65535.0)
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_ppm expects (H, W, 3) uint8")
+    header = f"P6\n{a.shape[1]} {a.shape[0]}\n255\n".encode("ascii")
+    return header + a.tobytes()
+
+
+def _parse_netpbm(data: bytes):
+    """Parse binary PGM (P5, grayscale) / PPM (P6, RGB) into an
+    (H, W, C) uint8 numpy array.  Pure stdlib + numpy — a real decoder
+    with no external dependency.  Returns None for other formats."""
+    import numpy as np
+
+    if len(data) < 2 or data[:1] != b"P" or data[1:2] not in (b"5", b"6"):
+        return None
+    channels = 3 if data[1:2] == b"6" else 1
+    # header tokens: magic, width, height, maxval — whitespace separated,
+    # '#' comments to end-of-line allowed anywhere in the header
+    tokens: List[bytes] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":
+            pos = data.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated netpbm header")
+    width, height, maxval = (int(t) for t in tokens)
+    pos += 1  # single whitespace byte after maxval
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    need = width * height * channels
+    body = data[pos : pos + need]
+    if len(body) < need:
+        raise ValueError("truncated netpbm body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+
+
+def decode_image(data: bytes):
+    """Decode image bytes to an (H, W, C) uint8 array.  netpbm decodes
+    natively; other formats require PIL (import-gated — absent from this
+    container)."""
+    img = _parse_netpbm(data)
+    if img is not None:
+        return img
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "non-netpbm image decode requires PIL, not available in this "
+            "environment; use PPM/PGM bytes or deterministic_fake=True"
+        ) from exc
+    import numpy as np
+
+    arr = np.asarray(Image.open(BytesIO(data)).convert("RGB"))
+    return arr
+
+
+def resize_block_mean(img, out_h: int, out_w: int):
+    """Real resize: mean over rectangular source blocks (area
+    interpolation) — numpy only, deterministic."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    out = np.empty((out_h, out_w, img.shape[2]), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = img[ys[i] : max(ys[i + 1], ys[i] + 1),
+                        xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean(axis=(0, 1))
+    return out
+
+
+def image_feature_vec(img) -> List[float]:
+    """16-dim feature: 4×4 grayscale block means, normalized to [0, 1]."""
+    import numpy as np
+
+    gray = np.asarray(img, dtype=np.float64).mean(axis=2, keepdims=True)
+    grid = resize_block_mean(gray, 4, 4)[:, :, 0]
+    return list((grid / 255.0).ravel())
+
+
+def _decode_image_bytes(data: bytes, deterministic_fake: bool) -> List[float]:
+    if deterministic_fake:
+        import hashlib
+
+        import numpy as np
+
+        digest = hashlib.blake2b(
+            data or b"", digest_size=IMAGE_FEATURE_DIM * 2
+        ).digest()
+        arr = np.frombuffer(digest, dtype=np.uint16).astype(np.float64)
+        return list(arr / 65535.0)
+    return image_feature_vec(decode_image(data))
 
 
 def image_features(

@@ -51,6 +51,10 @@ def main() -> None:
     ap.add_argument("--result-format", default="SUMMARY")
     ap.add_argument("--results-table", help="parquet path for the flattened "
                                             "results table")
+    ap.add_argument("--docs-dir", help="write per-partition markdown "
+                                       "reports (Data-Docs-lite) here")
+    ap.add_argument("--store-results-dir", help="store full result JSON "
+                                                "per partition here")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,6 +88,18 @@ def main() -> None:
     else:
         suite = default_suite()
 
+    actions = []
+    if args.docs_dir:
+        from great_expectations_spark.render.markdown import RenderDocsAction
+
+        actions.append(RenderDocsAction(args.docs_dir))
+    if args.store_results_dir:
+        from great_expectations_spark.checkpoint.actions import (
+            StoreValidationResultAction,
+        )
+
+        actions.append(StoreValidationResultAction(args.store_results_dir))
+
     t0 = time.perf_counter()
     if args.strategy == "checkpoint":
         summary = gx.run_checkpoint(
@@ -93,6 +109,7 @@ def main() -> None:
             args.checkpoint_dir,
             result_format=args.result_format,
             max_concurrency=args.concurrency,
+            actions=actions or None,
         )
         out = {
             "strategy": "checkpoint",

@@ -289,3 +289,43 @@ def test_streaming_quarantine_and_microbatch(spark, tmp_path):
     res = next(iter(seen.values()))
     assert res.statistics["evaluated_expectations"] == 2
     assert not res.success
+
+
+def test_ppm_decode_real(spark):
+    """REAL image decode path: PPM bytes -> numpy -> 16-dim grid feature,
+    end-to-end through mapInPandas — no external image libs."""
+    import numpy as np
+
+    # 8x8 image: left half black, right half white
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255
+    data = multimodal.encode_ppm(img)
+    # local decode round-trip
+    back = multimodal.decode_image(data)
+    assert back.shape == (8, 8, 3)
+    assert np.array_equal(back, img)
+    feats = multimodal.image_feature_vec(back)
+    assert len(feats) == 16
+    # 4x4 grid: columns 0-1 black (0.0), columns 2-3 white (1.0)
+    grid = np.array(feats).reshape(4, 4)
+    assert np.allclose(grid[:, :2], 0.0) and np.allclose(grid[:, 2:], 1.0)
+
+    # through Spark
+    df = spark.createDataFrame([(1, bytearray(data))], "id long, data binary")
+    out = multimodal.image_features(df, deterministic_fake=False).collect()
+    assert list(out[0]["features"]) == pytest.approx(feats)
+
+
+def test_pgm_grayscale_and_comments():
+    import numpy as np
+
+    body = bytes(range(16))
+    data = b"P5\n# a comment\n4 4\n255\n" + body
+    img = multimodal.decode_image(data)
+    assert img.shape == (4, 4, 1)
+    assert img.ravel().tolist() == list(range(16))
+
+
+def test_non_netpbm_requires_pil():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\nrest")
