@@ -14,6 +14,11 @@ Local smoke (synthesized deterministic transcripts):
   python jobs/validate_transcripts.py --synthesize 5000 \
       --checkpoint-dir /tmp/ckpt --strategy grouped
 
+  NOTE: the synthesized corpus deliberately PLANTS violations (duplicate
+  (conv_id, turn_idx) pairs, off-vocabulary roles, referential gaps), so
+  a smoke run correctly reports success=false on some partitions — the
+  engine finding the planted dirt is the expected outcome.
+
 Strategies:
   checkpoint — full-fidelity per-partition loop with manifest resume
                (violation samples, job expectations); rerun to resume.
