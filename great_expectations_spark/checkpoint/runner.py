@@ -67,6 +67,7 @@ def run_checkpoint(
     max_concurrency: int = 1,
     run_id: Optional[str] = None,
     actions: Optional[List["CheckpointAction"]] = None,
+    parameter_store: Optional[Any] = None,
 ) -> Dict[str, Any]:
     """Validate every partition, resuming past ``done`` ones. Returns a
     summary dict with per-partition manifest entries.
@@ -112,6 +113,7 @@ def run_checkpoint(
                     "partition_column": partition_column,
                     "partition_id": str(partition_value),
                 },
+                parameter_store=parameter_store,
             )
             finished = datetime.datetime.now(datetime.timezone.utc)
             rows = 0
@@ -210,6 +212,7 @@ def validate_by_partition(
     suite: ExpectationSuite,
     partition_column: str,
     validator: Optional[SuiteValidator] = None,
+    parameter_store: Optional[Any] = None,
 ) -> Dict[str, ExpectationSuiteValidationResult]:
     """Single-pass per-partition validation (counts; BASIC, no samples).
 
@@ -222,7 +225,9 @@ def validate_by_partition(
     validator = validator or SuiteValidator()
     spark = df.sparkSession
     rf = parse_result_format("BASIC")
-    items = validator._compile(suite, suite.evaluation_parameters, True)
+    items = validator._compile(
+        suite, suite.evaluation_parameters, True, parameter_store
+    )
     validator._check_columns_exist(df, items)
     grouped = validator._run_bundled_phase(df, items, group_by=partition_column)
     partitions = sorted(grouped.keys(), key=str)

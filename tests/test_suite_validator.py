@@ -251,3 +251,61 @@ def test_evaluation_parameters(table):
         table, suite, evaluation_parameters={"min_rows": 6}
     )
     assert res.results[0].success
+
+
+def test_hot_conversation_skew_correctness(spark):
+    """Uniqueness + monotonicity + contiguity stay CORRECT when one
+    conversation holds 10k turns (hot key): the two-phase groupBy and
+    per-key windows must agree with direct Spark SQL ground truth."""
+    from great_expectations_spark.datagen.transcripts import (
+        generate_transcripts,
+    )
+
+    df = generate_transcripts(
+        spark, 200, hot_conversations=2, hot_turns=10_000
+    ).persist()
+    try:
+        suite = (
+            ExpectationSuite("hot")
+            .add(
+                "expect_compound_columns_to_be_unique",
+                column_list=["conv_id", "turn_idx"], mostly=0.5,
+            )
+            .add(
+                "expect_column_values_to_be_increasing",
+                column="ts", partition_by="conv_id", order_by="turn_idx",
+                mostly=0.5,
+            )
+        )
+        res = SuiteValidator().validate(df, suite, result_format="BASIC")
+        by_type = {
+            r.expectation_config["expectation_type"]: r for r in res.results
+        }
+        # ground truth via direct SQL on the same session
+        df.createOrReplaceTempView("hot_t")
+        dup_truth = spark.sql(
+            "SELECT coalesce(sum(c), 0) FROM (SELECT count(*) c FROM hot_t "
+            "WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL "
+            "GROUP BY conv_id, turn_idx HAVING count(*) > 1)"
+        ).first()[0]
+        mono_truth = spark.sql(
+            "SELECT count(*) FROM (SELECT ts, lag(ts) OVER (PARTITION BY "
+            "conv_id ORDER BY turn_idx) prev FROM hot_t WHERE ts IS NOT "
+            "NULL) WHERE prev IS NOT NULL AND ts < prev"
+        ).first()[0]
+        assert (
+            by_type["expect_compound_columns_to_be_unique"].result[
+                "unexpected_count"
+            ]
+            == dup_truth
+        )
+        assert (
+            by_type["expect_column_values_to_be_increasing"].result[
+                "unexpected_count"
+            ]
+            == mono_truth
+        )
+        assert dup_truth > 0  # planted duplicates present in hot convs
+    finally:
+        df.unpersist()
+        spark.catalog.dropTempView("hot_t")
