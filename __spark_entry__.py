@@ -475,6 +475,22 @@ def _embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + inverted-list scan) at full
+    probe width: exercises the REAL index build + assignment + probe scan
+    + cosine refine, with an exact-top-k oracle (n_probe = n_clusters is
+    provably equal to brute force, independent of the clustering)."""
+    df = _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qrow = df.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(v) for v in qrow["embedding"]]
+    assigned, centroids = similarity.ivf_index(df, n_clusters=8, seed=3)
+    return similarity.ivf_topk(
+        assigned, centroids, query, k=10, n_probe=8
+    )
+
+
 def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-partition validation (validate_by_partition): every
     day's whole-suite counters from ONE groupBy pass."""
@@ -619,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_pairs": _embed_near_dup,
         "simhash_pairs_docs": _simhash_pairs,
         "lsh_ann_topk": _lsh_ann,
+        "ivf_ann_topk": _ivf_ann,
     }
     return q
 
@@ -994,6 +1011,14 @@ def _dedup_ann_oracles() -> dict[str, str]:
         "embed_near_dup_pairs": _embed_near_dup_sql(),
         "lang_id_docs": _lang_id_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
+        "ivf_ann_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_cosine_similarity("
+            "e.embedding::DOUBLE[], q.qe), 6) AS cos_sim "
+            "FROM embeddings e, q "
+            "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"
+        ),
     }
 
 

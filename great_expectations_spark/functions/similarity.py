@@ -209,3 +209,72 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
+
+
+def ivf_index(
+    df: DataFrame,
+    n_clusters: int = 64,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    seed: int = 42,
+    train_fraction: Optional[float] = None,
+):
+    """Build an IVF index: k-means coarse quantizer (Spark MLlib — runs as
+    distributed Lloyd iterations) + cluster assignment per vector.
+
+    Returns (assigned_df, centroids) where ``assigned_df`` carries an
+    ``__ivf_cluster`` int column and ``centroids`` is an (n_clusters, dim)
+    numpy array kept driver-side (tiny).  At 10^12 rows the assigned table
+    would be WRITTEN partitioned/bucketed by ``__ivf_cluster`` so probes
+    become partition pruning; training runs on a sample
+    (``train_fraction``) because the quantizer needs only cluster shape,
+    not every point.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = df.select(
+        F.col(id_column),
+        F.col(embedding_column),
+        array_to_vector(F.col(embedding_column).cast("array<double>")).alias(
+            "__features"
+        ),
+    )
+    train = base if train_fraction is None else base.sample(
+        fraction=train_fraction, seed=seed
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__features",
+        predictionCol="__ivf_cluster",
+    ).fit(train)
+    assigned = model.transform(base).drop("__features")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query driver-side (an
+    (n_clusters × dim) numpy op), scan only the ``n_probe`` nearest
+    inverted lists, exact cosine top-k on the candidates.  With the
+    assigned table bucketed by cluster this touches n_probe/n_clusters of
+    the data; ``n_probe=n_clusters`` degrades to exact brute force."""
+    q = np.asarray(query, dtype=float)
+    qn = np.linalg.norm(q)
+    cn = np.linalg.norm(centroids, axis=1)
+    sims = (centroids @ q) / np.where(cn * qn == 0, 1, cn * qn)
+    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    candidates = assigned.filter(F.col("__ivf_cluster").isin(probes))
+    return brute_force_topk(
+        candidates, list(q), k, id_column, embedding_column
+    )

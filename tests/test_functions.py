@@ -329,3 +329,32 @@ def test_pgm_grayscale_and_comments():
 def test_non_netpbm_requires_pil():
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.decode_image(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_ivf_ann(spark):
+    """IVF coarse-quantizer ANN: full-probe search equals exact brute
+    force; probe-limited search still finds the self-match and touches
+    only the probed inverted lists."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 12))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = similarity.ivf_index(emb, n_clusters=8, seed=3)
+    assert centroids.shape == (8, 12)
+    assert assigned.select("__ivf_cluster").distinct().count() <= 8
+
+    query = [float(x) for x in vecs[42]]
+    exact = similarity.brute_force_topk(emb, query, 5).collect()
+    # n_probe = n_clusters degrades to exact search
+    full = similarity.ivf_topk(
+        assigned, centroids, query, k=5, n_probe=8
+    ).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    # a 2-probe search still finds the query's own vector (cos=1 in its
+    # own cluster, which is always the nearest centroid)
+    near = similarity.ivf_topk(
+        assigned, centroids, query, k=1, n_probe=2
+    ).first()
+    assert near["vec_id"] == 42
