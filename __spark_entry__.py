@@ -491,6 +491,22 @@ def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _days_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-contiguity aggregate: missing days between min/max ts."""
+    df = _load(spark, sf_dir, "events")
+    suite = ExpectationSuite("q").add(
+        "expect_column_to_have_no_days_missing", column="ts", threshold=0
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    r = res.results[0]
+    if r.exception_info["raised_exception"]:
+        raise RuntimeError(r.exception_info["exception_message"])
+    return spark.createDataFrame(
+        [(int(r.result["observed_value"]), bool(r.success))],
+        "missing_days bigint, success boolean",
+    )
+
+
 def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-partition validation (validate_by_partition): every
     day's whole-suite counters from ONE groupBy pass."""
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_freq_urgent": _query_freq_urgent,
         # --- per-partition single-pass grouped validation ---
         "grouped_by_day_between": _grouped_by_day,
+        "days_missing_events": _days_missing,
         # --- referential / cross-table ---
         "anti_join_lineitem_orders": _anti_join,
         "rowcount_compare": _rowcount_compare,
@@ -836,6 +853,12 @@ def oracle_sql() -> dict[str, str]:
             "'1-URGENT')::DOUBLE / count(*), 6) AS freq_urgent, "
             "count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::DOUBLE "
             "/ count(*) >= 0.05 AS success FROM orders"
+        ),
+        "days_missing_events": (
+            "SELECT (date_diff('day', min(ts::DATE), max(ts::DATE)) - "
+            "(count(DISTINCT ts::DATE) - 1))::BIGINT AS missing_days, "
+            "date_diff('day', min(ts::DATE), max(ts::DATE)) = "
+            "count(DISTINCT ts::DATE) - 1 AS success FROM events"
         ),
         "grouped_by_day_between": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS "

@@ -392,6 +392,56 @@ def _row_count_equal(kwargs: Dict[str, Any]) -> CompiledAggregate:
     )
 
 
+@register_agg("expect_column_to_have_no_days_missing")
+def _no_days_missing(kwargs: Dict[str, Any]) -> CompiledAggregate:
+    """Every calendar day between the column's min and max date appears at
+    least once; at most ``threshold`` days may be missing.
+
+    Reference (contrib ``expect_column_to_have_no_days_missing.py:121-141``)
+    collects EVERY distinct date to the driver; here the whole check is
+    three fixed-width aggregates in the bundle (min, max, distinct-day
+    count): missing = datediff(max, min) - (distinct - 1) — identical
+    count, no value shipping, scales to any date span.
+    """
+    column = kwargs["column"]
+    threshold = int(kwargs.get("threshold", 0))
+    day = F.to_date(F.col(column))
+    kmin = metric_key("column.date.min", column)
+    kmax = metric_key("column.date.max", column)
+    kdays = metric_key("column.date.distinct_days", column)
+
+    def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
+        dmin, dmax = metrics.get(kmin), metrics.get(kmax)
+        distinct = int(metrics.get(kdays) or 0)
+        if dmin is None or dmax is None or distinct == 0:
+            return {
+                "success": True,  # vacuous on empty/all-null
+                "result": {"observed_value": None},
+            }
+        span = (dmax - dmin).days
+        missing = span - (distinct - 1)
+        return {
+            "success": missing <= threshold,
+            "result": {
+                "observed_value": missing,
+                "details": {
+                    "min_date": str(dmin),
+                    "max_date": str(dmax),
+                    "distinct_days": distinct,
+                },
+            },
+        }
+
+    return CompiledAggregate(
+        agg_exprs={
+            kmin: F.min(day),
+            kmax: F.max(day),
+            kdays: F.count_distinct(day),
+        },
+        validate=validate,
+    )
+
+
 def compile_aggregate_expectation(
     expectation_type: str, kwargs: Dict[str, Any]
 ) -> CompiledAggregate:

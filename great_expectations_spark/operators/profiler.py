@@ -252,3 +252,77 @@ def _plain(value: Any) -> Any:
     except ImportError:
         pass
     return value
+
+
+def suggest_drift_suite(
+    df: DataFrame,
+    baseline_condition: str,
+    suite_name: str = "drift",
+    columns: Optional[List[str]] = None,
+    max_set_size: int = 50,
+    ks_threshold: float = 0.2,
+    psi_threshold: float = 0.25,
+    chi2_p: float = 0.001,
+    bins: int = 10,
+) -> ExpectationSuite:
+    """Suggest a two-sample drift suite for a table split by
+    ``baseline_condition`` (e.g. ``"ts < timestamp '...'"``).
+
+    Numeric columns get KS (quantile-binned from the baseline window) +
+    PSI; low-cardinality string columns get a two-sample chi² homogeneity
+    test.  One profiling agg classifies columns; one quantile pass per
+    numeric column derives bin edges from the BASELINE side so the bins
+    are meaningful for the comparison window too.
+    """
+    from great_expectations_spark.core.domain import parse_row_condition
+
+    cols = columns or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    baseline = parse_row_condition(baseline_condition, "spark")
+    base_df = df.filter(baseline)
+
+    aggs = []
+    numeric_cols, string_cols = [], []
+    for c in cols:
+        dtype = fields[c]
+        if isinstance(dtype, NUMERIC_TYPES):
+            numeric_cols.append(c)
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c),
+                    [i / bins for i in range(1, bins)],
+                    10_000,
+                ).alias(f"q__{c}")
+            )
+        elif isinstance(dtype, T.StringType):
+            string_cols.append(c)
+            aggs.append(F.approx_count_distinct(F.col(c), 0.05).alias(f"dc__{c}"))
+    if not aggs:
+        return ExpectationSuite(suite_name)
+    row = base_df.agg(*aggs).first()
+
+    suite = ExpectationSuite(suite_name)
+    for c in numeric_cols:
+        quants = row[f"q__{c}"]
+        if quants is None:
+            continue
+        edges = sorted(set(float(q) for q in quants))
+        if len(edges) < 2:
+            continue
+        suite.add(
+            "expect_column_two_sample_ks_to_be_less_than",
+            column=c, baseline_condition=baseline_condition,
+            threshold=ks_threshold, bins=edges,
+        )
+        suite.add(
+            "expect_column_two_sample_psi_to_be_less_than",
+            column=c, baseline_condition=baseline_condition,
+            threshold=psi_threshold, bins=edges,
+        )
+    for c in string_cols:
+        if 0 < int(row[f"dc__{c}"] or 0) <= max_set_size:
+            suite.add(
+                "expect_column_two_sample_chisquare_p_to_be_greater_than",
+                column=c, baseline_condition=baseline_condition, p=chi2_p,
+            )
+    return suite

@@ -131,3 +131,49 @@ def test_two_sample_chi2_role_mix(spark):
     )
     res = SuiteValidator().validate(df, suite)
     assert not res.results[0].success  # 50/50 vs 20/80 must flag
+
+
+def test_no_days_missing_expectation(spark):
+    rows = [("2024-01-01",), ("2024-01-02",), ("2024-01-04",)]
+    df = spark.createDataFrame(rows, "d string").select(
+        F.to_timestamp("d").alias("ts")
+    )
+    suite = ExpectationSuite("dm").add(
+        "expect_column_to_have_no_days_missing", column="ts", threshold=0
+    )
+    r = SuiteValidator().validate(df, suite).results[0]
+    assert not r.success
+    assert r.result["observed_value"] == 1  # 2024-01-03 missing
+    suite_ok = ExpectationSuite("dm").add(
+        "expect_column_to_have_no_days_missing", column="ts", threshold=1
+    )
+    assert SuiteValidator().validate(df, suite_ok).results[0].success
+
+
+def test_suggest_drift_suite_detects_planted_shift(spark):
+    from great_expectations_spark.datagen.transcripts import (
+        generate_transcripts,
+    )
+    from great_expectations_spark.operators.profiler import (
+        suggest_drift_suite,
+    )
+
+    df = generate_transcripts(spark, 2000, hot_conversations=0).withColumn(
+        "text_len", F.length("text")
+    )
+    split = "ts < timestamp '2025-01-25 00:00:00'"
+    suite = suggest_drift_suite(
+        df, split, columns=["text_len", "role"]
+    )
+    types = [e.expectation_type for e in suite.expectations]
+    assert "expect_column_two_sample_ks_to_be_less_than" in types
+    assert "expect_column_two_sample_psi_to_be_less_than" in types
+    assert "expect_column_two_sample_chisquare_p_to_be_greater_than" in types
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    by_type = {
+        r.expectation_config["expectation_type"]: r for r in res.results
+    }
+    # the datagen plants a text-length + role-mix shift after 2025-01-25:
+    # the chi2 homogeneity test must flag the role mix
+    chi = by_type["expect_column_two_sample_chisquare_p_to_be_greater_than"]
+    assert not chi.success, chi.result
