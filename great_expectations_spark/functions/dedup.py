@@ -51,6 +51,7 @@ def exact_duplicate_stats(df: DataFrame, column: str = "text") -> DataFrame:
     """One row: (n_rows, n_distinct, n_duplicate_rows) for the column's
     normalized content."""
     key = F.xxhash64(normalize_text(F.col(column)))
+    df = _ensure_parallelism(df)
     groups = df.filter(F.col(column).isNotNull()).groupBy(
         key.alias("k")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -69,7 +70,7 @@ def exact_dedup(
     """Keep one row per normalized-content group (deterministic winner when
     ``order_by`` given).  Shuffles by content hash, not by raw text."""
     key = F.xxhash64(normalize_text(F.col(column))).alias("__gx_key")
-    out = df.withColumn("__gx_key", key)
+    out = _ensure_parallelism(df).withColumn("__gx_key", key)
     if order_by is None:
         return out.dropDuplicates(["__gx_key"]).drop("__gx_key")
     w = Window.partitionBy("__gx_key").orderBy(F.col(order_by))
