@@ -136,3 +136,28 @@ def test_table_head(sales):
     assert len(table_head(sales, n_rows=-2)) == 3  # pandas-style negative
     head = table_head(sales, n_rows=1)
     assert set(head[0]) == {"id", "cat", "amount", "qty"}
+
+
+def test_concurrent_query_expectations_no_view_race(spark, tmp_path):
+    """max_concurrency>1 runs validations on one SparkSession; with the
+    per-invocation unique view name each partition's user-SQL count must
+    see ONLY its own rows (regression for the shared-view race)."""
+    from great_expectations_spark.checkpoint.runner import run_checkpoint
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    rows = [(p, i) for p in ["a", "b", "c", "d"] for i in range(100 * (ord(p) - 96))]
+    df = spark.createDataFrame(rows, "part string, v int")
+    # each partition p has exactly 100*(ord(p)-96) rows; assert per
+    # partition via a query expectation with exact bounds resolved from
+    # the batch itself
+    suite = ExpectationSuite("c").add(
+        "expect_query_value_to_be_between",
+        query="SELECT count(*) * 0 + "
+              "(SELECT count(DISTINCT part) FROM {batch}) FROM {batch}",
+        min_value=1, max_value=1,  # exactly ONE distinct partition visible
+    )
+    summary = run_checkpoint(
+        df, suite, "part", str(tmp_path / "ckpt"), max_concurrency=4,
+    )
+    assert summary["success"], summary["failures"]
+    assert summary["partitions_validated_now"] == 4
