@@ -192,20 +192,26 @@ def embedding_near_dup_pairs(
         F.col(id_column).alias("__id"),
         F.col(embedding_column).alias("__emb"),
         lsh_signature(F.col(embedding_column), planes).alias("__sig"),
-    )
-    l, r = sigs.alias("l"), sigs.alias("r")
+    ).persist()
+    # candidate generation on (sig, id) ONLY — the d-dim embedding arrays
+    # never travel through the self-join shuffle; payloads re-attach to
+    # the (small) candidate set afterwards
+    keyed = sigs.select("__id", "__sig")
+    l, r = keyed.alias("l"), keyed.alias("r")
+    candidates = l.join(
+        r,
+        (F.col("l.__sig") == F.col("r.__sig"))
+        & (F.col("l.__id") < F.col("r.__id")),
+    ).select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    ea = sigs.select(F.col("__id").alias("id_a"), F.col("__emb").alias("__ea"))
+    eb = sigs.select(F.col("__id").alias("id_b"), F.col("__emb").alias("__eb"))
     return (
-        l.join(
-            r,
-            (F.col("l.__sig") == F.col("r.__sig"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
+        candidates.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.round(cosine(F.col("l.__emb"), F.col("r.__emb")), 6).alias(
-                "cos_sim"
-            ),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
