@@ -543,7 +543,12 @@ def ngram_jaccard_pairs(
     """
     base = _ensure_parallelism(df).select(
         F.col(id_column).alias("__id"),
-        word_shingles(F.col(text_column), k).alias("__sh"),
+        # 8-byte shingle hashes: the inverted-index shuffle carries longs,
+        # not multi-word strings (collisions negligible in 64-bit space
+        # and symmetric across both sides, so intersection counts match)
+        F.array_distinct(
+            shingle_hashes(word_shingles(F.col(text_column), k))
+        ).alias("__sh"),
     ).filter(F.size("__sh") > 0)
     sizes = base.select("__id", F.size("__sh").alias("__n"))
     inverted = base.select(
