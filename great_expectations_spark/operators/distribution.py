@@ -145,13 +145,13 @@ def build_continuous_partition_object(
 def build_categorical_partition_object(
     df: DataFrame, column: str, domain: Optional[Column] = None
 ) -> Dict[str, Any]:
-    rows = (
+    rows = _collect_categories_capped(
         _apply_domain(df, domain)
         .filter(F.col(column).isNotNull())
         .groupBy(column)
         .agg(F.count(F.lit(1)).alias("count"))
-        .orderBy(column)
-        .collect()
+        .orderBy(column),
+        column,
     )
     total = sum(r["count"] for r in rows) or 1
     return {

@@ -79,10 +79,21 @@ def _most_common_in_set(kwargs: Dict[str, Any]) -> CompiledJob:
             top = counts.agg(F.max("count").alias("m")).first()
             if top is None or top["m"] is None:
                 return {"success": True, "result": {"observed_value": []}}
-            modes = [
-                r[column]
-                for r in counts.filter(F.col("count") == top["m"]).collect()
-            ]
+            # bounded collect: an all-distinct column makes EVERY value a
+            # mode (count == 1 everywhere) — cap the tie set instead of
+            # shipping the whole column to the driver
+            mode_cap = 1000
+            mode_rows = (
+                counts.filter(F.col("count") == top["m"])
+                .limit(mode_cap + 1)
+                .collect()
+            )
+            if len(mode_rows) > mode_cap:
+                raise ValueError(
+                    f"more than {mode_cap} values tie for most-common in "
+                    f"{column!r} — the column has no meaningful mode"
+                )
+            modes = [r[column] for r in mode_rows]
         finally:
             counts.unpersist()
         modes_sorted = sorted(modes, key=lambda v: (v is None, v))

@@ -116,3 +116,26 @@ def test_kl_categorical_small_known_weight_is_scaled(spark):
     pk = [0.45, 0.05, 0.5]
     expected_kl = sum(p * math.log(p / q) for p, q in zip(pk, qk))
     assert r.result["observed_value"] == pytest.approx(expected_kl)
+
+
+def test_categorical_partition_object_cap(spark, monkeypatch):
+    from great_expectations_spark.operators.distribution import (
+        build_categorical_partition_object,
+    )
+
+    monkeypatch.setattr(distribution, "CATEGORICAL_COLLECT_CAP", 5)
+    df = spark.range(100).select(F.col("id").cast("string").alias("c"))
+    with pytest.raises(ValueError, match="categorical cap"):
+        build_categorical_partition_object(df, "c", None)
+
+
+def test_most_common_mode_tie_cap(spark):
+    # an all-distinct column has every value tied for mode — must fail
+    # with a clear error, not ship the column to the driver
+    df = spark.range(5000).select(F.col("id").cast("string").alias("c"))
+    r = _one_result(
+        df, "expect_column_most_common_value_to_be_in_set",
+        column="c", value_set=["0"],
+    )
+    assert r.exception_info["raised_exception"]
+    assert "tie for most-common" in r.exception_info["exception_message"]
