@@ -34,7 +34,14 @@ _EXTENSION_FORMATS = {
 
 @dataclass
 class BatchSpec:
-    """Declarative recipe for materializing a batch DataFrame."""
+    """Declarative recipe for materializing a batch DataFrame.
+
+    ``spark_conf`` holds session-level connector configuration applied
+    before the read — the cloud/catalog plumbing the reference wires in
+    ``sparkdf_execution_engine.py:284-391`` (Azure account keys, Glue/
+    Iceberg catalog settings).  Use the helpers ``azure_wasb_conf`` /
+    ``glue_catalog_conf`` to build it.
+    """
 
     path: Optional[str] = None
     table: Optional[str] = None  # catalog table (Iceberg/Hive/Delta)
@@ -42,6 +49,37 @@ class BatchSpec:
     schema: Optional[Any] = None  # StructType | DDL string | schema JSON
     reader_options: Dict[str, Any] = field(default_factory=dict)
     dataframe: Optional[DataFrame] = None
+    spark_conf: Dict[str, str] = field(default_factory=dict)
+
+
+def azure_wasb_conf(storage_account: str, credential: str) -> Dict[str, str]:
+    """Azure Blob (wasb) connector conf (reference
+    ``sparkdf_execution_engine.py:309-326``)."""
+    return {
+        "fs.wasb.impl": "org.apache.hadoop.fs.azure.NativeAzureFileSystem",
+        f"fs.azure.account.key.{storage_account}.blob.core.windows.net": (
+            credential
+        ),
+    }
+
+
+def glue_catalog_conf(
+    catalog_name: str = "glue", warehouse: Optional[str] = None
+) -> Dict[str, str]:
+    """AWS Glue as an Iceberg catalog (reference
+    ``GlueDataCatalogBatchSpec``, ``sparkdf_execution_engine.py:355-391``;
+    connector jars must be on the classpath)."""
+    conf = {
+        f"spark.sql.catalog.{catalog_name}": (
+            "org.apache.iceberg.spark.SparkCatalog"
+        ),
+        f"spark.sql.catalog.{catalog_name}.catalog-impl": (
+            "org.apache.iceberg.aws.glue.GlueCatalog"
+        ),
+    }
+    if warehouse:
+        conf[f"spark.sql.catalog.{catalog_name}.warehouse"] = warehouse
+    return conf
 
 
 def guess_reader_format(path: str) -> str:
@@ -67,6 +105,8 @@ def _resolve_schema(schema: Any) -> Optional[T.StructType]:
 
 
 def load_batch(spark: SparkSession, spec: BatchSpec) -> DataFrame:
+    for key, value in spec.spark_conf.items():
+        spark.conf.set(key, value)
     if spec.dataframe is not None:
         return spec.dataframe
     if spec.table is not None:

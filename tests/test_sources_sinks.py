@@ -105,3 +105,26 @@ def test_fluent_datasource(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="already exists"):
         ds.add_parquet_asset("t", path)
+
+
+def test_cloud_batch_spec_conf_plumbing(spark, tmp_path):
+    from great_expectations_spark.sources.readers import (
+        BatchSpec,
+        azure_wasb_conf,
+        glue_catalog_conf,
+        load_batch,
+    )
+
+    conf = azure_wasb_conf("myacct", "SECRET")
+    assert conf["fs.azure.account.key.myacct.blob.core.windows.net"] == "SECRET"
+    g = glue_catalog_conf("lake", warehouse="s3://wh")
+    assert g["spark.sql.catalog.lake.warehouse"] == "s3://wh"
+
+    # spark_conf is applied to the session before the read
+    df = spark.createDataFrame([(1,)], "x int")
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    spec = BatchSpec(path=path, spark_conf={"spark.gx.test.flag": "on"})
+    out = load_batch(spark, spec)
+    assert out.count() == 1
+    assert spark.conf.get("spark.gx.test.flag") == "on"
