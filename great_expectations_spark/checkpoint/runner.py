@@ -221,6 +221,13 @@ def validate_by_partition(
     once and fan out.  Job expectations (user SQL, cross-table) are
     evaluated on the WHOLE df and replicated with a note — run
     ``run_checkpoint`` for per-partition job semantics.
+
+    Scale note: aggregate expectations with a ``followup`` hook (the
+    distinct-VALUE-set family) run one partition-filtered followup job
+    per partition here — bounded per job by the cardinality cap, but at
+    10^5 partitions prefer count-based distinct expectations
+    (``unique_value_count`` / ``proportion_of_unique_values``), which
+    ride the single grouped pass.
     """
     validator = validator or SuiteValidator()
     spark = df.sparkSession
