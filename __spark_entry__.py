@@ -605,6 +605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "lineitem", "expect_column_pair_values_to_be_equal",
             column_A="l_returnflag", column_B="l_linestatus",
         ),
+        "multicolumn_sum_between": lambda s, d: _map_counts(
+            s, d, "lineitem", "expect_multicolumn_sum_values_to_be_between",
+            column_list=["l_quantity", "l_linenumber"],
+            min_value=5, max_value=40,
+        ),
         "multicolumn_sum": lambda s, d: _map_counts(
             s, d, "lineitem", "expect_multicolumn_sum_to_equal",
             column_list=["l_quantity", "l_linenumber"], sum_total=10,
@@ -762,6 +767,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT (l_returnflag IS NULL AND l_linestatus IS NULL) AND "
             "NOT coalesce(l_returnflag = l_linestatus, FALSE))::BIGINT AS "
             "unexpected_count FROM lineitem"
+        ),
+        "multicolumn_sum_between": (
+            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
+            "WHERE NOT (coalesce(l_quantity,0) + coalesce(l_linenumber,0) "
+            ">= 5 AND coalesce(l_quantity,0) + coalesce(l_linenumber,0) "
+            "<= 40))::BIGINT AS unexpected_count FROM lineitem"
         ),
         "multicolumn_sum": (
             "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("

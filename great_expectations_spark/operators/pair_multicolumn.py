@@ -112,6 +112,22 @@ def _multicolumn_sum_equal(kwargs: Dict[str, Any]) -> CompiledMap:
     return _multicolumn(kwargs, expected, "all_values_are_missing")
 
 
+# ref: contrib expect_multicolumn_sum_values_to_be_between (row-wise sum
+# bounded instead of exactly equal — the between variant of sum_to_equal)
+@register_pair("expect_multicolumn_sum_values_to_be_between")
+def _multicolumn_sum_between(kwargs: Dict[str, Any]) -> CompiledMap:
+    min_value = kwargs.get("min_value")
+    max_value = kwargs.get("max_value")
+    cols = [F.coalesce(F.col(c), F.lit(0)) for c in kwargs["column_list"]]
+    total = reduce(lambda p, q: p + q, cols)
+    expected = F.lit(True)
+    if min_value is not None:
+        expected = expected & (total >= F.lit(min_value))
+    if max_value is not None:
+        expected = expected & (total <= F.lit(max_value))
+    return _multicolumn(kwargs, expected, "all_values_are_missing")
+
+
 # ref: multicolumn_map_metrics/select_column_values_unique_within_record.py:72-86
 @register_pair("expect_select_column_values_to_be_unique_within_record")
 def _unique_within_record(kwargs: Dict[str, Any]) -> CompiledMap:
