@@ -614,6 +614,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "lineitem", "expect_multicolumn_sum_to_equal",
             column_list=["l_quantity", "l_linenumber"], sum_total=10,
         ),
+        "multicolumn_not_all_null": lambda s, d: _map_counts(
+            s, d, "documents",
+            "expect_multicolumn_values_not_to_be_all_null",
+            column_list=["text", "lang"],
+        ),
         "unique_within_record": lambda s, d: _map_counts(
             s, d, "lineitem",
             "expect_select_column_values_to_be_unique_within_record",
@@ -778,6 +783,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
             "WHERE coalesce(l_quantity,0) + coalesce(l_linenumber,0) <> 10"
             ")::BIGINT AS unexpected_count FROM lineitem"
+        ),
+        "multicolumn_not_all_null": (
+            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
+            "WHERE text IS NULL AND lang IS NULL)::BIGINT AS "
+            "unexpected_count FROM documents"
         ),
         "unique_within_record": (
             "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("

@@ -128,6 +128,18 @@ def _multicolumn_sum_between(kwargs: Dict[str, Any]) -> CompiledMap:
     return _multicolumn(kwargs, expected, "all_values_are_missing")
 
 
+# ref: contrib expect_multicolumn_values_not_to_be_all_null — at least one
+# of the listed columns must be non-null per row
+@register_pair("expect_multicolumn_values_not_to_be_all_null")
+def _multicolumn_not_all_null(kwargs: Dict[str, Any]) -> CompiledMap:
+    any_nonnull = reduce(
+        lambda p, q: p | q,
+        [F.col(c).isNotNull() for c in kwargs["column_list"]],
+    )
+    # never ignore rows: an all-null row is exactly the violation
+    return _multicolumn(kwargs, any_nonnull, "never")
+
+
 # ref: multicolumn_map_metrics/select_column_values_unique_within_record.py:72-86
 @register_pair("expect_select_column_values_to_be_unique_within_record")
 def _unique_within_record(kwargs: Dict[str, Any]) -> CompiledMap:

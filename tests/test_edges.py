@@ -202,3 +202,26 @@ def test_streaming_sequence_gaps_stateful(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert [r for batch in seen for r in batch] == []
+
+
+def test_multicolumn_not_all_null(spark):
+    rows = [(1, "a", "x"), (2, None, "y"), (3, None, None)]
+    df = spark.createDataFrame(rows, "id int, a string, b string")
+    suite = ExpectationSuite("n").add(
+        "expect_multicolumn_values_not_to_be_all_null",
+        column_list=["a", "b"],
+    )
+    r = SuiteValidator().validate(df, suite).results[0]
+    assert not r.success
+    assert r.result["unexpected_count"] == 1  # only the all-null row
+
+
+def test_multicolumn_sum_between(spark):
+    rows = [(1, 2, 3), (2, 10, 40)]
+    df = spark.createDataFrame(rows, "id int, x int, y int")
+    suite = ExpectationSuite("s").add(
+        "expect_multicolumn_sum_values_to_be_between",
+        column_list=["x", "y"], min_value=0, max_value=10,
+    )
+    r = SuiteValidator().validate(df, suite).results[0]
+    assert not r.success and r.result["unexpected_count"] == 1
