@@ -88,7 +88,7 @@ class StoreValidationResultAction(CheckpointAction):
         safe = str(ctx.partition_id).replace(os.sep, "_")
         path = os.path.join(out_dir, f"{safe}.json")
         with open(path, "w", encoding="utf-8") as f:
-            json.dump(ctx.result.to_json(), f, default=str)
+            json.dump(ctx.result.to_json_dict(), f, default=str)
         return path
 
 

@@ -418,6 +418,119 @@ def _simhash_block_bounds(n_blocks: int) -> List[tuple]:
     return bounds
 
 
+_SIMHASH_COMBO_CAP = 512
+
+
+def choose_simhash_blocks(
+    max_hamming: int,
+    expected_corpus_size: Optional[int] = None,
+    combo_cap: int = _SIMHASH_COMBO_CAP,
+) -> int:
+    """Pick ``n_blocks`` for :func:`simhash_candidate_pairs` so the bucket
+    join stays sub-quadratic.
+
+    Bucket key width is ``(n_blocks - H) * 64 / n_blocks`` bits and key
+    count per row is ``C(n_blocks, H)`` — width and count both grow with
+    ``n_blocks``, so this picks the SMALLEST config meeting the safety
+    criterion:
+
+    * with ``expected_corpus_size`` n: expected candidate partners per doc
+      ``C(n_blocks, H) * n / 2^(width+1)`` must be <= 64 (candidate join
+      stays near-linear); if no config under ``combo_cap`` achieves it,
+      raise — the caller asked for a scale this banding scheme cannot
+      serve (route to MinHash, or lower ``max_hamming``);
+    * without a hint: key width >= 16 bits (expected bucket size n/65536 —
+      safe through ~10^6-10^7 docs); if unreachable, fall back to the
+      widest feasible key and WARN instead of silently going quadratic.
+    """
+    import math
+    import warnings
+
+    feasible = [
+        n
+        for n in range(max_hamming + 1, 65)
+        if math.comb(n, max_hamming) <= combo_cap
+    ]
+    if not feasible:
+        raise ValueError(
+            f"no banding config for max_hamming={max_hamming} fits "
+            f"combo_cap={combo_cap}; lower max_hamming"
+        )
+
+    def width(n: int) -> float:
+        return (n - max_hamming) * 64.0 / n
+
+    if expected_corpus_size is not None:
+        for n in feasible:
+            partners = (
+                math.comb(n, max_hamming)
+                * expected_corpus_size
+                / 2.0 ** (width(n) + 1)
+            )
+            if partners <= 64.0:
+                return n
+        raise ValueError(
+            f"simhash banding cannot stay sub-quadratic at "
+            f"max_hamming={max_hamming} for ~{expected_corpus_size} docs "
+            f"(widest feasible key is {width(feasible[-1]):.1f} bits with "
+            f"C({feasible[-1]},{max_hamming})="
+            f"{math.comb(feasible[-1], max_hamming)} tables); lower "
+            "max_hamming or use minhash_candidate_pairs"
+        )
+    for n in feasible:
+        if width(n) >= 16.0:
+            return n
+    best = feasible[-1]
+    warnings.warn(
+        f"simhash banding at max_hamming={max_hamming}: widest feasible "
+        f"bucket key is {width(best):.1f} bits (< 16) — expected bucket "
+        f"size is n_docs/2^{width(best):.1f}; pass expected_corpus_size= "
+        "to get a hard guarantee or route large corpora to "
+        "minhash_candidate_pairs",
+        stacklevel=3,
+    )
+    return best
+
+
+def _simhash_combo_keys_udf(bounds: List[tuple], combos: List[tuple]):
+    """Arrow-batched bucket-key generator for high-combo banding configs.
+
+    Computes, per signature, one 64-bit key per block-combination — the
+    splitmix64-style mix of the combo's block values — fully vectorized in
+    numpy (one (batch, n_combos) matrix, no per-row Python).  Used when
+    ``C(n_blocks, H)`` is too large for a single codegen'd projection.
+    """
+    import numpy as np
+
+    starts = [s for s, _ in bounds]
+    masks = [
+        np.uint64((1 << w) - 1) if w < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        for _, w in bounds
+    ]
+    mix1 = np.uint64(0xBF58476D1CE4E5B9)
+    mix2 = np.uint64(0x94D049BB133111EB)
+    seed = np.uint64(0x9E3779B97F4A7C15)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def combo_keys(sim: pd.Series) -> pd.Series:
+        s = sim.to_numpy(dtype=np.int64).view(np.uint64)
+        blocks = [
+            (s >> np.uint64(starts[i])) & masks[i] for i in range(len(bounds))
+        ]
+        out = np.empty((len(s), len(combos)), dtype=np.uint64)
+        for t, combo in enumerate(combos):
+            acc = np.full(len(s), seed, dtype=np.uint64)
+            for b in combo:
+                acc = (acc ^ blocks[b]) * mix1
+                acc = (acc ^ (acc >> np.uint64(27))) * mix2
+                acc ^= acc >> np.uint64(31)
+            out[:, t] = acc
+        signed = out.view(np.int64)
+        return pd.Series(list(signed))
+
+    return combo_keys
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_column: str,
@@ -425,6 +538,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     shingle_k: int = 3,
     n_blocks: Optional[int] = None,
+    expected_corpus_size: Optional[int] = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via block-combination banding (the
     permute-and-split scheme of Manku et al., WWW'07, re-expressed as a
@@ -439,16 +553,19 @@ def simhash_candidate_pairs(
     values — and candidates come from a self-join within buckets only.
 
     Scale knob: bucket key width is ``(n_blocks - H) * 64/n_blocks`` bits.
-    The default ``n_blocks = max_hamming + 1`` uses single-block keys
-    (cheapest: H+1 keys/row) — right up to ~10^8 docs.  For >=10^9 docs
-    raise ``n_blocks`` (e.g. H=3, n_blocks=6 -> C(6,3)=20 keys/row of
-    ~32-bit width, expected bucket size n/2^32) so buckets stay bounded;
-    the pigeonhole guarantee holds for any ``n_blocks > max_hamming``.
+    When ``n_blocks`` is not given, :func:`choose_simhash_blocks` picks the
+    smallest config whose key width is >= 16 bits (or, with an
+    ``expected_corpus_size`` hint, whose expected candidate join is O(n)),
+    warning/raising when ``max_hamming`` is too high for any sub-quadratic
+    banding — a bare ``max_hamming=10`` can no longer silently produce
+    ~6-bit keys and an n²/64 bucket join.  The pigeonhole recall guarantee
+    holds for any ``n_blocks > max_hamming``, so the returned pair set is
+    identical across configs.
     """
     from itertools import combinations
 
     if n_blocks is None:
-        n_blocks = max_hamming + 1
+        n_blocks = choose_simhash_blocks(max_hamming, expected_corpus_size)
     if n_blocks <= max_hamming:
         raise ValueError(
             f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
@@ -475,23 +592,41 @@ def simhash_candidate_pairs(
         simhash64(F.col(text_column), shingle_k).alias("__sim"),
     ).persist()
     # one bucket key per block-combination; keys are 8-byte hashes so the
-    # shuffle carries (id, table, key) only — no text, no signatures
-    keyed = sigs.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        F.xxhash64(
-                            *[block_value(F.col("__sim"), b) for b in combo]
-                        ).alias("key"),
-                    )
-                    for t, combo in enumerate(combos)
-                ]
-            )
-        ).alias("__k"),
-    ).select("__id", "__k.table", "__k.key")
+    # shuffle carries (id, table, key) only — no text, no signatures.
+    # posexplode: the array POSITION is the table id — no struct per combo.
+    if len(combos) <= 64:
+        # JVM path: block values materialized ONCE (n_blocks shift/mask
+        # exprs), each combo key an xxhash64 over `keep` plain columns —
+        # stays inside whole-stage codegen at small combo counts
+        blocked = sigs.select(
+            "__id",
+            *[
+                block_value(F.col("__sim"), i).alias(f"__b{i}")
+                for i in range(n_blocks)
+            ],
+        )
+        keyed = blocked.select(
+            "__id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(*[F.col(f"__b{b}") for b in combo])
+                        for combo in combos
+                    ]
+                )
+            ).alias("table", "key"),
+        )
+    else:
+        # high-combo configs (e.g. C(13,10)=286 at max_hamming=10) blow
+        # the 64 KB JVM codegen method limit and fall back to interpreted
+        # eval; a vectorized Arrow batch computes all combo keys in numpy
+        # instead (splitmix64-style mixing — deterministic, same recall)
+        keyed = sigs.select(
+            "__id",
+            F.posexplode(
+                _simhash_combo_keys_udf(bounds, combos)(F.col("__sim"))
+            ).alias("table", "key"),
+        )
     left, right = keyed.alias("l"), keyed.alias("r")
     candidates = (
         left.join(
@@ -538,8 +673,12 @@ def ngram_jaccard_pairs(
     (standard stop-shingle practice); since such shingles are shared by a
     large fraction of the corpus they carry almost no Jaccard signal for
     high thresholds, and the per-shingle pair fan-out stays bounded by
-    cap²/2.  Pass ``None`` to disable (exact semantics, small corpora
-    only) — or route truly large corpora to ``minhash_candidate_pairs``.
+    cap²/2.  Doc sizes (``__n``) are computed AFTER the filter so the
+    Jaccard numerator and denominator use the same shingle universe — the
+    result is the exact Jaccard of the stop-shingle-filtered sets, not a
+    systematic underestimate of the unfiltered one.  Pass ``None`` to
+    disable (exact semantics, small corpora only) — or route truly large
+    corpora to ``minhash_candidate_pairs``.
     """
     base = _ensure_parallelism(df).select(
         F.col(id_column).alias("__id"),
@@ -550,7 +689,6 @@ def ngram_jaccard_pairs(
             shingle_hashes(word_shingles(F.col(text_column), k))
         ).alias("__sh"),
     ).filter(F.size("__sh") > 0)
-    sizes = base.select("__id", F.size("__sh").alias("__n"))
     inverted = base.select(
         "__id", F.explode("__sh").alias("shingle")
     )
@@ -565,6 +703,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         inverted = inverted.join(hot, "shingle", "left_anti")
+    # sizes from the SAME (possibly filtered) universe as the intersection
+    # join; shingles are array_distinct'd upstream so count == set size
+    sizes = inverted.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     l, r = inverted.alias("l"), inverted.alias("r")
     shared = (
         l.join(

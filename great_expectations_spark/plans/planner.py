@@ -666,7 +666,15 @@ class SuiteValidator:
             cond = str(flag)
             if cond.startswith("Column<'") and cond.endswith("'>"):
                 cond = cond[len("Column<'") : -len("'>")]
-            unexpected_index_query = f"df.filter(F.expr({cond}))"
+            # str(Column) is Spark's debug render, not guaranteed SQL —
+            # UDF-backed flags / lambda exprs render non-parseable text.
+            # Emit the query only when F.expr accepts it (syntax check is
+            # eager in the JVM parser); best-effort field, omit otherwise.
+            try:
+                F.expr(cond)
+                unexpected_index_query = f"df.filter(F.expr({cond}))"
+            except Exception:
+                unexpected_index_query = None
         out = format_map_output(
             rf,
             success=success,

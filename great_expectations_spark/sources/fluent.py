@@ -61,9 +61,23 @@ class DataAsset:
             parts or ["year", "month", "day"],
         )
 
-    def batch_values(self, column: str) -> List[Any]:
-        """Distinct batch identifiers for a column-value split (sorted)."""
-        rows = self.build_batch().select(column).distinct().collect()
+    def batch_values(self, column: str, cap: int = 10_000) -> List[Any]:
+        """Distinct batch identifiers for a column-value split (sorted).
+
+        Intended for batch-identifier columns (dates, regions, shards).
+        The collect is bounded — ``limit(cap + 1)`` rides inside the same
+        job, so a high-cardinality column raises instead of streaming
+        millions of rows to the driver.
+        """
+        rows = (
+            self.build_batch().select(column).distinct().limit(cap + 1).collect()
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"column {column!r} has more than {cap} distinct values — "
+                "not a batch-identifier column; raise cap= explicitly if "
+                "you really want a driver-side collect this large"
+            )
         return sorted((r[column] for r in rows), key=str)
 
     def sample_random(self, fraction: float, seed: int = 42) -> DataFrame:

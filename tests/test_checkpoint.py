@@ -156,7 +156,10 @@ def test_checkpoint_actions(spark, transcripts, tmp_path):
     files = glob.glob(str(tmp_path / "results" / "*" / "*.json"))
     assert len(files) == len(seen)
     with open(files[0]) as f:
-        assert "results" in json.load(f)
+        loaded = json.load(f)
+    assert isinstance(loaded, dict)
+    assert isinstance(loaded["results"], list) and loaded["results"]
+    assert "expectation_type" in loaded["results"][0]["expectation_config"]
 
 
 def test_checkpoint_failure_action_fires(spark, tmp_path):

@@ -139,3 +139,113 @@ def test_most_common_mode_tie_cap(spark):
     )
     assert r.exception_info["raised_exception"]
     assert "tie for most-common" in r.exception_info["exception_message"]
+
+
+def test_choose_simhash_blocks_low_hamming_keeps_cheap_config():
+    from great_expectations_spark.functions.dedup import choose_simhash_blocks
+
+    # H=3: single-block keys are 16 bits — the old default stays optimal
+    assert choose_simhash_blocks(3) == 4
+
+
+@pytest.mark.parametrize("h", [6, 8, 10])
+def test_choose_simhash_blocks_high_hamming_never_subsixteen_silently(h):
+    import warnings
+
+    from great_expectations_spark.functions.dedup import choose_simhash_blocks
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = choose_simhash_blocks(h)
+    width = (n - h) * 64.0 / n
+    # either the key is >= 16 bits, or the user was warned explicitly
+    assert width >= 16.0 or any(
+        "simhash banding" in str(w.message) for w in caught
+    )
+    # and the config is never the quadratic n_blocks = H + 1 single-block
+    # default when that key is under 16 bits
+    if (1 * 64.0 / (h + 1)) < 16.0:
+        assert n > h + 1
+
+
+def test_choose_simhash_blocks_corpus_hint_scales_blocks():
+    from great_expectations_spark.functions.dedup import choose_simhash_blocks
+
+    # 10^9 docs at H=3 needs a wider key than the 16-bit default
+    small = choose_simhash_blocks(3, expected_corpus_size=10_000)
+    big = choose_simhash_blocks(3, expected_corpus_size=1_000_000_000)
+    assert big > small
+    width = (big - 3) * 64.0 / big
+    assert math.comb(big, 3) * 1e9 / 2 ** (width + 1) <= 64.0
+
+
+def test_choose_simhash_blocks_refuses_impossible_scale():
+    from great_expectations_spark.functions.dedup import choose_simhash_blocks
+
+    with pytest.raises(ValueError, match="sub-quadratic"):
+        choose_simhash_blocks(10, expected_corpus_size=1_000_000_000)
+
+
+def test_simhash_pairs_identical_across_block_configs(spark):
+    from great_expectations_spark.functions.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    rows = [
+        ("a1", "the quick brown fox jumps over the lazy dog near the barn"),
+        ("a2", "the quick brown fox jumps over the lazy dog near the barn"),
+        ("b1", "completely different text about spark shuffle partitions"),
+        ("b2", "completely different text about spark shuffle partition"),
+        ("c1", "unrelated third document mentioning databases and indexes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    base = {
+        tuple(r)
+        for r in simhash_candidate_pairs(
+            df, "doc_id", max_hamming=8, n_blocks=9
+        ).select("id_a", "id_b").collect()
+    }
+    wide = {
+        tuple(r)
+        for r in simhash_candidate_pairs(
+            df, "doc_id", max_hamming=8, n_blocks=11
+        ).select("id_a", "id_b").collect()
+    }
+    # pigeonhole recall guarantee: pair set identical across configs
+    assert base == wide
+    assert ("a1", "a2") in base
+
+
+def test_batch_values_cap(spark):
+    from great_expectations_spark.sources.fluent import Datasource
+
+    ds = Datasource("d", spark)
+    wide = spark.range(100).select(F.col("id").cast("string").alias("c"))
+    asset = ds.add_dataframe_asset("wide", wide)
+    with pytest.raises(ValueError, match="distinct values"):
+        asset.batch_values("c", cap=50)
+    # identifier-like column returns the sorted values
+    vals = asset.batch_values("c", cap=200)
+    assert len(vals) == 100
+    assert vals == sorted(vals, key=str)
+
+
+def test_ngram_jaccard_denominator_uses_filtered_universe(spark):
+    from great_expectations_spark.functions.dedup import ngram_jaccard_pairs
+
+    # "w1 w2 w3" appears in every doc -> its shingle is hot at cap=2.
+    # Docs a/b share everything else; with the OLD pre-filter sizes the
+    # hot shingle stayed in the denominator and jaccard < 1.0.
+    rows = [
+        ("a", "w1 w2 w3 alpha beta gamma delta"),
+        ("b", "w1 w2 w3 alpha beta gamma delta"),
+        ("c", "w1 w2 w3 zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", k=3, threshold=0.9, max_doc_frequency=2
+        ).collect()
+    }
+    assert out[("a", "b")] == pytest.approx(1.0)
