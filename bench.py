@@ -5,12 +5,23 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>,
-   "extra": {"turns_validated": N, "turns_per_sec": r, "cpus": c}}
+   "extra": {"turns_validated": N, "turns_per_sec": r, "cpus": c,
+             "repeats": k, "samples": {name: [sec, ...]}}}
 
 The transcripts suite is the north-star workload (turns validated/sec for
 the full expectation suite); the other queries cover the heavy operator
 families (two-phase uniqueness, referential anti-join, drift split
-histograms, MinHash dedup, ANN).
+histograms, MinHash/SimHash dedup, ANN).
+
+Noise protocol: this host is a shared VM whose per-run hypervisor steal
+swings identical runs 2-3x (SCALING.md).  Each repeatable query therefore
+runs $SPARK_GRAFT_REPEATS times (default 3) in INTERLEAVED rounds —
+q1,q2,...,qn, q1,q2,...,qn, ... — so a noise burst hits one sample of
+every query instead of all samples of one query; the reported time is the
+per-query MINIMUM (the run closest to the machine's true capability).
+Cold entries (suite_transcripts, dedup_minhash) are by definition the
+first execution and stay single-shot; their warm twins are interleaved.
+All samples are recorded in extra.samples for audit.
 """
 
 from __future__ import annotations
@@ -24,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
 # transcripts table sized relative to sf: sf0.1 -> 50k convs (~600k turns)
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 N_CONVS = int(os.environ.get("SPARK_GRAFT_CONVS", str(int(500_000 * SF))))
@@ -66,14 +78,19 @@ def main() -> None:
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    timings: dict[str, float] = {}
-    extra: dict[str, object] = {"cpus": CPUS, "n_conversations": N_CONVS}
+    samples: dict[str, list[float]] = {}
+    extra: dict[str, object] = {
+        "cpus": CPUS,
+        "n_conversations": N_CONVS,
+        "repeats": REPEATS,
+    }
 
-    def timed(name: str, fn):
+    def run_once(name: str, fn) -> float:
         t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        return out
+        fn()
+        dt = round(time.perf_counter() - t0, 3)
+        samples.setdefault(name, []).append(dt)
+        return dt
 
     # --- north-star: full suite over the transcript table -----------------
     # Materialize the deterministic transcripts to parquet ONCE (reused
@@ -93,36 +110,30 @@ def main() -> None:
     transcripts = spark.read.parquet(transcripts_path)
     n_turns = transcripts.count()  # materialize outside the timed window
     validator = SuiteValidator()
-    res = timed(
-        "suite_transcripts",
-        lambda: validator.validate(
+
+    def run_suite_transcripts():
+        return validator.validate(
             transcripts, default_suite(), result_format="SUMMARY"
-        ),
-    )
-    # steady-state (codegen/JIT warmed — what a long-running job sees);
-    # best of two warm runs to damp shared-host noise
-    timed(
-        "suite_transcripts_warm",
-        lambda: validator.validate(
-            transcripts, default_suite(), result_format="SUMMARY"
-        ),
-    )
-    warm2_t0 = time.perf_counter()
-    validator.validate(transcripts, default_suite(), result_format="SUMMARY")
-    timings["suite_transcripts_warm"] = round(
-        min(timings["suite_transcripts_warm"], time.perf_counter() - warm2_t0),
-        3,
-    )
-    extra["turns_validated"] = n_turns
-    extra["turns_per_sec"] = round(
-        n_turns / timings["suite_transcripts_warm"], 1
-    )
-    extra["turns_per_sec_cold"] = round(
-        n_turns / timings["suite_transcripts"], 1
-    )
+        )
+
+    # cold = first execution by definition: single-shot, recorded as-is
+    t0 = time.perf_counter()
+    res = run_suite_transcripts()
+    samples["suite_transcripts"] = [round(time.perf_counter() - t0, 3)]
     extra["suite_evaluated"] = res.statistics["evaluated_expectations"]
 
     if os.environ.get("SPARK_GRAFT_ONLY") == "transcripts":
+        for _ in range(REPEATS):
+            run_once("suite_transcripts_warm", run_suite_transcripts)
+        timings = {k: min(v) for k, v in samples.items()}
+        extra["turns_validated"] = n_turns
+        extra["turns_per_sec"] = round(
+            n_turns / timings["suite_transcripts_warm"], 1
+        )
+        extra["turns_per_sec_cold"] = round(
+            n_turns / timings["suite_transcripts"], 1
+        )
+        extra["samples"] = samples
         print(
             json.dumps(
                 {
@@ -144,6 +155,7 @@ def main() -> None:
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_docs = documents.count()  # outside timed windows; sizes simhash banding
 
     li_suite = (
         ExpectationSuite("lineitem")
@@ -175,32 +187,17 @@ def main() -> None:
             approximate=True,
         )
     )
-    timed(
-        "suite_lineitem",
-        lambda: validator.validate(lineitem, li_suite, result_format="BASIC"),
-    )
-
     uniq_suite = ExpectationSuite("u").add(
         "expect_compound_columns_to_be_unique",
         column_list=["l_orderkey", "l_linenumber"],
         mostly=0.1,
     )
-    timed(
-        "compound_unique",
-        lambda: validator.validate(lineitem, uniq_suite, result_format="BASIC"),
-    )
-
     ref_suite = ExpectationSuite("r").add(
         "expect_column_values_to_exist_in_other_table",
         column="l_orderkey",
         other_table=orders,
         other_column="o_orderkey",
     )
-    timed(
-        "referential_anti_join",
-        lambda: validator.validate(lineitem, ref_suite, result_format="BASIC"),
-    )
-
     drift_suite = (
         ExpectationSuite("d")
         .add(
@@ -217,52 +214,88 @@ def main() -> None:
             p=0.0,
         )
     )
-    timed(
-        "drift_two_sample",
-        lambda: validator.validate(events, drift_suite, result_format="BASIC"),
-    )
-
-    timed(
-        "text_profile",
-        lambda: gxtext.text_profile(documents)
-        .agg(
-            F.sum("n_tokens"),
-            F.avg("quality_score"),
-            F.count_distinct("lang_pred"),
-        )
-        .collect(),
-    )
-
-    timed(
-        "dedup_minhash",
-        lambda: dedup.minhash_candidate_pairs(
-            documents, "doc_id", "text", verify_threshold=0.4
-        ).count(),
-    )
-    # steady-state: first run pays Python-worker startup + JIT; at the
-    # 100 TB design point those amortize to zero, so report both
-    timed(
-        "dedup_minhash_warm",
-        lambda: dedup.minhash_candidate_pairs(
-            documents, "doc_id", "text", verify_threshold=0.4
-        ).count(),
-    )
-    timed(
-        "dedup_simhash",
-        lambda: dedup.simhash_candidate_pairs(
-            documents, "doc_id", "text", max_hamming=10
-        ).count(),
-    )
 
     qrow = embeddings.select("embedding").first()
     query = [float(v) for v in qrow["embedding"]]
     emb = embeddings.withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    timed(
-        "ann_bruteforce_topk",
-        lambda: similarity.brute_force_topk(emb, query, 10).collect(),
+
+    def run_minhash():
+        return dedup.minhash_candidate_pairs(
+            documents, "doc_id", "text", verify_threshold=0.4
+        ).count()
+
+    # cold entry: first Python-worker startup + JIT, single-shot as before
+    run_once("dedup_minhash", run_minhash)
+
+    # interleaved repeats: one full pass over every query per round, so a
+    # host-noise burst degrades one SAMPLE of each query, not one QUERY
+    repeatable = [
+        ("suite_transcripts_warm", run_suite_transcripts),
+        (
+            "suite_lineitem",
+            lambda: validator.validate(
+                lineitem, li_suite, result_format="BASIC"
+            ),
+        ),
+        (
+            "compound_unique",
+            lambda: validator.validate(
+                lineitem, uniq_suite, result_format="BASIC"
+            ),
+        ),
+        (
+            "referential_anti_join",
+            lambda: validator.validate(
+                lineitem, ref_suite, result_format="BASIC"
+            ),
+        ),
+        (
+            "drift_two_sample",
+            lambda: validator.validate(
+                events, drift_suite, result_format="BASIC"
+            ),
+        ),
+        (
+            "text_profile",
+            lambda: gxtext.text_profile(documents)
+            .agg(
+                F.sum("n_tokens"),
+                F.avg("quality_score"),
+                F.count_distinct("lang_pred"),
+            )
+            .collect(),
+        ),
+        ("dedup_minhash_warm", run_minhash),
+        (
+            "dedup_simhash",
+            lambda: dedup.simhash_candidate_pairs(
+                documents,
+                "doc_id",
+                "text",
+                max_hamming=10,
+                expected_corpus_size=n_docs,
+            ).count(),
+        ),
+        (
+            "ann_bruteforce_topk",
+            lambda: similarity.brute_force_topk(emb, query, 10).collect(),
+        ),
+    ]
+    for _ in range(REPEATS):
+        for name, fn in repeatable:
+            run_once(name, fn)
+
+    timings = {k: min(v) for k, v in samples.items()}
+    extra["turns_validated"] = n_turns
+    extra["turns_per_sec"] = round(
+        n_turns / timings["suite_transcripts_warm"], 1
     )
+    extra["turns_per_sec_cold"] = round(
+        n_turns / timings["suite_transcripts"], 1
+    )
+    extra["samples"] = samples
 
     total = round(sum(timings.values()), 3)
     print(
