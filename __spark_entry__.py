@@ -535,6 +535,54 @@ def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_jobs_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition JOB expectations in O(1) Spark jobs
+    (CompiledJob.grouped hooks): referential anti-join + two-sample PSI
+    drift evaluated for every l_returnflag partition in one grouped
+    anti-join + one grouped conditional-agg pass — not one job per
+    partition (reference runs a full validation per batch; this is the
+    10^5-partition scale path)."""
+    from great_expectations_spark.checkpoint.runner import validate_by_partition
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    suite = (
+        ExpectationSuite("grouped_jobs")
+        .add(
+            "expect_column_values_to_exist_in_other_table",
+            column="l_orderkey",
+            other_table=orders,
+            other_column="o_orderkey",
+        )
+        .add(
+            "expect_column_two_sample_psi_to_be_less_than",
+            column="l_quantity",
+            baseline_condition="l_linestatus = 'F'",
+            threshold=10.0,
+            bins=[1, 11, 21, 31, 41, 51],
+        )
+    )
+    per_part = validate_by_partition(lineitem, suite, "l_returnflag")
+    rows = []
+    for part, res in sorted(per_part.items()):
+        ref, psi = res.results
+        rows.append(
+            (
+                part,
+                int(ref.result["element_count"]),
+                int(ref.result["unexpected_count"]),
+                int(psi.result["details"]["n_baseline"]),
+                int(psi.result["details"]["n_current"]),
+                round(float(psi.result["observed_value"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "part string, ref_element_count bigint, ref_unexpected bigint, "
+        "n_baseline bigint, n_current bigint, psi double",
+    ).orderBy("part")
+
+
 def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _map_counts(
         spark,
@@ -643,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_freq_urgent": _query_freq_urgent,
         # --- per-partition single-pass grouped validation ---
         "grouped_by_day_between": _grouped_by_day,
+        "grouped_jobs_by_flag": _grouped_jobs_by_flag,
         "days_missing_events": _days_missing,
         # --- referential / cross-table ---
         "anti_join_lineitem_orders": _anti_join,
@@ -886,6 +935,34 @@ def oracle_sql() -> dict[str, str]:
             "element_count, count(*) FILTER (WHERE value IS NOT NULL AND "
             "NOT (value >= 0 AND value <= 400))::BIGINT AS unexpected_count "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "grouped_jobs_by_flag": (
+            "WITH ref AS ("
+            "  SELECT l_returnflag AS part, count(*)::BIGINT AS ref_element_count,"
+            "         count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT EXISTS ("
+            "           SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey"
+            "         ))::BIGINT AS ref_unexpected"
+            "  FROM lineitem l GROUP BY 1"
+            "), hist AS ("
+            "  SELECT l_returnflag AS part,"
+            "         CASE WHEN l_quantity < 11 THEN 0 WHEN l_quantity < 21 THEN 1"
+            "              WHEN l_quantity < 31 THEN 2 WHEN l_quantity < 41 THEN 3"
+            "              ELSE 4 END AS bucket,"
+            "         count(*) FILTER (WHERE l_linestatus = 'F') AS p,"
+            "         count(*) FILTER (WHERE l_linestatus <> 'F') AS q"
+            "  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2"
+            "), tot AS ("
+            "  SELECT part, bucket, p, q,"
+            "         sum(p) OVER (PARTITION BY part) AS ps,"
+            "         sum(q) OVER (PARTITION BY part) AS qs"
+            "  FROM hist"
+            "), psi AS ("
+            "  SELECT part, sum(p)::BIGINT AS n_baseline, sum(q)::BIGINT AS n_current,"
+            "         round(sum((q*1.0/qs - p*1.0/ps) * ln((q*1.0/qs)/(p*1.0/ps))), 6) AS psi"
+            "  FROM tot GROUP BY part"
+            ") SELECT r.part, r.ref_element_count, r.ref_unexpected,"
+            "         s.n_baseline, s.n_current, s.psi"
+            "  FROM ref r JOIN psi s USING (part) ORDER BY r.part"
         ),
         "anti_join_lineitem_orders": (
             "SELECT count(*)::BIGINT AS orphan_rows FROM lineitem l WHERE "

@@ -218,9 +218,12 @@ def validate_by_partition(
 
     Bundled counters: one groupBy(partition).agg(...) job.  Each window
     expectation adds one grouped two-phase job.  Schema checks evaluate
-    once and fan out.  Job expectations (user SQL, cross-table) are
-    evaluated on the WHOLE df and replicated with a note — run
-    ``run_checkpoint`` for per-partition job semantics.
+    once and fan out.  Job expectations with a ``grouped`` hook
+    (referential exist-in-other-table, two-sample KS/PSI/chi² drift) run
+    in O(1) grouped jobs covering every partition at once; job
+    expectations without one (user SQL templates) fall back to one
+    partition-filtered job per partition — at high partition counts
+    prefer the grouped-capable expectations or ``run_checkpoint``.
 
     Scale note: aggregate expectations with a ``followup`` hook (the
     distinct-VALUE-set family) run one partition-filtered followup job
@@ -237,10 +240,11 @@ def validate_by_partition(
     )
     validator._check_columns_exist(df, items)
     grouped = validator._run_bundled_phase(df, items, group_by=partition_column)
-    partitions = sorted(grouped.keys(), key=str)
 
     # grouped window counts: per item -> {partition: unexpected_count}
     window_counts: Dict[int, Dict[Any, int]] = {}
+    # grouped job results: per item -> {partition: vout} in O(1) jobs
+    job_grouped: Dict[int, Dict[Any, Dict[str, Any]]] = {}
     for item in items:
         c = item.compiled
         if isinstance(c, CompiledWindow) and item.error is None:
@@ -250,10 +254,39 @@ def validate_by_partition(
                 )
             except Exception as exc:  # noqa: BLE001
                 item.error = exc
+        elif (
+            isinstance(c, CompiledJob)
+            and c.grouped is not None
+            and item.error is None
+        ):
+            try:
+                job_grouped[id(item)] = c.grouped(
+                    df, spark, item.domain, partition_column
+                )
+            except Exception as exc:  # noqa: BLE001
+                item.error = exc
+
+    # partition universe: union of every grouped phase's keys (a suite of
+    # only job/window expectations has no bundled metrics); if the suite
+    # is schema-only, one distinct scan resolves the partitions
+    part_keys = set(grouped.keys())
+    for m in window_counts.values():
+        part_keys.update(m.keys())
+    for m in job_grouped.values():
+        part_keys.update(m.keys())
+    if not part_keys and any(
+        isinstance(i.compiled, (CompiledSchemaCheck, CompiledJob))
+        for i in items
+    ):
+        part_keys = {
+            r[partition_column]
+            for r in df.select(partition_column).distinct().collect()
+        }
+    partitions = sorted(part_keys, key=str)
 
     out: Dict[str, ExpectationSuiteValidationResult] = {}
     for part in partitions:
-        metrics = grouped[part]
+        metrics = grouped.get(part, {})
         results: List[ExpectationValidationResult] = []
         for item in items:
             config_dict = item.config.to_json_dict()
@@ -329,18 +362,24 @@ def validate_by_partition(
                         )
                     )
                 elif isinstance(c, CompiledJob):
-                    part_df = df.filter(
-                        F.col(partition_column) == F.lit(part)
-                    )
-                    import inspect
-
-                    sig = inspect.signature(c.run)
-                    if "result_format" in sig.parameters:
-                        vout = c.run(
-                            part_df, spark, item.domain, result_format=rf
+                    vout = job_grouped.get(id(item), {}).get(part)
+                    if vout is None:
+                        # no grouped hook, or this partition was filtered
+                        # empty by the expectation's domain — one
+                        # partition-scoped job (partition predicate prunes
+                        # the scan)
+                        part_df = df.filter(
+                            F.col(partition_column) == F.lit(part)
                         )
-                    else:
-                        vout = c.run(part_df, spark, item.domain)
+                        import inspect
+
+                        sig = inspect.signature(c.run)
+                        if "result_format" in sig.parameters:
+                            vout = c.run(
+                                part_df, spark, item.domain, result_format=rf
+                            )
+                        else:
+                            vout = c.run(part_df, spark, item.domain)
                     results.append(
                         ExpectationValidationResult(
                             success=bool(vout["success"]),

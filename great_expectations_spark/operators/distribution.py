@@ -454,6 +454,45 @@ def _split_histograms(
     return base, cur, int(row["n_base"] or 0), int(row["n_cur"] or 0)
 
 
+def _split_histograms_grouped(
+    df: DataFrame,
+    column: str,
+    baseline: Column,
+    bins: List[float],
+    domain: Optional[Column],
+    partition_column: str,
+) -> Dict[Any, Tuple[List[int], List[int], int, int]]:
+    """Per-partition two-sample histograms in ONE grouped conditional-agg
+    job (same aggregates as :func:`_split_histograms`, keyed by
+    ``partition_column``).  Driver transfer is one fixed-width row per
+    partition — 2 + 2·n_bins longs — so 10^5 partitions x 20 bins is a
+    few MB."""
+    col = F.col(column)
+    scoped = _apply_domain(df, domain).filter(col.isNotNull())
+    side = domain_gate(baseline)
+    aggs = [
+        F.sum(F.when(side, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~side, 1).otherwise(0)).alias("n_cur"),
+    ]
+    n = len(bins) - 1
+    for i in range(n):
+        lo, hi = bins[i], bins[i + 1]
+        in_bin = (
+            (col >= F.lit(lo)) & ((col <= F.lit(hi)) if i == n - 1 else (col < F.lit(hi)))
+        )
+        aggs.append(F.sum(F.when(side & in_bin, 1).otherwise(0)).alias(f"p{i}"))
+        aggs.append(F.sum(F.when(~side & in_bin, 1).otherwise(0)).alias(f"q{i}"))
+    out: Dict[Any, Tuple[List[int], List[int], int, int]] = {}
+    for row in scoped.groupBy(partition_column).agg(*aggs).collect():
+        out[row[partition_column]] = (
+            [int(row[f"p{i}"] or 0) for i in range(n)],
+            [int(row[f"q{i}"] or 0) for i in range(n)],
+            int(row["n_base"] or 0),
+            int(row["n_cur"] or 0),
+        )
+    return out
+
+
 def _resolve_split(kwargs: Dict[str, Any]) -> Column:
     return parse_row_condition(
         kwargs["baseline_condition"],
@@ -479,12 +518,10 @@ def _two_sample_ks(kwargs: Dict[str, Any]) -> CompiledJob:
     column = kwargs["column"]
     threshold = float(kwargs["threshold"])
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        baseline = _resolve_split(kwargs)
-        bins = _drift_bins(df, column, kwargs, domain)
-        base, cur, n_base, n_cur = _split_histograms(
-            df, column, baseline, bins, domain
-        )
+    def _vout(
+        base: List[int], cur: List[int], n_base: int, n_cur: int,
+        bins: List[float],
+    ) -> Dict[str, Any]:
         tb, tc = (n_base or 1), (n_cur or 1)
         ecdf_b, ecdf_c, rb, rc = [], [], 0.0, 0.0
         for pb, pc in zip(base, cur):
@@ -506,7 +543,31 @@ def _two_sample_ks(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        baseline = _resolve_split(kwargs)
+        bins = _drift_bins(df, column, kwargs, domain)
+        base, cur, n_base, n_cur = _split_histograms(
+            df, column, baseline, bins, domain
+        )
+        return _vout(base, cur, n_base, n_cur, bins)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # bins resolved ONCE over the whole table (shared bin edges make
+        # per-partition statistics comparable); histograms for every
+        # partition in one grouped conditional-agg job
+        baseline = _resolve_split(kwargs)
+        bins = _drift_bins(df, column, kwargs, domain)
+        hists = _split_histograms_grouped(
+            df, column, baseline, bins, domain, partition_column
+        )
+        return {
+            part: _vout(base, cur, n_base, n_cur, bins)
+            for part, (base, cur, n_base, n_cur) in hists.items()
+        }
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 @register_dist("expect_column_two_sample_psi_to_be_less_than")
@@ -514,12 +575,10 @@ def _two_sample_psi(kwargs: Dict[str, Any]) -> CompiledJob:
     column = kwargs["column"]
     threshold = float(kwargs["threshold"])
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        baseline = _resolve_split(kwargs)
-        bins = _drift_bins(df, column, kwargs, domain)
-        base, cur, n_base, n_cur = _split_histograms(
-            df, column, baseline, bins, domain
-        )
+    def _vout(
+        base: List[int], cur: List[int], n_base: int, n_cur: int,
+        bins: List[float],
+    ) -> Dict[str, Any]:
         value = gxstats.psi(base, cur)
         return {
             "success": bool(value < threshold),
@@ -533,13 +592,41 @@ def _two_sample_psi(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        baseline = _resolve_split(kwargs)
+        bins = _drift_bins(df, column, kwargs, domain)
+        base, cur, n_base, n_cur = _split_histograms(
+            df, column, baseline, bins, domain
+        )
+        return _vout(base, cur, n_base, n_cur, bins)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        baseline = _resolve_split(kwargs)
+        bins = _drift_bins(df, column, kwargs, domain)
+        hists = _split_histograms_grouped(
+            df, column, baseline, bins, domain, partition_column
+        )
+        return {
+            part: _vout(base, cur, n_base, n_cur, bins)
+            for part, (base, cur, n_base, n_cur) in hists.items()
+        }
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 CATEGORICAL_COLLECT_CAP = 10_000
+# grouped mode collects (partition, category) rows — bounded by
+# partitions x categories, so the cap is proportionally higher; at the
+# 10^5-partition design point with <=5 categories this is 5x10^5 rows of
+# four scalars (~tens of MB on the driver)
+GROUPED_CATEGORICAL_COLLECT_CAP = 1_000_000
 
 
-def _collect_categories_capped(grouped: DataFrame, what: str) -> List[Any]:
+def _collect_categories_capped(
+    grouped: DataFrame, what: str, cap: Optional[int] = None
+) -> List[Any]:
     """Collect a per-category aggregate with a hard cardinality cap.
 
     ``limit(cap + 1)`` bounds the driver transfer in the SAME job (no extra
@@ -547,11 +634,13 @@ def _collect_categories_capped(grouped: DataFrame, what: str) -> List[Any]:
     enough to prove the column isn't categorical-scale and fail clearly
     instead of OOMing the driver.  Mirrors ``EXACT_KS_COLLECT_CAP``.
     """
-    rows = grouped.limit(CATEGORICAL_COLLECT_CAP + 1).collect()
-    if len(rows) > CATEGORICAL_COLLECT_CAP:
+    # late-bound module attr so tests (and users) can lower the cap
+    cap = CATEGORICAL_COLLECT_CAP if cap is None else cap
+    rows = grouped.limit(cap + 1).collect()
+    if len(rows) > cap:
         raise ValueError(
             f"cardinality of {what} exceeds the categorical cap "
-            f"{CATEGORICAL_COLLECT_CAP}; these tests are for categorical "
+            f"{cap}; these tests are for categorical "
             "columns — bucketize continuous data first"
         )
     return rows
@@ -565,19 +654,7 @@ def _two_sample_chi2(kwargs: Dict[str, Any]) -> CompiledJob:
     column = kwargs["column"]
     p_threshold = float(kwargs.get("p", 0.05))
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        baseline = _resolve_split(kwargs)
-        side = domain_gate(baseline)
-        rows = _collect_categories_capped(
-            _apply_domain(df, domain)
-            .filter(F.col(column).isNotNull())
-            .groupBy(column)
-            .agg(
-                F.sum(F.when(side, 1).otherwise(0)).alias("n_base"),
-                F.sum(F.when(~side, 1).otherwise(0)).alias("n_cur"),
-            ),
-            column,
-        )
+    def _vout(rows: List[Any]) -> Dict[str, Any]:
         obs = [float(r["n_cur"]) for r in rows]
         exp = [float(r["n_base"]) for r in rows]
         test = gxstats.chi2_test(obs, exp)
@@ -594,7 +671,50 @@ def _two_sample_chi2(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        baseline = _resolve_split(kwargs)
+        side = domain_gate(baseline)
+        rows = _collect_categories_capped(
+            _apply_domain(df, domain)
+            .filter(F.col(column).isNotNull())
+            .groupBy(column)
+            .agg(
+                F.sum(F.when(side, 1).otherwise(0)).alias("n_base"),
+                F.sum(F.when(~side, 1).otherwise(0)).alias("n_cur"),
+            ),
+            column,
+        )
+        return _vout(rows)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # one grouped (partition, category) counting job; the capped
+        # collect bounds partitions x categories rows on the driver
+        baseline = _resolve_split(kwargs)
+        side = domain_gate(baseline)
+        rows = _collect_categories_capped(
+            _apply_domain(df, domain)
+            .filter(F.col(column).isNotNull())
+            .groupBy(partition_column, column)
+            .agg(
+                F.sum(F.when(side, 1).otherwise(0)).alias("n_base"),
+                F.sum(F.when(~side, 1).otherwise(0)).alias("n_cur"),
+            ),
+            f"({partition_column}, {column})",
+            cap=GROUPED_CATEGORICAL_COLLECT_CAP,
+        )
+        by_part: Dict[Any, List[Any]] = {}
+        for r in rows:
+            by_part.setdefault(r[partition_column], []).append(r)
+        # stable category order within each partition (groupBy order is
+        # nondeterministic; chi2 is order-invariant but details aren't)
+        return {
+            part: _vout(sorted(prows, key=lambda r: str(r[column])))
+            for part, prows in by_part.items()
+        }
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 @register_dist("expect_column_pair_cramers_phi_value_to_be_less_than")

@@ -429,7 +429,57 @@ def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
             unexpected_list=unexpected_list,
         )
 
-    return CompiledJob(run=run)
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        """All partitions in TWO jobs: one grouped count pass, one grouped
+        anti-join — job count is independent of partition count."""
+        result_format = parse_result_format("BASIC")
+        scoped = _apply_domain(df, domain)
+        other_df = other if isinstance(other, DataFrame) else spark.table(other)
+        keys = other_df.select(
+            F.col(other_column).alias("__gx_key")
+        ).dropDuplicates(["__gx_key"])
+        if broadcast_other or (
+            broadcast_other is None and _estimate_small(keys)
+        ):
+            keys = F.broadcast(keys)
+        counts = {
+            r[partition_column]: r
+            for r in scoped.groupBy(partition_column).agg(
+                F.count(F.lit(1)).alias("element_count"),
+                F.count(F.col(column)).alias("nonnull_count"),
+            ).collect()
+        }
+        base = scoped.filter(F.col(column).isNotNull())
+        missing = {
+            r[partition_column]: int(r["u"])
+            for r in base.join(
+                keys, base[column] == keys["__gx_key"], "left_anti"
+            )
+            .groupBy(partition_column)
+            .agg(F.count(F.lit(1)).alias("u"))
+            .collect()
+        }
+        out: Dict[Any, Dict[str, Any]] = {}
+        for part, row in counts.items():
+            element_count = int(row["element_count"])
+            nonnull_count = int(row["nonnull_count"])
+            unexpected_count = missing.get(part, 0)
+            success = map_expectation_success(
+                element_count, nonnull_count, unexpected_count, mostly
+            )
+            out[part] = format_map_output(
+                result_format,
+                success=success,
+                element_count=element_count,
+                nonnull_count=nonnull_count,
+                unexpected_count=unexpected_count,
+                unexpected_list=[],
+            )
+        return out
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 def _estimate_small(df: DataFrame, threshold_rows: int = 5_000_000) -> bool:

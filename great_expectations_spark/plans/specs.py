@@ -104,6 +104,15 @@ class CompiledJob:
     referential anti-joins, KS/PSI drift two-sample checks).
 
     ``run(df, spark, domain_cond)`` -> {'success': bool, 'result': {...}}.
+
+    ``grouped(df, spark, domain_cond, partition_column)`` — optional scale
+    hook for ``validate_by_partition``: evaluates the expectation for ALL
+    partitions in O(1) Spark jobs (one grouped aggregation / one grouped
+    anti-join instead of one job per partition) and returns
+    ``{partition_value: vout}``.  Partitions absent from the mapping fall
+    back to a per-partition ``run`` (only happens when the expectation's
+    domain filters a partition empty).
     """
 
     run: Callable[..., Dict[str, Any]]
+    grouped: Optional[Callable[..., Dict[Any, Dict[str, Any]]]] = None

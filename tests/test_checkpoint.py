@@ -193,3 +193,108 @@ def test_checkpoint_failure_action_fires(spark, tmp_path):
         actions=[FunctionAction(boom)],
     )
     assert summary2["partitions_validated_now"] == 2
+
+
+def _job_suite(dim):
+    return (
+        ExpectationSuite("jobs")
+        .add(
+            "expect_column_values_to_exist_in_other_table",
+            column="conv_id",
+            other_table=dim,
+            other_column="conv_id",
+            mostly=0.5,
+        )
+        .add(
+            "expect_column_two_sample_ks_to_be_less_than",
+            column="turn_idx",
+            baseline_condition="turn_idx < 6",
+            threshold=1.1,
+            bins=[0, 3, 6, 9, 12, 100],
+        )
+        .add(
+            "expect_column_two_sample_chisquare_p_to_be_greater_than",
+            column="role",
+            baseline_condition="turn_idx < 6",
+            p=-0.1,
+        )
+    )
+
+
+def test_grouped_job_expectations_match_per_partition(spark, transcripts):
+    """Referential + drift expectations evaluate per-partition via the O(1)
+    grouped hooks and must match the full validator run partition by
+    partition."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    # dim table missing some conversations -> nonzero unexpected counts
+    dim = (
+        transcripts.select("conv_id")
+        .distinct()
+        .filter(F.hash("conv_id") % 5 != 0)
+        .persist()
+    )
+    dim.count()
+    try:
+        suite = _job_suite(dim)
+        grouped = validate_by_partition(transcripts, suite, "day")
+        assert len(grouped) == 30
+        v = SuiteValidator()
+        for day in sorted(grouped)[:4]:
+            full = v.validate(
+                transcripts.filter(F.col("day") == day), suite, "BASIC"
+            )
+            g = grouped[day]
+            for gr, fr in zip(g.results, full.results):
+                et = gr.expectation_config["expectation_type"]
+                assert gr.success == fr.success, et
+                if "unexpected_count" in fr.result:
+                    assert (
+                        gr.result["unexpected_count"]
+                        == fr.result["unexpected_count"]
+                    ), et
+                if "observed_value" in fr.result:
+                    assert gr.result["observed_value"] == pytest.approx(
+                        fr.result["observed_value"]
+                    ), et
+        # at least one partition has referential violations in this setup
+        assert any(
+            g.results[0].result["unexpected_count"] > 0
+            for g in grouped.values()
+        )
+    finally:
+        dim.unpersist()
+
+
+def test_grouped_job_expectations_job_count_constant(spark, transcripts):
+    """Spark job count for validate_by_partition must NOT grow with the
+    number of partitions (the grouped hooks are O(1) jobs per item)."""
+    from pyspark.sql import functions as F
+
+    dim = transcripts.select("conv_id").distinct().persist()
+    dim.count()
+    sc = spark.sparkContext
+    try:
+        few = transcripts.filter(
+            F.col("day").isin(["2024-01-01", "2024-01-02"])
+        )
+        sc.setJobGroup("gx_grouped_few", "few partitions")
+        validate_by_partition(few, _job_suite(dim), "day")
+        jobs_few = len(sc.statusTracker().getJobIdsForGroup("gx_grouped_few"))
+
+        sc.setJobGroup("gx_grouped_many", "many partitions")
+        validate_by_partition(transcripts, _job_suite(dim), "day")
+        jobs_many = len(
+            sc.statusTracker().getJobIdsForGroup("gx_grouped_many")
+        )
+    finally:
+        sc.setJobGroup(None, None)
+        dim.unpersist()
+    assert jobs_few > 0
+    # 2 partitions vs 30 partitions: job count must NOT scale with
+    # partitions (per-partition fallback would be ~3 jobs x 30 partitions;
+    # AQE may add a couple of shuffle-stage jobs on the larger input)
+    assert jobs_many <= jobs_few + 3, (jobs_few, jobs_many)
+    assert jobs_many < 15, jobs_many
