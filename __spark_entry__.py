@@ -328,6 +328,41 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_id_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar–Trenkle char-n-gram language ID (20 languages, rank-order
+    out-of-place distance, Arrow-batched UDF — functions/langid.py).
+
+    Planted-truth oracle: the driver's documents table has synthetic
+    English-vocabulary text for every `lang` label, so real multilingual
+    accuracy is evidenced on the module's held-out fixture
+    (HELDOUT_SENTENCES — never used for profile building, includes the
+    confusable pairs es/pt, da/no, sv/da, cs/pl).  The oracle SQL is the
+    planted truth: 2 docs per language, all classified correctly; any
+    classifier regression breaks the value hash."""
+    from great_expectations_spark.functions import langid
+
+    rows = [
+        (lang, s)
+        for lang, sents in sorted(langid.HELDOUT_SENTENCES.items())
+        for s in sents
+    ]
+    df = spark.createDataFrame(rows, "true_lang string, text string")
+    return (
+        df.select(
+            "true_lang",
+            langid.language_id_ct(F.col("text")).alias("pred"),
+        )
+        .groupBy("true_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred") == F.col("true_lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .orderBy("true_lang")
+    )
+
+
 def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "documents")
     return df.agg(
@@ -705,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_stats_docs": _stopword_stats,
         "quality_docs": _quality,
         "lang_id_docs": _lang_id,
+        "lang_id_ct_planted": _lang_id_ct,
         "ann_threshold_cosine": _ann_threshold,
         "minhash_pairs_docs": _minhash_pairs,
         "ngram_pairs_docs": _ngram_pairs,
@@ -1131,6 +1167,21 @@ def _dedup_ann_oracles() -> dict[str, str]:
         ),
         "embed_near_dup_pairs": _embed_near_dup_sql(),
         "lang_id_docs": _lang_id_sql(),
+        # planted truth: every held-out doc must classify correctly
+        # (2 docs x 20 languages; fixture is held out from profile seeds)
+        "lang_id_ct_planted": (
+            "SELECT true_lang, 2::BIGINT AS n_docs, 2::BIGINT AS n_correct "
+            "FROM (VALUES "
+            + ", ".join(
+                f"('{lang}')"
+                for lang in [
+                    "ca", "cs", "da", "de", "el", "en", "es", "fi", "fr",
+                    "hu", "id", "it", "nl", "no", "pl", "pt", "ro", "ru",
+                    "sv", "tr",
+                ]
+            )
+            + ") AS t(true_lang) ORDER BY true_lang"
+        ),
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings "

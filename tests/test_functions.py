@@ -358,3 +358,81 @@ def test_ivf_ann(spark):
         assigned, centroids, query, k=1, n_probe=2
     ).first()
     assert near["vec_id"] == 42
+
+
+# --- Cavnar–Trenkle language ID ------------------------------------------
+
+
+def test_langid_ct_heldout_accuracy():
+    """>=95% on the held-out fixture (never used for profiles); joined
+    two-sentence docs must be perfect."""
+    from great_expectations_spark.functions.langid import (
+        HELDOUT_SENTENCES,
+        classify,
+    )
+
+    total = correct = 0
+    for lang, sents in HELDOUT_SENTENCES.items():
+        for s in sents:
+            total += 1
+            correct += classify(s) == lang
+        assert classify(" ".join(sents)) == lang, lang
+    assert correct / total >= 0.95, f"{correct}/{total}"
+
+
+def test_langid_ct_confusable_pairs():
+    """The classically confusable pairs must separate on the fixture:
+    es/pt (Iberian Romance), da/no (continental Scandinavian), sv/da,
+    cs/pl (Latin-script Slavic), es/ca."""
+    from great_expectations_spark.functions.langid import (
+        HELDOUT_SENTENCES,
+        classify,
+    )
+
+    for a, b in [("es", "pt"), ("da", "no"), ("sv", "da"), ("cs", "pl"),
+                 ("es", "ca")]:
+        for lang in (a, b):
+            doc = " ".join(HELDOUT_SENTENCES[lang])
+            assert classify(doc) == lang, (a, b, lang)
+
+
+def test_langid_ct_und_and_nonlinguistic():
+    from great_expectations_spark.functions.langid import classify
+
+    assert classify(None) == "und"
+    assert classify("") == "und"
+    assert classify("12345 678 90 ...!!!") == "und"
+
+
+def test_langid_ct_udf_matches_python(spark):
+    """The Arrow UDF path must agree with the plain-Python classifier."""
+    from great_expectations_spark.functions.langid import (
+        HELDOUT_SENTENCES,
+        classify,
+        language_id_ct,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (lang, s)
+        for lang, sents in sorted(HELDOUT_SENTENCES.items())
+        for s in sents
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = df.select(
+        "lang", "text", language_id_ct(F.col("text")).alias("pred")
+    ).collect()
+    for r in got:
+        assert r["pred"] == classify(r["text"]), r["lang"]
+
+
+def test_langid_ct_deterministic_rank_tiebreak():
+    """Rank ordering must be (count desc, gram asc) — the documented
+    deterministic tie-break."""
+    from collections import Counter
+
+    from great_expectations_spark.functions.langid import _rank
+
+    grams = Counter({"b": 2, "a": 2, "c": 3})
+    ranked = _rank(grams, 10)
+    assert ranked == {"c": 0, "a": 1, "b": 2}
