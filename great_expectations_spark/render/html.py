@@ -1,0 +1,215 @@
+"""Self-contained HTML Data Docs (reference contract:
+``render/renderer/site_builder.py`` — SiteBuilder renders validation
+results into a browsable static site with an index page).
+
+The reference ships tens of kLoC of Jinja templates and content-block
+renderers; this module renders the same information surface — suite
+verdict, statistics, per-expectation table, violation samples, and a
+per-run index — as single-file HTML documents with inline CSS (no Jinja,
+no assets directory, nothing to deploy but the files).  Pure Python over
+the result-JSON shape; no Spark dependency, so rendering is driver-side
+and O(results), never O(data).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+from typing import Any, Dict, List, Optional, Union
+
+from great_expectations_spark.core.results import (
+    ExpectationSuiteValidationResult,
+)
+from great_expectations_spark.render.markdown import _as_dict, _domain_of
+
+_CSS = """
+body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif;
+       margin: 2rem auto; max-width: 60rem; color: #1a1a2e; }
+h1 { font-size: 1.4rem; border-bottom: 2px solid #e0e0e8;
+     padding-bottom: .4rem; }
+h2 { font-size: 1.1rem; margin-top: 1.6rem; }
+table { border-collapse: collapse; width: 100%; margin: .8rem 0; }
+th, td { border: 1px solid #d8d8e0; padding: .35rem .6rem;
+         text-align: left; font-size: .88rem; }
+th { background: #f4f4f8; }
+code { background: #f4f4f8; padding: .1rem .3rem; border-radius: 3px;
+       font-size: .85em; }
+.ok { color: #0a7a33; font-weight: 600; }
+.fail { color: #b3122e; font-weight: 600; }
+.meta { color: #555; font-size: .85rem; }
+ul.samples li { font-family: monospace; font-size: .85rem; }
+""".strip()
+
+
+def _esc(value: Any, max_len: int = 80) -> str:
+    text = str(value)
+    if len(text) > max_len:
+        text = text[: max_len - 1] + "…"
+    return _html.escape(text, quote=True)
+
+
+def _status(ok: bool) -> str:
+    return (
+        '<span class="ok">PASS</span>'
+        if ok
+        else '<span class="fail">FAIL</span>'
+    )
+
+
+def _page(title: str, body: str) -> str:
+    return (
+        "<!doctype html>\n<html lang=\"en\"><head><meta charset=\"utf-8\">"
+        f"<title>{_esc(title, 200)}</title>"
+        f"<style>{_CSS}</style></head>\n<body>\n{body}\n</body></html>\n"
+    )
+
+
+def render_suite_result_html(
+    result: Union[ExpectationSuiteValidationResult, Dict[str, Any]],
+    title: Optional[str] = None,
+    max_samples: int = 5,
+) -> str:
+    """One self-contained HTML document for one suite validation result:
+    verdict, statistics line, per-expectation table, violation samples for
+    each failed expectation."""
+    data = _as_dict(result)
+    meta = data.get("meta", {})
+    stats = data.get("statistics", {})
+    name = title or meta.get("expectation_suite_name", "validation")
+    ok = bool(data.get("success"))
+
+    parts: List[str] = [
+        f"<h1>{_status(ok)} {_esc(name, 200)}</h1>",
+        '<p class="meta">'
+        + f"run <code>{_esc(meta.get('run_id', ''))}</code>"
+        + (
+            f" at {_esc(meta.get('validation_time'))}"
+            if meta.get("validation_time")
+            else ""
+        )
+        + f" — {stats.get('successful_expectations', 0)}/"
+        f"{stats.get('evaluated_expectations', 0)} expectations passed "
+        f"({stats.get('success_percent', 0):.1f}%)</p>",
+        "<table><thead><tr><th>status</th><th>expectation</th>"
+        "<th>column / domain</th><th>observed</th><th>unexpected</th>"
+        "</tr></thead><tbody>",
+    ]
+    failures: List[Dict[str, Any]] = []
+    for r in data.get("results", []):
+        config = r.get("expectation_config", {})
+        kwargs = config.get("kwargs", {})
+        res = r.get("result", {}) or {}
+        observed = res.get("observed_value")
+        unexpected = res.get("unexpected_count")
+        parts.append(
+            f"<tr><td>{_status(bool(r.get('success')))}</td>"
+            f"<td><code>{_esc(config.get('expectation_type'))}</code></td>"
+            f"<td>{_esc(_domain_of(kwargs))}</td>"
+            f"<td>{_esc(observed) if observed is not None else ''}</td>"
+            f"<td>{_esc(unexpected) if unexpected is not None else ''}</td>"
+            "</tr>"
+        )
+        if not r.get("success"):
+            failures.append(r)
+    parts.append("</tbody></table>")
+
+    for r in failures:
+        config = r.get("expectation_config", {})
+        res = r.get("result", {}) or {}
+        exc = r.get("exception_info") or {}
+        parts.append(
+            f"<h2>{_status(False)} "
+            f"<code>{_esc(config.get('expectation_type'))}</code></h2>"
+        )
+        if exc.get("raised_exception"):
+            parts.append(
+                "<p>raised: "
+                f"<code>{_esc(exc.get('exception_message'), 200)}</code></p>"
+            )
+            continue
+        parts.append(
+            f"<p>kwargs: <code>{_esc(config.get('kwargs'), 200)}</code></p>"
+        )
+        samples = res.get("partial_unexpected_list") or []
+        if samples:
+            parts.append("<p>sample violations:</p><ul class=\"samples\">")
+            parts.extend(
+                f"<li>{_esc(v, 120)}</li>" for v in samples[:max_samples]
+            )
+            parts.append("</ul>")
+    return _page(name, "\n".join(parts))
+
+
+def render_index_html(
+    entries: List[Dict[str, Any]], title: str = "validation run"
+) -> str:
+    """Index page: one row per rendered document (reference
+    ``site_builder.py`` index_builder), with status and link."""
+    ok = all(bool(e.get("success")) for e in entries) if entries else True
+    parts = [
+        f"<h1>{_status(ok)} {_esc(title, 200)}</h1>",
+        f'<p class="meta">{len(entries)} validated partitions</p>',
+        "<table><thead><tr><th>partition</th><th>status</th>"
+        "<th>expectations</th><th>report</th></tr></thead><tbody>",
+    ]
+    for e in sorted(entries, key=lambda e: str(e.get("partition_id"))):
+        fname = e.get("file")
+        parts.append(
+            f"<tr><td>{_esc(e.get('partition_id'))}</td>"
+            f"<td>{_status(bool(e.get('success')))}</td>"
+            f"<td>{_esc(e.get('expectations', ''))}</td>"
+            f"<td><a href=\"{_esc(fname, 200)}\">{_esc(fname, 200)}</a>"
+            "</td></tr>"
+        )
+    parts.append("</tbody></table>")
+    return _page(title, "\n".join(parts))
+
+
+class HtmlDocsAction:
+    """Checkpoint action: write one HTML report per validated partition
+    under ``<directory>/<run_id>/`` and keep ``index.html`` current after
+    every partition (the Data Docs analogue of the reference's
+    UpdateDataDocsAction + SiteBuilder)."""
+
+    notify_on = "all"
+
+    def __init__(self, directory: str) -> None:
+        self.directory = directory
+        self._entries: Dict[str, List[Dict[str, Any]]] = {}
+
+    def should_run(self, ctx) -> bool:
+        return True
+
+    def run(self, ctx) -> str:
+        out_dir = os.path.join(self.directory, ctx.run_id)
+        os.makedirs(out_dir, exist_ok=True)
+        safe = str(ctx.partition_id).replace(os.sep, "_")
+        fname = f"{safe}.html"
+        doc = render_suite_result_html(
+            ctx.result,
+            title=f"{ctx.suite_name} — {ctx.partition_column}="
+            f"{ctx.partition_id}",
+        )
+        with open(os.path.join(out_dir, fname), "w", encoding="utf-8") as f:
+            f.write(doc)
+        stats = ctx.result.statistics or {}
+        entries = self._entries.setdefault(ctx.run_id, [])
+        entries.append(
+            {
+                "partition_id": str(ctx.partition_id),
+                "success": bool(ctx.result.success),
+                "expectations": (
+                    f"{stats.get('successful_expectations', 0)}/"
+                    f"{stats.get('evaluated_expectations', 0)}"
+                ),
+                "file": fname,
+            }
+        )
+        index = render_index_html(
+            entries, title=f"{ctx.suite_name} — run {ctx.run_id}"
+        )
+        with open(
+            os.path.join(out_dir, "index.html"), "w", encoding="utf-8"
+        ) as f:
+            f.write(index)
+        return os.path.join(out_dir, fname)

@@ -298,3 +298,31 @@ def test_grouped_job_expectations_job_count_constant(spark, transcripts):
     # AQE may add a couple of shuffle-stage jobs on the larger input)
     assert jobs_many <= jobs_few + 3, (jobs_few, jobs_many)
     assert jobs_many < 15, jobs_many
+
+
+def test_checkpoint_html_docs_action(spark, transcripts, tmp_path):
+    """End-to-end: checkpoint run emits a browsable HTML report per
+    partition plus an index page with verdicts and links."""
+    import glob
+    import os
+
+    from great_expectations_spark.render.html import HtmlDocsAction
+
+    docs_dir = str(tmp_path / "docs")
+    summary = run_checkpoint(
+        transcripts, _suite(), "day", str(tmp_path / "ck_html"),
+        actions=[HtmlDocsAction(docs_dir)],
+    )
+    run_dir = os.path.join(docs_dir, summary["run_id"])
+    pages = glob.glob(os.path.join(run_dir, "*.html"))
+    # one page per partition + the index
+    assert len(pages) == summary["partitions_total"] + 1
+    with open(os.path.join(run_dir, "index.html")) as f:
+        index = f.read()
+    assert index.count("<a href=") == summary["partitions_total"]
+    first = sorted(p for p in pages if not p.endswith("index.html"))[0]
+    with open(first) as f:
+        page = f.read()
+    assert page.startswith("<!doctype html>")
+    assert "expect_column_values_to_not_be_null" in page
+    assert 'class="ok"' in page or 'class="fail"' in page

@@ -119,3 +119,59 @@ def test_render_docs_action_writes_file(tmp_path):
     assert path.endswith("2024-01-01.md")
     with open(path) as f:
         assert f.read().startswith("# ✅ s — day=2024-01-01")
+
+
+# --- HTML Data Docs --------------------------------------------------------
+
+
+def test_render_suite_result_html_golden():
+    """Stable golden-file contract for the HTML renderer (reference:
+    render/renderer/site_builder.py renders the same surface)."""
+    import os
+
+    from great_expectations_spark.render.html import render_suite_result_html
+
+    doc = render_suite_result_html(RESULT)
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "suite_result.html"
+    )
+    with open(golden_path) as f:
+        assert doc == f.read()
+
+
+def test_render_suite_result_html_content():
+    from great_expectations_spark.render.html import render_suite_result_html
+
+    doc = render_suite_result_html(RESULT)
+    assert doc.startswith("<!doctype html>")
+    assert '<span class="fail">FAIL</span>' in doc
+    assert "orders.daily" in doc
+    assert "expect_column_values_to_not_be_null" in doc
+    # violation samples rendered
+    assert "<li>9</li>" in doc and "<li>12</li>" in doc
+    # user strings are escaped
+    evil = {
+        **RESULT,
+        "meta": {"expectation_suite_name": "<script>alert(1)</script>"},
+    }
+    out = render_suite_result_html(evil)
+    assert "<script>" not in out
+    assert "&lt;script&gt;" in out
+
+
+def test_render_index_html():
+    from great_expectations_spark.render.html import render_index_html
+
+    idx = render_index_html(
+        [
+            {"partition_id": "p2", "success": True, "expectations": "2/2",
+             "file": "p2.html"},
+            {"partition_id": "p1", "success": False, "expectations": "1/2",
+             "file": "p1.html"},
+        ],
+        title="daily run",
+    )
+    assert '<a href="p1.html">' in idx and '<a href="p2.html">' in idx
+    # sorted by partition, overall verdict FAIL
+    assert idx.index("p1.html") < idx.index("p2.html")
+    assert '<span class="fail">FAIL</span> daily run' in idx
