@@ -111,17 +111,41 @@ def split_on_multi_column_values(
     return df.filter(reduce(lambda a, b: a & b, conds))
 
 
+def _hash_bucket(
+    column_name: str, hash_digits: int, hash_function_name: str
+) -> Any:
+    """Bucket expression for hash splitter/sampler — always JVM-side.
+
+    ``md5`` is the reference-parity mode: the LAST ``hash_digits`` hex
+    chars of ``md5(str(value))``, byte-identical to the reference's
+    hashlib UDF (``sparkdf_data_sampler.py:142-203``,
+    ``sparkdf_data_splitter.py:294-324``) — ported bucket definitions get
+    the same row assignments, via ``F.md5`` instead of a Python UDF.
+    ``sha256`` is this engine's original mode (FIRST digits of sha2-256),
+    kept as the default for backward compatibility.
+    """
+    col = F.col(column_name).cast("string")
+    if hash_function_name == "md5":
+        return F.substring(F.md5(col), -hash_digits, hash_digits)
+    if hash_function_name in ("sha256", "sha2"):
+        return F.substring(F.sha2(col, 256), 1, hash_digits)
+    raise ValueError(
+        f"unsupported hash_function_name {hash_function_name!r}; "
+        "use 'md5' (reference parity) or 'sha256'"
+    )
+
+
 def split_on_hashed_column(
     df: DataFrame,
     column_name: str,
     hash_digits: int,
     batch_identifiers: Dict[str, Any],
+    hash_function_name: str = "sha256",
 ) -> DataFrame:
-    """sha2-based bucket splitter (JVM-side; reference uses a Python
-    hashlib UDF)."""
-    bucket = F.substring(
-        F.sha2(F.col(column_name).cast("string"), 256), 1, hash_digits
-    )
+    """Hash-bucket splitter (JVM-side; reference uses a Python hashlib
+    UDF).  Pass ``hash_function_name='md5'`` for reference-identical
+    bucket membership."""
+    bucket = _hash_bucket(column_name, hash_digits, hash_function_name)
     return df.filter(bucket == F.lit(str(batch_identifiers["hash_value"])))
 
 
@@ -168,13 +192,12 @@ def sample_using_hash(
     column_name: str,
     hash_digits: int = 1,
     hash_value: str = "f",
+    hash_function_name: str = "sha256",
 ) -> DataFrame:
-    """Deterministic hash sampler, JVM-side (reference: md5 Python UDF)."""
+    """Deterministic hash sampler, JVM-side.  With
+    ``hash_function_name='md5'`` the kept rows are byte-identical to the
+    reference's hashlib-UDF sampler (md5 hexdigest suffix match)."""
     return df.filter(
-        F.substring(
-            F.sha2(F.col(column_name).cast("string"), 256),
-            1,
-            hash_digits,
-        )
+        _hash_bucket(column_name, hash_digits, hash_function_name)
         == F.lit(hash_value)
     )

@@ -128,3 +128,67 @@ def test_cloud_batch_spec_conf_plumbing(spark, tmp_path):
     out = load_batch(spark, spec)
     assert out.count() == 1
     assert spark.conf.get("spark.gx.test.flag") == "on"
+
+
+def test_md5_hash_sampler_matches_reference_semantics(spark):
+    """hash_function_name='md5' must keep exactly the rows the reference's
+    hashlib UDF keeps: md5(str(value)).hexdigest()[-hash_digits:] ==
+    hash_value — computed here with hashlib as the truth."""
+    import hashlib
+
+    from great_expectations_spark.sources import splitters as sp
+
+    values = [f"cust_{i}" for i in range(200)] + ["42", "hello world", ""]
+    df = spark.createDataFrame([(v,) for v in values], "k string")
+    for digits, hv in [(1, "f"), (2, "ab"), (1, "0")]:
+        expected = {
+            v
+            for v in values
+            if hashlib.md5(str(v).encode()).hexdigest()[-digits:] == hv
+        }
+        got = {
+            r["k"]
+            for r in sp.sample_using_hash(
+                df, "k", hash_digits=digits, hash_value=hv,
+                hash_function_name="md5",
+            ).collect()
+        }
+        assert got == expected, (digits, hv)
+
+
+def test_md5_hash_splitter_matches_reference_semantics(spark):
+    import hashlib
+
+    from great_expectations_spark.sources import splitters as sp
+
+    df = spark.range(500).selectExpr("cast(id as string) AS k")
+    expected = {
+        str(i)
+        for i in range(500)
+        if hashlib.md5(str(i).encode()).hexdigest()[-1:] == "a"
+    }
+    got = {
+        r["k"]
+        for r in sp.split_on_hashed_column(
+            df, "k", 1, {"hash_value": "a"}, hash_function_name="md5"
+        ).collect()
+    }
+    assert got == expected and got
+    # buckets across all 16 hex values partition the table completely
+    total = sum(
+        sp.split_on_hashed_column(
+            df, "k", 1, {"hash_value": h}, hash_function_name="md5"
+        ).count()
+        for h in "0123456789abcdef"
+    )
+    assert total == 500
+
+
+def test_hash_sampler_rejects_unknown_function(spark):
+    import pytest as _pytest
+
+    from great_expectations_spark.sources import splitters as sp
+
+    df = spark.range(3).selectExpr("cast(id as string) AS k")
+    with _pytest.raises(ValueError, match="hash_function_name"):
+        sp.sample_using_hash(df, "k", hash_function_name="sha1").collect()
