@@ -95,36 +95,41 @@ class ValidationResultStore:
     # -- URN resolution ---------------------------------------------------
 
     def resolve_urn(self, urn: str) -> Any:
-        m = _URN.match(urn)
-        if m is None:
-            raise ValueError(f"not a validations URN: {urn!r}")
-        stored = self.latest(m.group("suite"))
-        metric_path = m.group("metric").split(".")
-        expectation_type, path = metric_path[0], metric_path[1:]
-        want_kwargs = _parse_kwargs_segment(m.group("kwargs"))
+        return resolve_urn_with(self.latest, urn)
 
-        for r in stored.get("results", []):
-            config = r.get("expectation_config") or {}
-            if config.get("expectation_type") != expectation_type:
-                continue
-            ckwargs = config.get("kwargs") or {}
-            if any(
-                str(ckwargs.get(k)) != v for k, v in want_kwargs.items()
-            ):
-                continue
-            node: Any = r
-            for step in path:
-                if not isinstance(node, dict) or step not in node:
-                    raise KeyError(
-                        f"URN path {m.group('metric')!r} missing {step!r}"
-                    )
-                node = node[step]
-            return node
-        raise KeyError(
-            f"no stored result for {expectation_type!r}"
-            + (f" with {want_kwargs}" if want_kwargs else "")
-            + f" in suite {m.group('suite')!r}"
-        )
+
+def resolve_urn_with(latest_fn, urn: str) -> Any:
+    """Resolve a validations URN against ``latest_fn(suite_name) -> stored
+    result dict`` — shared by the filesystem store and every
+    ``store_backends`` implementation (same grammar, same traversal)."""
+    m = _URN.match(urn)
+    if m is None:
+        raise ValueError(f"not a validations URN: {urn!r}")
+    stored = latest_fn(m.group("suite"))
+    metric_path = m.group("metric").split(".")
+    expectation_type, path = metric_path[0], metric_path[1:]
+    want_kwargs = _parse_kwargs_segment(m.group("kwargs"))
+
+    for r in stored.get("results", []):
+        config = r.get("expectation_config") or {}
+        if config.get("expectation_type") != expectation_type:
+            continue
+        ckwargs = config.get("kwargs") or {}
+        if any(str(ckwargs.get(k)) != v for k, v in want_kwargs.items()):
+            continue
+        node: Any = r
+        for step in path:
+            if not isinstance(node, dict) or step not in node:
+                raise KeyError(
+                    f"URN path {m.group('metric')!r} missing {step!r}"
+                )
+            node = node[step]
+        return node
+    raise KeyError(
+        f"no stored result for {expectation_type!r}"
+        + (f" with {want_kwargs}" if want_kwargs else "")
+        + f" in suite {m.group('suite')!r}"
+    )
 
 
 def _parse_kwargs_segment(segment: Optional[str]) -> Dict[str, str]:

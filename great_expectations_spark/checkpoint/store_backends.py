@@ -1,0 +1,246 @@
+"""Pluggable validation-result store backends.
+
+Reference surface: ``data_context/store/`` — StoreBackend
+(``store_backend.py``), TupleFilesystemStoreBackend
+(``tuple_store_backend.py``) and DatabaseStoreBackend
+(``database_store_backend.py``) give the data context interchangeable
+persistence for validation results.  This module re-expresses that
+contract Spark-first:
+
+* ``ResultStoreBackend`` — the minimal protocol: append one (suite,
+  run_id, payload) record; fetch the latest payload per suite; list
+  suites.
+* ``FilesystemResultBackend`` — one JSON per run + ``latest.json``
+  pointer, atomic writes (the round-1 behavior, now behind the protocol).
+* ``SparkTableResultBackend`` — an append-only result LOG as a Spark
+  table: parquet/delta directory path, catalog table, or JDBC.  Appends
+  are tiny single-row jobs; "latest" is a filter + order-by-version read.
+  Append-only is the object-store-native design (no in-place update — the
+  same reason the reference's TupleS3StoreBackend keys by run id); at
+  10^5 runs the log is still a few MB and can be compacted offline.
+
+``BackendValidationResultStore`` exposes the same ``save`` / ``latest``
+/ ``resolve_urn`` API as ``param_store.ValidationResultStore`` over any
+backend, so chained-suite URN parameters can resolve from a database or
+lakehouse table instead of a directory.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, List, Optional
+
+from great_expectations_spark.core.results import (
+    ExpectationSuiteValidationResult,
+)
+
+
+class ResultStoreBackend:
+    """Protocol (reference ``store_backend.py`` StoreBackend)."""
+
+    def append(self, suite_name: str, run_id: str, payload: str) -> None:
+        raise NotImplementedError
+
+    def latest_payload(self, suite_name: str) -> str:
+        raise NotImplementedError
+
+    def list_suites(self) -> List[str]:
+        raise NotImplementedError
+
+
+class FilesystemResultBackend(ResultStoreBackend):
+    """Directory-of-JSON backend (reference TupleFilesystemStoreBackend);
+    delegates to the existing atomic-write store layout."""
+
+    def __init__(self, directory: str) -> None:
+        import os
+
+        from great_expectations_spark.checkpoint.param_store import _safe
+
+        self.directory = directory
+        self._safe = _safe
+        self._os = os
+        os.makedirs(directory, exist_ok=True)
+
+    def _suite_dir(self, suite_name: str) -> str:
+        path = self._os.path.join(self.directory, self._safe(suite_name))
+        self._os.makedirs(path, exist_ok=True)
+        return path
+
+    def append(self, suite_name: str, run_id: str, payload: str) -> None:
+        from great_expectations_spark.checkpoint.param_store import (
+            ValidationResultStore,
+        )
+
+        suite_dir = self._suite_dir(suite_name)
+        write = ValidationResultStore._atomic_write
+        write(
+            self._os.path.join(suite_dir, f"{self._safe(run_id)}.json"),
+            payload,
+        )
+        write(self._os.path.join(suite_dir, "latest.json"), payload)
+
+    def latest_payload(self, suite_name: str) -> str:
+        path = self._os.path.join(self._suite_dir(suite_name), "latest.json")
+        if not self._os.path.exists(path):
+            raise KeyError(
+                f"no stored validation result for suite {suite_name!r}"
+            )
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+
+    def list_suites(self) -> List[str]:
+        return sorted(
+            d
+            for d in self._os.listdir(self.directory)
+            if self._os.path.isdir(self._os.path.join(self.directory, d))
+        )
+
+
+_RESULT_LOG_SCHEMA = (
+    "suite_name string, run_id string, stored_at_ns long, payload string"
+)
+
+
+class SparkTableResultBackend(ResultStoreBackend):
+    """Append-only result log as a Spark table (reference
+    DatabaseStoreBackend, re-expressed for the lakehouse).
+
+    ``location`` semantics by ``fmt``:
+
+    * ``"parquet"`` / ``"delta"`` — a directory path; appends are
+      single-row ``mode('append')`` writes (delta needs the delta-spark
+      classpath, parquet works everywhere).
+    * ``"table"``  — a catalog table name (``saveAsTable`` append).
+    * ``"jdbc"``   — a database table; ``options`` must carry the usual
+      ``url`` / ``dbtable`` / ``driver`` / credentials.  Thin passthrough
+      to ``spark.write.format('jdbc')`` — exercised only where a live
+      database exists.
+    """
+
+    def __init__(
+        self,
+        spark,
+        location: str,
+        fmt: str = "parquet",
+        options: Optional[Dict[str, str]] = None,
+    ) -> None:
+        if fmt not in ("parquet", "delta", "table", "jdbc"):
+            raise ValueError(f"unsupported result-store format {fmt!r}")
+        self.spark = spark
+        self.location = location
+        self.fmt = fmt
+        self.options = dict(options or {})
+
+    def _write(self, rows: List[tuple]) -> None:
+        df = self.spark.createDataFrame(rows, _RESULT_LOG_SCHEMA)
+        if self.fmt == "table":
+            df.write.mode("append").saveAsTable(self.location)
+        elif self.fmt == "jdbc":
+            (
+                df.write.format("jdbc")
+                .options(dbtable=self.location, **self.options)
+                .mode("append")
+                .save()
+            )
+        else:
+            df.write.format(self.fmt).options(**self.options).mode(
+                "append"
+            ).save(self.location)
+
+    def _read(self):
+        if self.fmt == "table":
+            return self.spark.table(self.location)
+        if self.fmt == "jdbc":
+            return (
+                self.spark.read.format("jdbc")
+                .options(dbtable=self.location, **self.options)
+                .load()
+            )
+        return (
+            self.spark.read.format(self.fmt)
+            .options(**self.options)
+            .load(self.location)
+        )
+
+    def append(self, suite_name: str, run_id: str, payload: str) -> None:
+        self._write([(suite_name, run_id, time.time_ns(), payload)])
+
+    def latest_payload(self, suite_name: str) -> str:
+        from pyspark.sql import functions as F
+
+        rows = (
+            self._read()
+            .filter(F.col("suite_name") == suite_name)
+            .orderBy(F.col("stored_at_ns").desc())
+            .select("payload")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(
+                f"no stored validation result for suite {suite_name!r}"
+            )
+        return rows[0]["payload"]
+
+    def list_suites(self) -> List[str]:
+        return sorted(
+            r["suite_name"]
+            for r in self._read().select("suite_name").distinct().collect()
+        )
+
+
+class BackendValidationResultStore:
+    """``save`` / ``latest`` / ``resolve_urn`` over any backend — the same
+    API as ``param_store.ValidationResultStore`` so it can serve as a
+    checkpoint ``parameter_store`` for chained-suite URN parameters."""
+
+    def __init__(self, backend: ResultStoreBackend) -> None:
+        self.backend = backend
+
+    def save(
+        self,
+        result: ExpectationSuiteValidationResult,
+        suite_name: Optional[str] = None,
+    ) -> str:
+        name = suite_name or result.meta.get("expectation_suite_name")
+        if not name:
+            raise ValueError("suite name required (not present in meta)")
+        run_id = str(result.meta.get("run_id") or "run")
+        self.backend.append(name, run_id, result.to_json())
+        return f"{name}/{run_id}"
+
+    def latest(self, suite_name: str) -> Dict[str, Any]:
+        return json.loads(self.backend.latest_payload(suite_name))
+
+    def resolve_urn(self, urn: str) -> Any:
+        # identical URN grammar + traversal as the filesystem store
+        from great_expectations_spark.checkpoint.param_store import (
+            resolve_urn_with,
+        )
+
+        return resolve_urn_with(self.latest, urn)
+
+
+class StoreResultToBackendAction:
+    """Checkpoint action: persist each partition's suite result to a
+    ``BackendValidationResultStore`` (reference StoreValidationResultAction
+    targeting a configured store instead of a directory).  Suite results
+    are keyed ``<suite>.<partition>`` — '.' is legal in the URN suite
+    segment, so per-partition metrics are URN-addressable:
+    ``urn:great_expectations:validations:<suite>.<partition>:<metric>``."""
+
+    notify_on = "all"
+
+    def __init__(self, store: BackendValidationResultStore) -> None:
+        self.store = store
+
+    def should_run(self, ctx) -> bool:
+        return True
+
+    def run(self, ctx) -> str:
+        return self.store.save(
+            ctx.result,
+            suite_name=f"{ctx.suite_name}.{ctx.partition_id}",
+        )

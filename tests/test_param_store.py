@@ -106,3 +106,100 @@ def test_urn_kwargs_disambiguation(df, tmp_path):
             "urn:great_expectations:validations:multi:"
             "expect_column_stdev_to_be_between.result.observed_value"
         )
+
+
+# --- pluggable store backends ----------------------------------------------
+
+
+def test_spark_table_backend_roundtrip_and_urn(spark, tmp_path):
+    """Round-trip: run checkpoint -> results land in a queryable Spark
+    table -> resolve a URN from that table (reference
+    database_store_backend.py contract)."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.checkpoint.runner import run_checkpoint
+    from great_expectations_spark.checkpoint.store_backends import (
+        BackendValidationResultStore,
+        SparkTableResultBackend,
+        StoreResultToBackendAction,
+    )
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    df = spark.createDataFrame(
+        [("p1", 5), ("p1", 7), ("p2", 500)], "part string, qty int"
+    )
+    suite = ExpectationSuite("qty_checks").add(
+        "expect_column_values_to_be_between",
+        column="qty", min_value=0, max_value=100,
+    )
+    loc = str(tmp_path / "result_log")
+    store = BackendValidationResultStore(
+        SparkTableResultBackend(spark, loc, fmt="parquet")
+    )
+    run_checkpoint(
+        df, suite, "part", str(tmp_path / "ck"),
+        actions=[StoreResultToBackendAction(store)],
+    )
+
+    # the result log is a plain queryable table
+    log = spark.read.parquet(loc)
+    assert set(log.columns) == {
+        "suite_name", "run_id", "stored_at_ns", "payload"
+    }
+    assert log.count() == 2
+    assert {
+        r["suite_name"] for r in log.select("suite_name").collect()
+    } == {"qty_checks.p1", "qty_checks.p2"}
+
+    # latest() parses back to a full result dict
+    stored = store.latest("qty_checks.p2")
+    assert stored["success"] is False
+
+    # per-partition URN resolution straight from the table ('.' is legal
+    # in the URN suite segment)
+    got = store.resolve_urn(
+        "urn:great_expectations:validations:qty_checks.p2:"
+        "expect_column_values_to_be_between.result.unexpected_count"
+    )
+    assert got == 1
+    got_ok = store.resolve_urn(
+        "urn:great_expectations:validations:qty_checks.p1:"
+        "expect_column_values_to_be_between.result.unexpected_count"
+    )
+    assert got_ok == 0
+
+
+def test_latest_payload_picks_newest_version(spark, tmp_path):
+    from great_expectations_spark.checkpoint.store_backends import (
+        SparkTableResultBackend,
+    )
+
+    b = SparkTableResultBackend(spark, str(tmp_path / "log"), fmt="parquet")
+    b.append("s", "r1", '{"v": 1}')
+    b.append("s", "r2", '{"v": 2}')
+    assert b.latest_payload("s") == '{"v": 2}'
+    assert b.list_suites() == ["s"]
+
+
+def test_filesystem_backend_matches_store(tmp_path):
+    from great_expectations_spark.checkpoint.store_backends import (
+        BackendValidationResultStore,
+        FilesystemResultBackend,
+    )
+
+    b = FilesystemResultBackend(str(tmp_path / "fsb"))
+    store = BackendValidationResultStore(b)
+    b.append("s1", "r1", '{"success": true, "results": []}')
+    assert store.latest("s1") == {"success": True, "results": []}
+    assert b.list_suites() == ["s1"]
+
+
+def test_unknown_backend_format_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from great_expectations_spark.checkpoint.store_backends import (
+        SparkTableResultBackend,
+    )
+
+    with _pytest.raises(ValueError, match="unsupported result-store"):
+        SparkTableResultBackend(spark, str(tmp_path), fmt="csvx")
