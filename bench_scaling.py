@@ -96,7 +96,16 @@ def main() -> None:
         f"local[{c}]": [r["steal_pct"] for r in rs]
         for c, rs in results.items()
     }
-    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+    # preserve analysis sections ("## ..." and below) across re-runs —
+    # only the measurement header/table is regenerated
+    scaling_path = os.path.join(REPO, "SCALING.md")
+    appendix = ""
+    if os.path.exists(scaling_path):
+        old = open(scaling_path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            appendix = old[idx + 1 :]
+    with open(scaling_path, "w") as f:
         f.write(
             "# Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)\n\n"
             "Protocol: identical full-suite validation job over byte-identical\n"
@@ -119,6 +128,8 @@ def main() -> None:
             "interleaved rounds are the closest observable to unthrottled\n"
             "capacity at each parallelism level.\n"
         )
+        if appendix:
+            f.write("\n" + appendix)
     print(
         json.dumps(
             {
