@@ -630,6 +630,105 @@ def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rbp_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RuleBasedProfiler end-to-end (operators/rule_profiler.py —
+    reference ``rule_based_profiler/rule_based_profiler.py``): yearly
+    batches of orders; the table rule derives an exact row-count range
+    from per-batch counts, the categorical rule screens cardinality and
+    derives value sets as the union across batches.  All discrete values,
+    so the oracle replicates exactly (GROUP BY year + distinct agg)."""
+    from great_expectations_spark.operators.rule_profiler import (
+        CategoricalColumnDomainBuilder,
+        DefaultExpectationConfigurationBuilder,
+        NumericMetricRangeParameterBuilder,
+        Rule,
+        RuleBasedProfiler,
+        TableDomainBuilder,
+        ValueSetParameterBuilder,
+    )
+
+    orders = _load(spark, sf_dir, "orders")
+    years = sorted(
+        r[0]
+        for r in orders.select(
+            F.year("o_orderdate").alias("y")
+        ).distinct().collect()
+    )
+    batches = [
+        orders.filter(F.year("o_orderdate") == F.lit(y)) for y in years
+    ]
+    profiler = RuleBasedProfiler(
+        "entry_profiler",
+        rules=[
+            Rule(
+                name="table",
+                domain_builder=TableDomainBuilder(),
+                parameter_builders=[
+                    NumericMetricRangeParameterBuilder(
+                        "rc",
+                        "table.row_count",
+                        estimator="exact",
+                        round_decimals=0,
+                    )
+                ],
+                expectation_configuration_builders=[
+                    DefaultExpectationConfigurationBuilder(
+                        "expect_table_row_count_to_be_between",
+                        min_value="$parameter.rc.value[0]",
+                        max_value="$parameter.rc.value[1]",
+                    )
+                ],
+            ),
+            Rule(
+                name="categorical",
+                domain_builder=CategoricalColumnDomainBuilder(
+                    max_unique_values=10,
+                    include_column_names=[
+                        "o_orderpriority",
+                        "o_orderstatus",
+                    ],
+                ),
+                parameter_builders=[ValueSetParameterBuilder("vs")],
+                expectation_configuration_builders=[
+                    DefaultExpectationConfigurationBuilder(
+                        "expect_column_values_to_be_in_set",
+                        value_set="$parameter.vs.value",
+                    )
+                ],
+            ),
+        ],
+    )
+    suite = profiler.run(batches).suite
+    rows = []
+    for e in suite.expectations:
+        if e.expectation_type == "expect_table_row_count_to_be_between":
+            rows.append(
+                (
+                    "row_count_between",
+                    "",
+                    int(e.kwargs["min_value"]),
+                    int(e.kwargs["max_value"]),
+                    "",
+                )
+            )
+        else:
+            rows.append(
+                (
+                    "in_set",
+                    e.kwargs["column"],
+                    None,
+                    None,
+                    ",".join(e.kwargs["value_set"]),
+                )
+            )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return spark.createDataFrame(
+        rows,
+        "etype string, column_name string, min_v bigint, max_v bigint, "
+        "value_set string",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- map conditions (engine bundled-agg path) ---
@@ -724,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_value_corr": _query_value_corr,
         "query_no_rows_orders": _query_no_rows,
         "query_freq_urgent": _query_freq_urgent,
+        # --- rule-based profiler (configurable rule engine) ---
+        "rbp_profile_orders": _rbp_profile_orders,
         # --- per-partition single-pass grouped validation ---
         "grouped_by_day_between": _grouped_by_day,
         "grouped_jobs_by_flag": _grouped_jobs_by_flag,
@@ -965,6 +1066,23 @@ def oracle_sql() -> dict[str, str]:
             "(count(DISTINCT ts::DATE) - 1))::BIGINT AS missing_days, "
             "date_diff('day', min(ts::DATE), max(ts::DATE)) = "
             "count(DISTINCT ts::DATE) - 1 AS success FROM events"
+        ),
+        "rbp_profile_orders": (
+            "WITH yearly AS (SELECT year(o_orderdate) AS y, "
+            "count(*)::BIGINT AS c FROM orders GROUP BY 1) "
+            "SELECT * FROM ("
+            "SELECT 'in_set' AS etype, 'o_orderpriority' AS column_name, "
+            "CAST(NULL AS BIGINT) AS min_v, CAST(NULL AS BIGINT) AS max_v, "
+            "(SELECT string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT "
+            "o_orderpriority AS v FROM orders)) AS value_set "
+            "UNION ALL "
+            "SELECT 'in_set', 'o_orderstatus', NULL, NULL, "
+            "(SELECT string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT "
+            "o_orderstatus AS v FROM orders)) "
+            "UNION ALL "
+            "SELECT 'row_count_between', '', (SELECT min(c) FROM yearly), "
+            "(SELECT max(c) FROM yearly), ''"
+            ") ORDER BY etype, column_name"
         ),
         "grouped_by_day_between": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS "

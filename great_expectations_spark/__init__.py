@@ -54,6 +54,11 @@ from great_expectations_spark.sources.sinks import (
     results_to_dataframe,
     write_results,
 )
+from great_expectations_spark.operators.rule_profiler import (
+    Rule,
+    RuleBasedProfiler,
+    onboarding_assistant,
+)
 
 __version__ = "0.1.0"
 
@@ -79,4 +84,7 @@ __all__ = [
     "load_batch",
     "results_to_dataframe",
     "write_results",
+    "Rule",
+    "RuleBasedProfiler",
+    "onboarding_assistant",
 ]
