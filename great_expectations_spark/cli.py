@@ -1,0 +1,269 @@
+"""Command-line interface — the reference's ``cli/`` core verbs
+(``great_expectations suite new`` / ``checkpoint run`` / ``docs build``)
+mapped onto this engine:
+
+    python -m great_expectations_spark.cli validate \\
+        --data /path/table.parquet --suite suite.json --out result.json
+    python -m great_expectations_spark.cli profile \\
+        --data /path/table.parquet --out suite.json
+    python -m great_expectations_spark.cli docs \\
+        --result result.json --out-dir data_docs/
+
+``validate`` exits 0 on suite success and 1 on failure (the reference
+checkpoint-run contract), so it drops straight into shell pipelines and
+schedulers.  ``--partition-column`` + ``--checkpoint-dir`` switch to the
+resumable per-partition checkpoint runner.  All verbs are plain argparse
+over the library API — scripting the Python API directly stays the
+first-class path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _build_spark(args):
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master(args.master)
+        .appName("gx-spark-cli")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def _load_df(spark, args):
+    from great_expectations_spark.sources.readers import (
+        BatchSpec,
+        load_batch,
+    )
+
+    spec = BatchSpec(
+        path=args.data,
+        table=getattr(args, "table", None),
+        format=args.format,
+    )
+    return load_batch(spark, spec)
+
+
+def _cmd_validate(args) -> int:
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    with open(args.suite) as f:
+        suite = ExpectationSuite.from_dict(json.load(f))
+    spark = _build_spark(args)
+    try:
+        df = _load_df(spark, args)
+        if args.partition_column:
+            from great_expectations_spark.checkpoint.runner import (
+                run_checkpoint,
+            )
+
+            if not args.checkpoint_dir:
+                print(
+                    "--partition-column requires --checkpoint-dir",
+                    file=sys.stderr,
+                )
+                return 2
+            summary = run_checkpoint(
+                df,
+                suite,
+                partition_column=args.partition_column,
+                checkpoint_dir=args.checkpoint_dir,
+                result_format=args.result_format,
+            )
+            payload = summary
+            success = bool(summary.get("success"))
+        else:
+            result = SuiteValidator().validate(
+                df, suite, result_format=args.result_format
+            )
+            payload = result.to_json_dict()
+            success = bool(result.success)
+            if args.docs_dir:
+                from great_expectations_spark.render.html import (
+                    render_suite_result_html,
+                )
+
+                os.makedirs(args.docs_dir, exist_ok=True)
+                out = os.path.join(args.docs_dir, "validation_result.html")
+                with open(out, "w") as f:
+                    f.write(render_suite_result_html(result))
+                print(f"docs: {out}", file=sys.stderr)
+        text = json.dumps(payload, indent=2, sort_keys=True, default=str)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+        else:
+            print(text)
+        print(
+            f"validation {'succeeded' if success else 'FAILED'}",
+            file=sys.stderr,
+        )
+        return 0 if success else 1
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
+def _cmd_profile(args) -> int:
+    spark = _build_spark(args)
+    try:
+        df = _load_df(spark, args)
+        if args.rule_config:
+            from great_expectations_spark.operators.rule_profiler import (
+                RuleBasedProfiler,
+            )
+
+            with open(args.rule_config) as f:
+                profiler = RuleBasedProfiler.from_config(json.load(f))
+            suite = profiler.run([df], suite_name=args.suite_name).suite
+        elif args.assistant:
+            from great_expectations_spark.operators.rule_profiler import (
+                onboarding_assistant,
+            )
+
+            suite = onboarding_assistant().run(
+                [df], suite_name=args.suite_name
+            ).suite
+        else:
+            from great_expectations_spark.operators.profiler import (
+                suggest_suite,
+            )
+
+            suite = suggest_suite(
+                df,
+                suite_name=args.suite_name,
+                columns=args.columns or None,
+            )
+        text = suite.to_json()
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+        else:
+            print(text)
+        print(
+            f"profiled {len(suite.expectations)} expectations",
+            file=sys.stderr,
+        )
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
+def _cmd_docs(args) -> int:
+    from great_expectations_spark.render.html import (
+        render_index_html,
+        render_suite_result_html,
+    )
+
+    with open(args.result) as f:
+        loaded = json.load(f)
+    os.makedirs(args.out_dir, exist_ok=True)
+    page = os.path.join(args.out_dir, "validation_result.html")
+    with open(page, "w") as f:
+        f.write(render_suite_result_html(loaded))
+    stats = loaded.get("statistics", {})
+    index = os.path.join(args.out_dir, "index.html")
+    with open(index, "w") as f:
+        f.write(
+            render_index_html(
+                [
+                    {
+                        "partition_id": loaded.get("meta", {}).get(
+                            "expectation_suite_name", "validation"
+                        ),
+                        "success": loaded.get("success"),
+                        "expectations": stats.get(
+                            "evaluated_expectations", ""
+                        ),
+                        "file": "validation_result.html",
+                    }
+                ]
+            )
+        )
+    print(f"docs: {index}", file=sys.stderr)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="great_expectations_spark",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_spark_args(p):
+        p.add_argument("--master", default="local[*]")
+        p.add_argument("--shuffle-partitions", type=int, default=32)
+        p.add_argument(
+            "--keep-session",
+            action="store_true",
+            help="do not stop the SparkSession on exit (shared sessions)",
+        )
+
+    def add_data_args(p):
+        p.add_argument("--data", help="input path (file/directory)")
+        p.add_argument("--table", help="catalog table instead of --data")
+        p.add_argument(
+            "--format", help="reader format (default: inferred from path)"
+        )
+
+    v = sub.add_parser("validate", help="run a suite against a batch")
+    add_spark_args(v)
+    add_data_args(v)
+    v.add_argument("--suite", required=True, help="suite JSON file")
+    v.add_argument("--result-format", default="SUMMARY")
+    v.add_argument("--out", help="write result JSON here (default stdout)")
+    v.add_argument(
+        "--partition-column",
+        help="validate per partition via the resumable checkpoint runner",
+    )
+    v.add_argument("--checkpoint-dir", help="manifest dir for resume")
+    v.add_argument("--docs-dir", help="also render HTML docs here")
+    v.set_defaults(fn=_cmd_validate)
+
+    p = sub.add_parser("profile", help="generate a suite from data")
+    add_spark_args(p)
+    add_data_args(p)
+    p.add_argument("--out", help="write suite JSON here (default stdout)")
+    p.add_argument("--suite-name", default="profiled")
+    p.add_argument(
+        "--columns", nargs="*", help="restrict profiling to these columns"
+    )
+    p.add_argument(
+        "--assistant",
+        action="store_true",
+        help="use the onboarding-assistant rule pack (multi-rule profiler)",
+    )
+    p.add_argument(
+        "--rule-config",
+        help="JSON RuleBasedProfiler config (declarative rules)",
+    )
+    p.set_defaults(fn=_cmd_profile)
+
+    d = sub.add_parser("docs", help="render HTML docs from a stored result")
+    d.add_argument("--result", required=True, help="validation result JSON")
+    d.add_argument("--out-dir", required=True)
+    d.set_defaults(fn=_cmd_docs)
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""CLI verbs (cli.py): profile -> validate -> docs pipeline over a
+parquet batch, exit codes as the reference checkpoint-run contract
+(0 = suite success, 1 = failure)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from great_expectations_spark.cli import main
+from great_expectations_spark.core.suite import ExpectationSuite
+
+
+@pytest.fixture(scope="module")
+def data_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "events.parquet")
+    spark.createDataFrame(
+        [
+            Row(day="2026-01-01", kind="a", value=float(i % 10))
+            for i in range(50)
+        ]
+        + [
+            Row(day="2026-01-02", kind="b", value=float(i % 7))
+            for i in range(50)
+        ]
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(argv):
+    # --keep-session: the CLI must not stop the shared test session
+    return main(argv + ["--keep-session"])
+
+
+def test_profile_then_validate_then_docs(data_path, tmp_path, capsys):
+    suite_path = str(tmp_path / "suite.json")
+    assert _run(["profile", "--data", data_path, "--out", suite_path]) == 0
+    suite = ExpectationSuite.from_json(open(suite_path).read())
+    assert len(suite.expectations) > 3
+
+    result_path = str(tmp_path / "result.json")
+    rc = _run(
+        [
+            "validate",
+            "--data",
+            data_path,
+            "--suite",
+            suite_path,
+            "--out",
+            result_path,
+        ]
+    )
+    assert rc == 0
+    loaded = json.loads(open(result_path).read())
+    assert loaded["success"] is True
+    assert loaded["statistics"]["unsuccessful_expectations"] == 0
+
+    docs_dir = str(tmp_path / "docs")
+    assert (
+        main(["docs", "--result", result_path, "--out-dir", docs_dir]) == 0
+    )
+    index = open(f"{docs_dir}/index.html").read()
+    assert "validation_result.html" in index
+    page = open(f"{docs_dir}/validation_result.html").read()
+    assert "expect_" in page
+
+
+def test_validate_failure_exit_code(data_path, tmp_path):
+    suite = ExpectationSuite("failing")
+    suite.add(
+        "expect_table_row_count_to_be_between", min_value=1, max_value=2
+    )
+    suite_path = str(tmp_path / "failing.json")
+    open(suite_path, "w").write(suite.to_json())
+    rc = _run(
+        ["validate", "--data", data_path, "--suite", suite_path,
+         "--out", str(tmp_path / "r.json")]
+    )
+    assert rc == 1
+
+
+def test_validate_per_partition_checkpoint(data_path, tmp_path):
+    suite = ExpectationSuite("per_part")
+    suite.add("expect_column_values_to_not_be_null", column="kind")
+    suite_path = str(tmp_path / "pp.json")
+    open(suite_path, "w").write(suite.to_json())
+    out_path = str(tmp_path / "summary.json")
+    rc = _run(
+        [
+            "validate",
+            "--data",
+            data_path,
+            "--suite",
+            suite_path,
+            "--partition-column",
+            "day",
+            "--checkpoint-dir",
+            str(tmp_path / "ckpt"),
+            "--out",
+            out_path,
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(open(out_path).read())
+    assert summary["success"] is True
+    assert summary["partitions_total"] == 2
+    assert len(summary["entries"]) == 2
+
+
+def test_profile_assistant_and_rule_config(data_path, tmp_path):
+    out = str(tmp_path / "assistant.json")
+    assert (
+        _run(["profile", "--data", data_path, "--assistant", "--out", out])
+        == 0
+    )
+    suite = ExpectationSuite.from_json(open(out).read())
+    types = {e.expectation_type for e in suite.expectations}
+    assert "expect_table_row_count_to_be_between" in types
+
+    config = {
+        "name": "cli_rules",
+        "rules": {
+            "numeric": {
+                "domain_builder": {
+                    "class_name": "ColumnDomainBuilder",
+                    "include_semantic_types": ["numeric"],
+                },
+                "parameter_builders": [
+                    {
+                        "class_name": "NumericMetricRangeParameterBuilder",
+                        "name": "mean_range",
+                        "metric_name": "column.mean",
+                        "estimator": "exact",
+                    }
+                ],
+                "expectation_configuration_builders": [
+                    {
+                        "class_name": (
+                            "DefaultExpectationConfigurationBuilder"
+                        ),
+                        "expectation_type": (
+                            "expect_column_mean_to_be_between"
+                        ),
+                        "min_value": "$parameter.mean_range.value[0]",
+                        "max_value": "$parameter.mean_range.value[1]",
+                    }
+                ],
+            }
+        },
+    }
+    cfg_path = str(tmp_path / "rules.json")
+    open(cfg_path, "w").write(json.dumps(config))
+    out2 = str(tmp_path / "rules_suite.json")
+    assert (
+        _run(
+            ["profile", "--data", data_path, "--rule-config", cfg_path,
+             "--out", out2]
+        )
+        == 0
+    )
+    suite2 = ExpectationSuite.from_json(open(out2).read())
+    assert {e.kwargs["column"] for e in suite2.expectations} == {"value"}
