@@ -209,6 +209,28 @@ def _contiguous_linenumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contiguous_linenumber_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-immune strategy='join' variant of the contiguity check
+    (operators/window_ops.py _sequence_contiguous_join): distinct-pair
+    two-phase agg + pair-keyed anti-join, no per-group sort — the
+    hot-conversation-proof plan the north rule asks for.  Must count the
+    same gaps as the window strategy."""
+    df = _load(spark, sf_dir, "lineitem")
+    suite = ExpectationSuite("q").add(
+        "expect_sequence_to_be_contiguous",
+        group_column="l_orderkey",
+        index_column="l_linenumber",
+        first_index=1,
+        strategy="join",
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    return spark.createDataFrame(
+        [(res.results[0].result["unexpected_count"],)], "gap_rows bigint"
+    )
+
+
 def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "lineitem")
     suite = ExpectationSuite("q").add(
@@ -729,6 +751,81 @@ def _rbp_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_windowed_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured Streaming end-to-end (streaming/validate_stream.py —
+    reference has no streaming engine; this is the Spark-native
+    extension): a real ``readStream`` over the events table feeds
+    ``windowed_violation_counts`` (suite-flagging + event-time 1-day
+    tumbling windows + watermark), drained with ``availableNow`` into a
+    complete-mode memory sink.  Complete output mode makes the result
+    deterministic (the watermark never discards rows, it only bounds
+    state for the append path), so the full batch GROUP BY oracle
+    replicates it exactly — upgrading streaming correctness from
+    unit-only to oracle-checked."""
+    import uuid
+
+    from great_expectations_spark.streaming.validate_stream import (
+        windowed_violation_counts,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory to monitor; the testdata
+    # table is a single file, so expose it through a symlink dir
+    src_dir = "/tmp/gx_stream_events_" + sf_dir.strip("/").replace("/", "_")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    # watermarks require TIMESTAMP (LTZ); the parquet column is NTZ.
+    # Session tz is UTC, so the cast is wall-clock identity.
+    stream = spark.readStream.schema(schema).parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    suite = (
+        ExpectationSuite("stream.events")
+        .add(
+            "expect_column_values_to_be_between",
+            column="value",
+            min_value=0,
+            max_value=150,
+        )
+        .add(
+            "expect_column_values_to_be_in_set",
+            column="event_type",
+            value_set=["signup", "click", "view", "purchase"],
+        )
+    )
+    agg = windowed_violation_counts(
+        stream,
+        suite,
+        ts_column="ts",
+        window_duration="1 day",
+        watermark="3650 days",
+    )
+    sink = f"gx_stream_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+            F.col("rows").alias("element_count"),
+            F.col("unexpected_rows").alias("unexpected_count"),
+            F.round(F.col("unexpected_rate"), 6).alias("unexpected_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- map conditions (engine bundled-agg path) ---
@@ -812,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_unique_lineitem": _compound_unique,
         "increasing_events": _increasing_events,
         "contiguous_linenumber": _contiguous_linenumber,
+        "contiguous_linenumber_join": _contiguous_linenumber_join,
         # --- aggregates (single bundled agg) ---
         "agg_stats_quantity": _agg_stats,
         "quantiles_extendedprice": _quantiles,
@@ -825,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_freq_urgent": _query_freq_urgent,
         # --- rule-based profiler (configurable rule engine) ---
         "rbp_profile_orders": _rbp_profile_orders,
+        # --- structured streaming (real readStream -> memory sink) ---
+        "streaming_windowed_violations": _streaming_windowed_violations,
         # --- per-partition single-pass grouped validation ---
         "grouped_by_day_between": _grouped_by_day,
         "grouped_jobs_by_flag": _grouped_jobs_by_flag,
@@ -1013,6 +1113,13 @@ def oracle_sql() -> dict[str, str]:
             "(WHERE ln > 1 AND (prev IS NULL OR prev < ln - 1))::BIGINT AS "
             "gap_rows FROM w"
         ),
+        "contiguous_linenumber_join": (
+            "WITH present AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_linenumber AS i FROM lineitem WHERE l_linenumber IS NOT "
+            "NULL) SELECT count(*)::BIGINT AS gap_rows FROM present a "
+            "WHERE a.i > 1 AND NOT EXISTS (SELECT 1 FROM present b "
+            "WHERE b.g = a.g AND b.i = a.i - 1)"
+        ),
         "agg_stats_quantity": (
             "SELECT count(*)::BIGINT AS n_rows, "
             "round(avg(l_quantity), 4) AS mean_qty, "
@@ -1083,6 +1190,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'row_count_between', '', (SELECT min(c) FROM yearly), "
             "(SELECT max(c) FROM yearly), ''"
             ") ORDER BY etype, column_name"
+        ),
+        "streaming_windowed_violations": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*)::BIGINT AS element_count, "
+            "count(*) FILTER (WHERE "
+            "(value IS NOT NULL AND (value < 0 OR value > 150)) OR "
+            "(event_type IS NOT NULL AND event_type NOT IN "
+            "('signup','click','view','purchase')))::BIGINT "
+            "AS unexpected_count, "
+            "round(count(*) FILTER (WHERE "
+            "(value IS NOT NULL AND (value < 0 OR value > 150)) OR "
+            "(event_type IS NOT NULL AND event_type NOT IN "
+            "('signup','click','view','purchase'))) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS unexpected_rate "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         "grouped_by_day_between": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS "

@@ -159,6 +159,11 @@ def _uniqueness_window(
         value_is_dict=value_is_dict,
     )
     cw.considered = considered  # counted in the bundled phase by the planner
+    # marker for the planner's shared-window adoption: ONLY uniqueness
+    # semantics may be rewritten as a lag/lead duplicate flag over an
+    # existing window spec (other flag_builder-less windows, e.g. the
+    # join-strategy contiguity, must keep their own execute path)
+    cw.uniqueness_keys = list(key_cols)
     return cw
 
 
@@ -304,14 +309,37 @@ def _sequence_contiguous_window(kwargs: Dict[str, Any]) -> CompiledWindow:
     """Every (group, index-1) predecessor exists — the transcript
     referential check (north rule: every (conv_id, turn_idx-1) exists).
 
-    ONE shuffle: previous non-null index per group; a row whose
-    predecessor is below ``index - 1`` (duplicates of ``index`` still
-    count as present) is a violation.  Shares its window pass with any
-    monotonicity expectation on the same (group, order) spec.
+    Two physical strategies, identical counts:
+
+    * ``strategy="window"`` (default) — ONE shuffle: previous non-null
+      index per group; a row whose predecessor is below ``index - 1``
+      (duplicates of ``index`` still count as present) is a violation.
+      Shares its window pass with any monotonicity expectation on the
+      same (group, order) spec.  A window partitioned by group sorts
+      each WHOLE group on one task, so a pathologically hot group
+      (one conversation with 10^8 turns) serializes.
+    * ``strategy="join"`` — skew-immune: distinct ``(group, index)``
+      pairs (two-phase hash agg — a hot group collapses to one row per
+      index per upstream partition before the shuffle) left-anti-joined
+      on ``(group, index-1)`` against themselves.  Both sides hash-
+      partition on the PAIR, so task balance is independent of group
+      size; no sort anywhere.  Same unexpected_count as the window
+      path: one per distinct (group, index) whose predecessor is
+      absent.
     """
     group_column = kwargs.get("group_column", "conv_id")
     index_column = kwargs.get("index_column", "turn_idx")
     first_index = int(kwargs.get("first_index", 0))
+    strategy = kwargs.get("strategy", "window")
+    if strategy == "join":
+        return _sequence_contiguous_join(
+            group_column, index_column, first_index
+        )
+    if strategy != "window":
+        raise ValueError(
+            f"expect_sequence_to_be_contiguous strategy={strategy!r}; "
+            "expected 'window' or 'join'"
+        )
     partition_by = [group_column]
     order_by = [index_column]
 
@@ -379,6 +407,86 @@ def _sequence_contiguous_window(kwargs: Dict[str, Any]) -> CompiledWindow:
         window_signature=(tuple(partition_by), tuple(order_by)),
     )
     cw.considered = F.col(index_column).isNotNull()
+    return cw
+
+
+def _sequence_contiguous_join(
+    group_column: str, index_column: str, first_index: int
+) -> CompiledWindow:
+    """Skew-immune contiguity: the north rule's "every (conv_id,
+    turn_idx-1) predecessor exists" as a pair-keyed anti-join (see
+    strategy='join' docs on the registered compiler above)."""
+
+    _cache: Dict[int, DataFrame] = {}
+
+    def missing_pred(df: DataFrame, domain: Optional[Column]) -> DataFrame:
+        key = id(df)
+        if key not in _cache:
+            out = df
+            if domain is not None:
+                out = out.filter(domain_gate(domain))
+            present = (
+                out.filter(F.col(index_column).isNotNull())
+                .select(
+                    F.col(group_column).alias("__gx_g"),
+                    F.col(index_column).alias("__gx_i"),
+                )
+                .distinct()
+            )
+            need = present.filter(
+                F.col("__gx_i") > F.lit(first_index)
+            ).withColumn("__gx_p", F.col("__gx_i") - F.lit(1))
+            have = present.select(
+                F.col("__gx_g").alias("__gx_g2"),
+                F.col("__gx_i").alias("__gx_p2"),
+            )
+            # eqNullSafe on the group key: a NULL group is one real group
+            # (window-path parity); still an equi-join key for Spark, so
+            # the pair-hash partitioning survives
+            _cache[key] = need.join(
+                have,
+                need["__gx_g"].eqNullSafe(have["__gx_g2"])
+                & (need["__gx_p"] == have["__gx_p2"]),
+                "left_anti",
+            )
+        return _cache[key]
+
+    def execute(df: DataFrame, domain: Optional[Column]) -> Dict[str, int]:
+        return {"unexpected_count": missing_pred(df, domain).count()}
+
+    def sample(
+        df: DataFrame,
+        domain: Optional[Column],
+        n: int,
+        index_cols: Optional[List[str]] = None,
+    ) -> Dict[str, List[Any]]:
+        rows = (
+            missing_pred(df, domain)
+            .select("__gx_g", "__gx_i")
+            .limit(n)
+            .collect()
+        )
+        values = [
+            {group_column: r["__gx_g"], index_column: r["__gx_i"]}
+            for r in rows
+        ]
+        return {
+            "unexpected_list": values,
+            "unexpected_index_list": values,
+        }
+
+    cw = CompiledWindow(
+        kind="multicolumn_map",
+        domain_columns=[group_column, index_column],
+        denominator="nonnull",
+        execute=execute,
+        sample=sample,
+        value_is_dict=True,
+    )
+    cw.considered = F.col(index_column).isNotNull()
+    # plan-contract hook: tests assert the violating-pairs frame contains
+    # no Window operator (the skew-proofness claim)
+    cw.violation_frame = missing_pred
     return cw
 
 

@@ -410,11 +410,19 @@ class SuiteValidator:
         for item in singles:
             c = item.compiled
             adopted = False
+            # only true uniqueness expectations (marked by the compiler)
+            # may be rewritten as a duplicate flag over a shared window;
+            # other flag_builder-less windows (e.g. join-strategy
+            # contiguity) keep their own execute path
+            unique_keys = getattr(c, "uniqueness_keys", None)
+            if unique_keys is None:
+                still_single.append(item)
+                continue
             for (signature, domain_key), members in groups.items():
                 partition_by, order_by = signature
                 if (
                     order_by
-                    and set(c.domain_columns)
+                    and set(unique_keys)
                     == set(partition_by) | set(order_by)
                     and domain_key
                     == str(item.config.kwargs.get("row_condition") or "")
@@ -423,7 +431,7 @@ class SuiteValidator:
                         uniqueness_flag_over_window,
                     )
 
-                    key_cols = list(c.domain_columns)
+                    key_cols = list(unique_keys)
                     c.flag_builder = (
                         lambda kc=key_cols, p=list(partition_by), o=list(
                             order_by

@@ -249,3 +249,104 @@ def test_ngram_jaccard_denominator_uses_filtered_universe(spark):
         ).collect()
     }
     assert out[("a", "b")] == pytest.approx(1.0)
+
+
+# --- skew-immune contiguity (strategy="join") ------------------------------
+
+
+def _gap_count(df, strategy):
+    r = _one_result(
+        df,
+        "expect_sequence_to_be_contiguous",
+        group_column="g",
+        index_column="i",
+        first_index=1,
+        strategy=strategy,
+    )
+    return r.result["unexpected_count"]
+
+
+def test_contiguity_join_matches_window_strategy(spark):
+    # gaps, duplicate indexes, a group starting above first_index, and a
+    # NULL group (one real group, window-path semantics) must count the
+    # same under both physical strategies
+    rows = (
+        [("a", i) for i in (1, 2, 3)]          # contiguous
+        + [("b", i) for i in (1, 3, 3, 5)]     # gaps at 3 and 5; dup 3
+        + [("c", i) for i in (4, 5)]           # starts late: gap at 4
+        + [(None, i) for i in (1, 2, 4)]       # null group: gap at 4
+        + [("d", None)]                        # null index: not considered
+    )
+    df = spark.createDataFrame(rows, "g string, i int")
+    expected = 4  # b:3, b:5, c:4, null:4
+    assert _gap_count(df, "window") == expected
+    assert _gap_count(df, "join") == expected
+
+
+def test_contiguity_join_plan_has_no_per_group_window(spark):
+    # the join strategy must not contain a Window operator anywhere —
+    # that is the skew-proofness claim (no whole-group sort on one task)
+    from great_expectations_spark.operators.window_ops import (
+        _sequence_contiguous_join,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 3)], "g string, i int")
+    cw = _sequence_contiguous_join("g", "i", 1)
+    plan = (
+        cw.violation_frame(df, None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # and it IS an anti-join on the pair
+    assert "LeftAnti" in plan
+
+
+def test_contiguity_join_hot_group(spark):
+    # one conversation with 20k turns among 200 small ones: the join
+    # strategy finds the single planted gap and both strategies agree
+    hot = spark.range(1, 20_001).select(
+        F.lit("hot").alias("g"), F.col("id").cast("int").alias("i")
+    ).filter(F.col("i") != 777)  # planted gap -> i=778 flags
+    small = spark.range(200).select(
+        F.concat(F.lit("c"), F.col("id")).alias("g"), F.lit(1).alias("i")
+    )
+    df = hot.unionByName(small).repartition(8)
+    assert _gap_count(df, "join") == 1
+    assert _gap_count(df, "window") == 1
+
+
+def test_contiguity_join_not_adopted_as_uniqueness(spark):
+    # regression: with BOTH strategies in one suite, the planner's
+    # shared-window adoption must not rewrite the join-strategy
+    # contiguity (flag_builder-less, domain cols == window spec) into a
+    # uniqueness duplicate flag — counts must agree
+    rows = [("a", 1), ("a", 3), ("a", 3), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, i int")
+    suite = (
+        ExpectationSuite("both")
+        .add(
+            "expect_sequence_to_be_contiguous",
+            group_column="g", index_column="i",
+            first_index=1, strategy="join",
+        )
+        .add(
+            "expect_sequence_to_be_contiguous",
+            group_column="g", index_column="i", first_index=1,
+        )
+        .add("expect_compound_columns_to_be_unique", column_list=["g", "i"])
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    by_kwargs = {}
+    for r in res.results:
+        k = r.expectation_config["kwargs"].get(
+            "strategy",
+            "unique"
+            if r.expectation_config["expectation_type"].endswith("unique")
+            else "window",
+        )
+        by_kwargs[k] = r.result["unexpected_count"]
+    assert by_kwargs["join"] == 2   # a:3 (gap), b:2 (gap)
+    assert by_kwargs["window"] == 2
+    assert by_kwargs["unique"] == 2  # the two (a,3) duplicate rows
