@@ -56,6 +56,39 @@ from great_expectations_spark.plans.specs import (
 
 logger = logging.getLogger(__name__)
 
+# The per-partition loop collects the distinct partition VALUES to the
+# driver — bounded by partition count, not row count (10^5 day-partitions
+# at the 10^12-turn design point is a few MB).  The cap makes that
+# contract explicit: a mistaken high-cardinality partition_column (e.g.
+# conv_id) fails fast with a clear error instead of OOMing the driver.
+PARTITION_LIST_CAP = 1_000_000
+
+
+def _collect_partition_values(
+    df: DataFrame, partition_column: str, cap: Optional[int] = None
+) -> List[Any]:
+    """Distinct partition values, driver-bounded by ``limit(cap + 1)`` in
+    the same job (the overflow row turns into an error, mirroring
+    ``distribution.CATEGORICAL_COLLECT_CAP``)."""
+    cap = PARTITION_LIST_CAP if cap is None else cap
+    rows = (
+        df.select(partition_column)
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"partition_column {partition_column!r} has more than {cap} "
+            "distinct values — that is a row-level key, not a partition "
+            "column; pick a coarser column or raise "
+            "runner.PARTITION_LIST_CAP"
+        )
+    return sorted(
+        (r[partition_column] for r in rows),
+        key=lambda v: (v is None, v),
+    )
+
 
 def run_checkpoint(
     df: DataFrame,
@@ -87,12 +120,7 @@ def run_checkpoint(
     suite_hash = suite.suite_hash()
     run_id = run_id or str(uuid.uuid4())
 
-    partitions = [
-        r[partition_column]
-        for r in df.select(partition_column).distinct().orderBy(
-            partition_column
-        ).collect()
-    ]
+    partitions = _collect_partition_values(df, partition_column)
     done = manifest.completed_partitions(suite_hash)
     todo = [p for p in partitions if str(p) not in done]
     logger.info(
@@ -278,10 +306,9 @@ def validate_by_partition(
         isinstance(i.compiled, (CompiledSchemaCheck, CompiledJob))
         for i in items
     ):
-        part_keys = {
-            r[partition_column]
-            for r in df.select(partition_column).distinct().collect()
-        }
+        part_keys = set(
+            _collect_partition_values(df, partition_column)
+        )
     partitions = sorted(part_keys, key=str)
 
     out: Dict[str, ExpectationSuiteValidationResult] = {}

@@ -326,3 +326,22 @@ def test_checkpoint_html_docs_action(spark, transcripts, tmp_path):
     assert page.startswith("<!doctype html>")
     assert "expect_column_values_to_not_be_null" in page
     assert 'class="ok"' in page or 'class="fail"' in page
+
+
+def test_partition_list_cap(spark, transcripts, tmp_path, monkeypatch):
+    # a row-level key mistaken for a partition column must fail fast with
+    # a clear error, not collect the whole key space to the driver
+    from great_expectations_spark.checkpoint import runner
+
+    monkeypatch.setattr(runner, "PARTITION_LIST_CAP", 10)
+    with pytest.raises(ValueError, match="more than 10 distinct"):
+        run_checkpoint(
+            transcripts,
+            _suite(),
+            partition_column="conv_id",
+            checkpoint_dir=str(tmp_path / "cap"),
+        )
+    # a sane partition column still works with an adequate cap
+    vals = runner._collect_partition_values(transcripts, "day", cap=100_000)
+    assert 10 < len(vals) <= 100_000
+    assert vals == sorted(vals, key=lambda v: (v is None, v))
