@@ -652,6 +652,26 @@ def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _splitter_md5_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 reference-parity hash sampler (sources/splitters.py
+    _hash_bucket — reference ``sparkdf_data_sampler.py:142-203`` keeps
+    rows whose md5 hexdigest ends in ``hash_value``): JVM-side ``F.md5``
+    must select the exact same orderkeys as DuckDB's ``md5()`` on the
+    same stringified column — byte-identical bucket membership, summed
+    and counted so any divergence flips the hash."""
+    from great_expectations_spark.sources.splitters import sample_using_hash
+
+    df = _load(spark, sf_dir, "orders")
+    kept = sample_using_hash(
+        df, "o_orderkey", hash_digits=1, hash_value="f",
+        hash_function_name="md5",
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
 def _rbp_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RuleBasedProfiler end-to-end (operators/rule_profiler.py —
     reference ``rule_based_profiler/rule_based_profiler.py``): yearly
@@ -923,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_freq_urgent": _query_freq_urgent,
         # --- rule-based profiler (configurable rule engine) ---
         "rbp_profile_orders": _rbp_profile_orders,
+        # --- md5 reference-parity hash sampler membership ---
+        "splitter_md5_parity": _splitter_md5_parity,
         # --- structured streaming (real readStream -> memory sink) ---
         "streaming_windowed_violations": _streaming_windowed_violations,
         # --- per-partition single-pass grouped validation ---
@@ -1190,6 +1212,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'row_count_between', '', (SELECT min(c) FROM yearly), "
             "(SELECT max(c) FROM yearly), ''"
             ") ORDER BY etype, column_name"
+        ),
+        "splitter_md5_parity": (
+            "SELECT count(*)::BIGINT AS kept_rows, "
+            "sum(o_orderkey)::BIGINT AS key_sum FROM orders "
+            "WHERE right(md5(CAST(o_orderkey AS VARCHAR)), 1) = 'f'"
         ),
         "streaming_windowed_violations": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, "
