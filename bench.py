@@ -192,6 +192,14 @@ def main() -> None:
         column_list=["l_orderkey", "l_linenumber"],
         mostly=0.1,
     )
+    contig_join_suite = ExpectationSuite("cj").add(
+        "expect_sequence_to_be_contiguous",
+        group_column="l_orderkey",
+        index_column="l_linenumber",
+        first_index=1,
+        strategy="join",
+        mostly=0.1,
+    )
     ref_suite = ExpectationSuite("r").add(
         "expect_column_values_to_exist_in_other_table",
         column="l_orderkey",
@@ -249,6 +257,14 @@ def main() -> None:
             "referential_anti_join",
             lambda: validator.validate(
                 lineitem, ref_suite, result_format="BASIC"
+            ),
+        ),
+        (
+            # skew-immune pair-keyed anti-join contiguity (north rule's
+            # predecessor-exists check, hot-conversation-proof variant)
+            "contiguity_join",
+            lambda: validator.validate(
+                lineitem, contig_join_suite, result_format="BASIC"
             ),
         ),
         (

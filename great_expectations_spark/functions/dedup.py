@@ -356,34 +356,80 @@ def minhash_candidate_pairs(
 # --- SimHash --------------------------------------------------------------
 
 
+def _simhash_from_features(features) -> int:
+    """64-bit SimHash of a list of feature strings: per feature one 8-byte
+    blake2b digest; bit i of the signature is set iff the (+1/-1) majority
+    vote of the features' bit i is strictly positive.  The per-feature
+    loop is only the (unavoidable) hashlib calls; the bit accumulation is
+    ONE unpackbits + sum over the whole (n_features x 64) matrix."""
+    import hashlib
+
+    import numpy as np
+
+    n = len(features)
+    if n == 0:
+        return 0
+    digests = b"".join(
+        hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest()
+        for f in features
+    )
+    bits = np.unpackbits(
+        np.frombuffer(digests, dtype=np.uint8).reshape(n, 8),
+        axis=1,
+        bitorder="little",
+    )
+    acc = 2 * bits.sum(axis=0, dtype=np.int64) - n
+    packed = np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+    out = int.from_bytes(packed.tobytes(), "little")
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
 def _simhash_udf():
     @F.pandas_udf(T.LongType())
     def simhash(tokens: pd.Series) -> pd.Series:
-        import hashlib
-
-        import numpy as np
-
         def one(tok_list) -> int:
-            if tok_list is None or len(tok_list) == 0:
+            if tok_list is None:
                 return 0
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in tok_list:
-                digest = hashlib.blake2b(
-                    tok.encode("utf-8"), digest_size=8
-                ).digest()
-                bits = np.unpackbits(
-                    np.frombuffer(digest, dtype=np.uint8), bitorder="little"
-                ).astype(np.int64)
-                acc += bits * 2 - 1
-            out = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    out |= 1 << i
-            return out - (1 << 64) if out >= (1 << 63) else out
+            return _simhash_from_features(list(tok_list))
 
         return tokens.map(one)
 
     return simhash
+
+
+def _text_to_simhash_arrow(shingle_k: int):
+    """ONE Arrow pass text -> signature: normalize -> distinct k-word
+    shingles -> blake2b -> majority-vote bits, all in Python/numpy.
+    Mirrors the MinHash one-pass lesson (``_shingles_and_signature_arrow``):
+    the JVM ``word_shingles`` expression chain is interpreted (no codegen
+    for higher-order functions) and feeding its array output through a
+    second UDF pays serialization both ways; going straight from text
+    costs one batch.  Semantics are exactly ``simhash64``: lower + trim +
+    collapse whitespace, DISTINCT shingles, texts shorter than k words
+    collapse to one whole-text shingle, NULL text -> signature 0."""
+
+    @F.pandas_udf(T.LongType())
+    def sig(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"\s+")
+
+        def one(t) -> int:
+            if t is None:
+                return 0
+            words = ws.sub(" ", t.strip().lower()).split(" ")
+            if len(words) < shingle_k:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {
+                    " ".join(words[i : i + shingle_k])
+                    for i in range(len(words) - shingle_k + 1)
+                }
+            return _simhash_from_features(shingles)
+
+        return texts.map(one)
+
+    return sig
 
 
 def simhash64(col: Column, shingle_k: int = 3) -> Column:
@@ -589,7 +635,9 @@ def simhash_candidate_pairs(
 
     sigs = _ensure_parallelism(df).select(
         F.col(id_column).alias("__id"),
-        simhash64(F.col(text_column), shingle_k).alias("__sim"),
+        # one-pass text -> signature (same semantics as simhash64, one
+        # Arrow batch instead of interpreted JVM shingling + a second UDF)
+        _text_to_simhash_arrow(shingle_k)(F.col(text_column)).alias("__sim"),
     ).persist()
     # one bucket key per block-combination; keys are 8-byte hashes so the
     # shuffle carries (id, table, key) only — no text, no signatures.
