@@ -213,10 +213,10 @@ def _contiguous_linenumber_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Skew-immune strategy='join' variant of the contiguity check
-    (operators/window_ops.py _sequence_contiguous_join): distinct-pair
-    two-phase agg + pair-keyed anti-join, no per-group sort — the
-    hot-conversation-proof plan the north rule asks for.  Must count the
-    same gaps as the window strategy."""
+    (operators/window_ops.py _sequence_contiguous_join): self/pred
+    markers + ONE two-phase pair-keyed aggregation, no per-group sort,
+    no join — the hot-conversation-proof plan the north rule asks for.
+    Must count the same gaps as the window strategy."""
     df = _load(spark, sf_dir, "lineitem")
     suite = ExpectationSuite("q").add(
         "expect_sequence_to_be_contiguous",

@@ -318,14 +318,14 @@ def _sequence_contiguous_window(kwargs: Dict[str, Any]) -> CompiledWindow:
       same (group, order) spec.  A window partitioned by group sorts
       each WHOLE group on one task, so a pathologically hot group
       (one conversation with 10^8 turns) serializes.
-    * ``strategy="join"`` — skew-immune: distinct ``(group, index)``
-      pairs (two-phase hash agg — a hot group collapses to one row per
-      index per upstream partition before the shuffle) left-anti-joined
-      on ``(group, index-1)`` against themselves.  Both sides hash-
-      partition on the PAIR, so task balance is independent of group
-      size; no sort anywhere.  Same unexpected_count as the window
-      path: one per distinct (group, index) whose predecessor is
-      absent.
+    * ``strategy="join"`` — skew-immune: each row emits self/predecessor
+      markers and ONE two-phase hash aggregation on the ``(group,
+      index)`` PAIR flags pairs whose predecessor marker is absent.  A
+      hot group collapses to one row per index per upstream partition
+      before the shuffle (map-side combine), so task balance is
+      independent of group size; no sort, no join anywhere.  Same
+      unexpected_count as the window path: one per distinct (group,
+      index) whose predecessor is absent.
     """
     group_column = kwargs.get("group_column", "conv_id")
     index_column = kwargs.get("index_column", "turn_idx")
@@ -414,8 +414,19 @@ def _sequence_contiguous_join(
     group_column: str, index_column: str, first_index: int
 ) -> CompiledWindow:
     """Skew-immune contiguity: the north rule's "every (conv_id,
-    turn_idx-1) predecessor exists" as a pair-keyed anti-join (see
-    strategy='join' docs on the registered compiler above)."""
+    turn_idx-1) predecessor exists" in ONE pair-keyed aggregation (see
+    strategy='join' docs on the registered compiler above).
+
+    Plan: every non-null row emits two markers — (group, index) tagged
+    "self" and (group, index+1) tagged "pred" — and a single
+    ``groupBy(group, index)`` takes ``max`` of each tag.  A pair whose
+    "self" marker is set, whose index exceeds ``first_index``, and whose
+    "pred" marker is absent has a missing predecessor.  ONE shuffle on
+    the PAIR key (the original anti-join formulation shuffled three
+    times: distinct + both join sides); duplicates of a hot group
+    collapse to one row per index per upstream partition via map-side
+    combine, so task balance is independent of group size; no sort, no
+    join anywhere."""
 
     _cache: Dict[int, DataFrame] = {}
 
@@ -425,29 +436,47 @@ def _sequence_contiguous_join(
             out = df
             if domain is not None:
                 out = out.filter(domain_gate(domain))
-            present = (
+            markers = (
                 out.filter(F.col(index_column).isNotNull())
                 .select(
                     F.col(group_column).alias("__gx_g"),
-                    F.col(index_column).alias("__gx_i"),
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col(index_column)
+                                .cast("long")
+                                .alias("i"),
+                                F.lit(1).alias("s"),
+                                F.lit(0).alias("p"),
+                            ),
+                            F.struct(
+                                (F.col(index_column).cast("long") + 1)
+                                .alias("i"),
+                                F.lit(0).alias("s"),
+                                F.lit(1).alias("p"),
+                            ),
+                        )
+                    ).alias("__gx_m"),
                 )
-                .distinct()
+                .select(
+                    "__gx_g",
+                    F.col("__gx_m.i").alias("__gx_i"),
+                    F.col("__gx_m.s").alias("__gx_s"),
+                    F.col("__gx_m.p").alias("__gx_p"),
+                )
             )
-            need = present.filter(
-                F.col("__gx_i") > F.lit(first_index)
-            ).withColumn("__gx_p", F.col("__gx_i") - F.lit(1))
-            have = present.select(
-                F.col("__gx_g").alias("__gx_g2"),
-                F.col("__gx_i").alias("__gx_p2"),
-            )
-            # eqNullSafe on the group key: a NULL group is one real group
-            # (window-path parity); still an equi-join key for Spark, so
-            # the pair-hash partitioning survives
-            _cache[key] = need.join(
-                have,
-                need["__gx_g"].eqNullSafe(have["__gx_g2"])
-                & (need["__gx_p"] == have["__gx_p2"]),
-                "left_anti",
+            _cache[key] = (
+                markers.groupBy("__gx_g", "__gx_i")
+                .agg(
+                    F.max("__gx_s").alias("__gx_self"),
+                    F.max("__gx_p").alias("__gx_pred"),
+                )
+                .filter(
+                    (F.col("__gx_self") == 1)
+                    & (F.col("__gx_i") > F.lit(first_index))
+                    & (F.col("__gx_pred") == 0)
+                )
+                .select("__gx_g", "__gx_i")
             )
         return _cache[key]
 
@@ -485,7 +514,7 @@ def _sequence_contiguous_join(
     )
     cw.considered = F.col(index_column).isNotNull()
     # plan-contract hook: tests assert the violating-pairs frame contains
-    # no Window operator (the skew-proofness claim)
+    # no Window operator and no join (the skew-proofness claim)
     cw.violation_frame = missing_pred
     return cw
 

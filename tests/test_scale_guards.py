@@ -284,8 +284,9 @@ def test_contiguity_join_matches_window_strategy(spark):
 
 
 def test_contiguity_join_plan_has_no_per_group_window(spark):
-    # the join strategy must not contain a Window operator anywhere —
-    # that is the skew-proofness claim (no whole-group sort on one task)
+    # the join strategy must not contain a Window operator (no
+    # whole-group sort on one task) nor any join — it is ONE two-phase
+    # hash aggregation on the (group, index) pair
     from great_expectations_spark.operators.window_ops import (
         _sequence_contiguous_join,
     )
@@ -299,8 +300,10 @@ def test_contiguity_join_plan_has_no_per_group_window(spark):
         .toString()
     )
     assert "Window" not in plan
-    # and it IS an anti-join on the pair
-    assert "LeftAnti" in plan
+    assert "Join" not in plan
+    # two-phase: a partial aggregate below the pair-key exchange
+    assert "partial_max" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange") == 1
 
 
 def test_contiguity_join_hot_group(spark):
