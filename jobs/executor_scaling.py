@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""EXECUTOR-scaling evidence via spark-submit + local-cluster mode.
+
+The north rule's criterion is throughput scaling efficiency >= 0.8 going
+from N to 4N *executors*, with the job shipped as
+`spark-submit --py-files`.  This sandbox has no multi-machine cluster,
+but the full Spark distribution at /opt/spark supports
+`local-cluster[numWorkers, coresPerWorker, memoryMB]` — Spark's
+cluster-mode test harness that launches REAL separate executor JVMs
+(own heap, own GC, own python workers, shuffle over the block-transfer
+service) with the driver talking to them exactly as it would on a
+standalone cluster.  That is one honest rung closer to executor-scaling
+than `local[k]` threads sharing one JVM:
+
+  - N level : local-cluster[2,2,M]  -> 2 executors x 2 cores =  4 cores
+  - 4N level: local-cluster[8,2,M]  -> 8 executors x 2 cores = 16 cores
+
+Totals (4 vs 16 task slots) are chosen so even the 4N level leaves
+headroom on this 32-core host — the remaining gap to a real cluster is
+that all executors still share one socket's DRAM bandwidth, which only
+penalizes the measurement (a real 4N-node scale-up multiplies bandwidth
+with nodes).
+
+Each executor JVM gets `-XX:ActiveProcessorCount=<its granted cores>`.
+Without it every JVM sizes GC/JIT/netty thread pools for all 32 host
+cores (`Runtime.availableProcessors`), so the 8-executor level runs
+8 x ~23 GC threads and degrades pass-over-pass (measured 46 -> 86 s
+on identical passes) — an artifact that only exists because the
+"cluster" shares one host.  On a real cluster each executor owns its
+cores, so capping the pools to the grant is the faithful emulation,
+applied identically at both levels.
+
+The job itself is shipped the way the rule says: the package is zipped
+and passed via `spark-submit --py-files gx_spark.zip`; the inner driver
+imports great_expectations_spark from that zip, not from the repo tree.
+
+Protocol: per level, fresh spark-submit per round (fresh driver AND
+executor JVMs), interleaved rounds across levels, REPEATS suite passes
+per JVM (first pass is cold planning/JIT; min over passes = warm
+steady-state), minima across rounds per level.
+
+Prints one JSON line; paste the table into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DATASET = os.environ.get(
+    "SPARK_GRAFT_TRANSCRIPTS", "/tmp/gx_bench_transcripts_2000000_256"
+)
+# "suite" = one whole-table SuiteValidator pass; "grouped" =
+# validate_by_partition (every day-partition's whole suite in O(1) jobs,
+# the 10^12-row strategy).  Inherited by the inner driver via env.
+MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "suite")
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "4"))
+SPARK_SUBMIT = os.environ.get(
+    "SPARK_SUBMIT", os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"),
+                                 "bin", "spark-submit")
+)
+# (workers, cores_per_worker): 2x2=4 cores (N) vs 8x2=16 cores (4N).
+# Override with SPARK_GRAFT_LEVELS="1x1,4x1" to pick another N-vs-4N
+# pair (first entry is N, second 4N) — e.g. 1 vs 4 single-core
+# executors isolates executor-scaling from single-socket DRAM
+# saturation, which the 16-core level measurably hits.
+def _levels() -> dict:
+    spec = os.environ.get("SPARK_GRAFT_LEVELS")
+    if not spec:
+        return {"N": (2, 2), "4N": (8, 2)}
+    lo, hi = spec.split(",")
+    w1, c1 = (int(x) for x in lo.split("x"))
+    w2, c2 = (int(x) for x in hi.split("x"))
+    return {"N": (w1, c1), "4N": (w2, c2)}
+
+
+LEVELS = _levels()
+WORKER_MEM_MB = 6144
+EXECUTOR_MEM = "5g"
+
+
+def _cpu_ticks() -> tuple:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    # busy = user+nice+system+irq+softirq ; steal = field 8
+    busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+    steal = vals[7] if len(vals) > 7 else 0
+    return busy, steal
+
+
+def inner() -> None:
+    """Runs INSIDE spark-submit; package comes from --py-files."""
+    from pyspark.sql import SparkSession
+
+    import great_expectations_spark as gx
+    from great_expectations_spark.datagen.transcripts import default_suite
+
+    spark = SparkSession.builder.appName("gx-executor-scaling").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(DATASET)
+    n_turns = df.count()  # materialize FS cache / executor registration
+    suite = default_suite()
+    validator = gx.SuiteValidator()
+    walls = []
+    success = None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        if MODE == "grouped":
+            from great_expectations_spark.checkpoint.runner import (
+                validate_by_partition,
+            )
+
+            results = validate_by_partition(df, suite, "day")
+            success = all(r.success for r in results.values())
+        else:
+            res = validator.validate(df, suite, result_format="SUMMARY")
+            success = res.success
+        walls.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({
+        "turns": n_turns,
+        "mode": MODE,
+        "executors": spark.conf.get("spark.executor.instances", "?"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "success": success,
+        "walls": walls,
+        "best": min(walls),
+    }))
+    spark.stop()
+
+
+def build_zip(path: str) -> None:
+    pkg = os.path.join(REPO, "great_expectations_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py") or f.endswith(".json"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+
+def submit(workers: int, cores: int, zip_path: str) -> dict:
+    master = f"local-cluster[{workers},{cores},{WORKER_MEM_MB}]"
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", master,
+        "--py-files", zip_path,
+        "--conf", "spark.sql.shuffle.partitions=64",
+        # 88 x ~22MB input files pack into ~16 scan partitions at the
+        # default 128m — a SINGLE task wave at the 4N level, so one
+        # hypervisor-steal straggler sets the whole wall.  32m splits
+        # give ~64 scan tasks (4 waves at 4N, 16 at N): stragglers
+        # average out at both levels.  Same discipline at 100 TB: task
+        # split sizing is a property of the data, not the cluster size.
+        "--conf", "spark.sql.files.maxPartitionBytes=32m",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.executor.memory={EXECUTOR_MEM}",
+        "--conf", "spark.driver.memory=8g",
+        "--conf",
+        f"spark.executor.extraJavaOptions=-XX:ActiveProcessorCount={cores}",
+        "--conf", "spark.driver.extraJavaOptions=-XX:ActiveProcessorCount=4",
+        os.path.abspath(__file__), "--inner",
+    ]
+    t0 = _cpu_ticks()
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True, timeout=1800)
+    t1 = _cpu_ticks()
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    busy, steal = t1[0] - t0[0], t1[1] - t0[1]
+    r["steal_pct"] = round(100 * steal / max(busy + steal, 1), 1)
+    return r
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", action="store_true")
+    args = ap.parse_args()
+    if args.inner:
+        inner()
+        return
+
+    zip_path = "/tmp/gx_spark_pkg.zip"
+    build_zip(zip_path)
+    results: dict[str, list] = {k: [] for k in LEVELS}
+    for round_no in range(ROUNDS):
+        for name, (workers, cores) in LEVELS.items():
+            r = submit(workers, cores, zip_path)
+            results[name].append(r)
+            print(
+                f"round {round_no} {name} ({workers} exec x {cores} cores):"
+                f" best={r['best']}s walls={r['walls']}"
+                f" steal={r['steal_pct']}%",
+                file=sys.stderr, flush=True,
+            )
+    turns = results["N"][0]["turns"]
+    t_n = min(r["best"] for r in results["N"])
+    t_4n = min(r["best"] for r in results["4N"])
+    print(json.dumps({
+        "turns": turns,
+        "mode": MODE,
+        "dataset": DATASET,
+        "levels": {k: f"local-cluster[{w},{c},{WORKER_MEM_MB}]"
+                   for k, (w, c) in LEVELS.items()},
+        "N_best_sec": t_n,
+        "4N_best_sec": t_4n,
+        "N_turns_per_sec": round(turns / t_n, 1),
+        "4N_turns_per_sec": round(turns / t_4n, 1),
+        "scaling_efficiency": round((t_n / t_4n) / 4, 3),
+        "all_bests": {k: [r["best"] for r in rs]
+                      for k, rs in results.items()},
+        "all_steal_pct": {k: [r["steal_pct"] for r in rs]
+                          for k, rs in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
