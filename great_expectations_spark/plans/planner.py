@@ -20,6 +20,22 @@ Physical plan of ``validate(df, suite)``:
     is computed once, persisted, and each failing expectation takes a
     ``limit(k)`` slice (limits push into the scan).
 
+Driver-side job orchestration: the phases above are *independent Spark
+jobs* with a small dependency DAG (samples and aggregate followups need
+phase-A counters; window samples need phase-B counters; CompiledJob
+expectations need nothing).  Submitting them one at a time serializes
+the driver — an Amdahl term measured at ~12 s/pass on the 25.4M-turn
+scaling dataset (SCALING.md).  With ``job_concurrency > 1`` (default),
+``validate`` overlaps them from a driver thread pool: phase A ∥ phase B
+∥ every CompiledJob expectation, then (once phase-A metrics land)
+aggregate followups ∥ window samples ∥ per-expectation map-sample
+collects.  Spark's scheduler accepts concurrent job submission from
+driver threads natively (the reference does the same driver-side with
+``core/async_executor.py`` across *checkpoints*; here it is applied
+*inside* one suite pass).  Results are assembled in suite order after
+all futures resolve, so output is deterministic and exception semantics
+(``catch_exceptions``) are unchanged.
+
 Aggregate metrics are deduplicated by content-addressed key, so shared
 dependencies (row_count, nonnull counts) are computed once (reference
 metric-graph dedup: ``validation_graph.py:96-100``).
@@ -32,6 +48,7 @@ import inspect
 import logging
 import traceback
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -145,6 +162,9 @@ class SuiteValidator:
         (``sparkdf_execution_engine.py:210-218``).
     max_complete_collect: hard cap on COMPLETE-format collected violation
         values — the driver-collect guard at scale.
+    job_concurrency: max driver threads submitting the suite's independent
+        Spark jobs concurrently (see module docstring).  ``1`` restores
+        strictly sequential submission.
     """
 
     def __init__(
@@ -152,10 +172,12 @@ class SuiteValidator:
         spark: Optional[SparkSession] = None,
         persist_for_samples: bool = True,
         max_complete_collect: int = 10_000,
+        job_concurrency: int = 8,
     ) -> None:
         self._spark = spark
         self.persist_for_samples = persist_for_samples
         self.max_complete_collect = max_complete_collect
+        self.job_concurrency = max(1, int(job_concurrency))
 
     # ------------------------------------------------------------------
 
@@ -182,16 +204,29 @@ class SuiteValidator:
             suite, eval_params, catch_exceptions, parameter_store
         )
         self._check_columns_exist(df, items)
-        metrics = self._run_bundled_phase(df, items)
-        self._run_window_phase(df, items, metrics, catch_exceptions)
 
-        samples = self._collect_samples(df, items, metrics, rf)
+        prefetched: Dict[int, Tuple[str, Any]] = {}
+        if self.job_concurrency > 1 and items:
+            metrics, samples = self._run_phases_concurrent(
+                df, spark, items, rf, catch_exceptions, prefetched
+            )
+        else:
+            metrics = self._run_bundled_phase(df, items)
+            self._run_window_phase(df, items, metrics, catch_exceptions)
+            samples = self._collect_samples(df, items, metrics, rf)
 
         results: List[ExpectationValidationResult] = []
         for item in items:
             results.append(
                 self._assemble(
-                    item, df, spark, metrics, samples, rf, catch_exceptions
+                    item,
+                    df,
+                    spark,
+                    metrics,
+                    samples,
+                    rf,
+                    catch_exceptions,
+                    prefetched,
                 )
             )
 
@@ -214,6 +249,148 @@ class SuiteValidator:
         )
 
     # ------------------------------------------------------------------
+
+    def _run_phases_concurrent(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        items: List[_PlannedItem],
+        rf: dict,
+        catch_exceptions: bool,
+        prefetched: Dict[int, Tuple[str, Any]],
+    ) -> Tuple[Dict[str, Any], Dict[int, Dict[str, Any]]]:
+        """Overlap the suite's independent Spark jobs from driver threads.
+
+        Wave 1 (no dependencies): bundled agg ∥ window phase ∥ every
+        CompiledJob expectation.  Wave 2 (needs phase-A/B counters):
+        aggregate followups / domain-scoped aggregates ∥ window violation
+        samples ∥ map violation samples.  Futures capture ('ok', value) or
+        ('err', exc) into ``prefetched`` keyed by ``id(item)``; assembly
+        replays them in suite order with unchanged exception semantics.
+        """
+
+        def guarded(fn, *a, **kw):
+            try:
+                return ("ok", fn(*a, **kw))
+            except Exception as exc:  # noqa: BLE001 — replayed at assembly
+                return ("err", exc)
+
+        with ThreadPoolExecutor(max_workers=self.job_concurrency) as pool:
+            fut_bundle = pool.submit(self._run_bundled_phase, df, items)
+            window_metrics: Dict[str, Any] = {}
+            fut_window = pool.submit(
+                self._run_window_phase,
+                df,
+                items,
+                window_metrics,
+                catch_exceptions,
+            )
+            job_futs = {
+                id(item): pool.submit(
+                    guarded,
+                    self._run_job_item,
+                    item.compiled,
+                    df,
+                    spark,
+                    item.domain,
+                    rf,
+                )
+                for item in items
+                if item.error is None and isinstance(item.compiled, CompiledJob)
+            }
+
+            # phase A/B gates: bundled-agg and window failures propagate
+            # exactly as in the sequential path (phase B already honors
+            # catch_exceptions internally via per-item error marking)
+            metrics = fut_bundle.result()
+            fut_window.result()
+            metrics.update(window_metrics)
+
+            agg_futs = {
+                id(item): pool.submit(
+                    guarded,
+                    self._aggregate_values,
+                    item,
+                    item.compiled,
+                    df,
+                    metrics,
+                )
+                for item in items
+                if item.error is None
+                and isinstance(item.compiled, CompiledAggregate)
+                and (
+                    item.compiled.followup is not None
+                    or (item.domain is not None and not item.agg_aliases)
+                )
+            }
+            wsample_futs = {}
+            if rf["result_format"] != "BOOLEAN_ONLY":
+                limit = (
+                    self.max_complete_collect
+                    if rf["result_format"] == "COMPLETE"
+                    else rf["partial_unexpected_count"]
+                )
+                index_cols = rf.get("unexpected_index_column_names")
+                for item in items:
+                    c = item.compiled
+                    if (
+                        item.error is None
+                        and isinstance(c, CompiledWindow)
+                        and int(
+                            metrics.get(f"window_unexpected::{id(item)}") or 0
+                        )
+                        > 0
+                    ):
+                        wsample_futs[id(item)] = pool.submit(
+                            guarded, c.sample, df, item.domain, limit, index_cols
+                        )
+
+            samples = self._collect_samples(df, items, metrics, rf, pool=pool)
+
+            for key, fut in job_futs.items():
+                prefetched[key] = ("job",) + fut.result()
+            for key, fut in agg_futs.items():
+                prefetched[key] = ("agg",) + fut.result()
+            for key, fut in wsample_futs.items():
+                prefetched[key] = ("wsample",) + fut.result()
+        return metrics, samples
+
+    def _run_job_item(
+        self,
+        c: CompiledJob,
+        df: DataFrame,
+        spark: SparkSession,
+        domain: Optional[Column],
+        rf: dict,
+    ) -> Dict[str, Any]:
+        sig = inspect.signature(c.run)
+        if "result_format" in sig.parameters:
+            return c.run(df, spark, domain, result_format=rf)
+        return c.run(df, spark, domain)
+
+    def _aggregate_values(
+        self,
+        item: _PlannedItem,
+        c: CompiledAggregate,
+        df: DataFrame,
+        metrics: Dict[str, Any],
+    ) -> Dict[str, Any]:
+        if item.domain is not None and not item.agg_aliases:
+            # domain-scoped aggregate: dedicated filtered bundle
+            scoped = df.filter(domain_gate(item.domain))
+            aliases = {k: f"a{i}" for i, k in enumerate(c.agg_exprs)}
+            row = scoped.agg(
+                *[col.alias(aliases[k]) for k, col in c.agg_exprs.items()]
+            ).first()
+            values = {k: row[a] for k, a in aliases.items()}
+        else:
+            scoped = df
+            values = {
+                k: metrics.get(alias) for k, alias in item.agg_aliases.items()
+            }
+        if c.followup is not None:
+            values.update(c.followup(scoped, values))
+        return values
 
     def _compile(
         self,
@@ -491,6 +668,7 @@ class SuiteValidator:
         items: List[_PlannedItem],
         metrics: Dict[str, Any],
         rf: dict,
+        pool: Optional[ThreadPoolExecutor] = None,
     ) -> Dict[int, Dict[str, Any]]:
         """Phase D: violation samples for failing map expectations."""
         if rf["result_format"] == "BOOLEAN_ONLY":
@@ -536,42 +714,58 @@ class SuiteValidator:
         if self.persist_for_samples and len(needing) > 1:
             projected = projected.persist(StorageLevel.MEMORY_AND_DISK)
             persisted = True
+        def collect_one(item: _PlannedItem, idx: str) -> Dict[str, Any]:
+            c = item.compiled
+            assert isinstance(c, CompiledMap)
+            if rf["result_format"] == "COMPLETE":
+                limit = self.max_complete_collect
+            else:
+                limit = rf["partial_unexpected_count"]
+            row_cols = list(df.columns) if include_rows else []
+            # row_cols already cover the index columns when present
+            keep = row_cols if include_rows else list(index_cols)
+            rows = (
+                projected.filter(F.col(f"__gx_flag_{idx}"))
+                .select(f"__gx_val_{idx}", *keep)
+                .limit(limit)  # reference :774 builds but DISCARDS this
+                .collect()     # limit — applied for real here
+            )
+            values: List[Any] = []
+            for r in rows:
+                v = r[f"__gx_val_{idx}"]
+                if c.value_is_dict and v is not None:
+                    v = v.asDict()
+                elif hasattr(v, "asDict"):
+                    v = tuple(v.asDict().values())
+                values.append(v)
+            entry: Dict[str, Any] = {"unexpected_list": values}
+            if index_cols:
+                entry["unexpected_index_list"] = [
+                    {ic: r[ic] for ic in index_cols} for r in rows
+                ]
+            if include_rows:
+                entry["unexpected_rows"] = [
+                    {rc: r[rc] for rc in row_cols} for r in rows
+                ]
+            return entry
+
         samples: Dict[int, Dict[str, Any]] = {}
         try:
-            for item, idx in needing:
-                c = item.compiled
-                assert isinstance(c, CompiledMap)
-                if rf["result_format"] == "COMPLETE":
-                    limit = self.max_complete_collect
-                else:
-                    limit = rf["partial_unexpected_count"]
-                row_cols = list(df.columns) if include_rows else []
-                # row_cols already cover the index columns when present
-                keep = row_cols if include_rows else list(index_cols)
-                rows = (
-                    projected.filter(F.col(f"__gx_flag_{idx}"))
-                    .select(f"__gx_val_{idx}", *keep)
-                    .limit(limit)  # reference :774 builds but DISCARDS this
-                    .collect()     # limit — applied for real here
-                )
-                values: List[Any] = []
-                for r in rows:
-                    v = r[f"__gx_val_{idx}"]
-                    if c.value_is_dict and v is not None:
-                        v = v.asDict()
-                    elif hasattr(v, "asDict"):
-                        v = tuple(v.asDict().values())
-                    values.append(v)
-                entry: Dict[str, Any] = {"unexpected_list": values}
-                if index_cols:
-                    entry["unexpected_index_list"] = [
-                        {ic: r[ic] for ic in index_cols} for r in rows
-                    ]
-                if include_rows:
-                    entry["unexpected_rows"] = [
-                        {rc: r[rc] for rc in row_cols} for r in rows
-                    ]
-                samples[id(item)] = entry
+            if pool is not None and len(needing) > 1:
+                # concurrent limit-collects on the persisted projection may
+                # race to compute the same partition (bounded duplicate
+                # work, cache stays coherent); NOT pre-materialized — that
+                # would force a full scan where limits prune to a few
+                # partitions
+                futs = [
+                    (item, pool.submit(collect_one, item, idx))
+                    for item, idx in needing
+                ]
+                for item, fut in futs:
+                    samples[id(item)] = fut.result()
+            else:
+                for item, idx in needing:
+                    samples[id(item)] = collect_one(item, idx)
         finally:
             if persisted:
                 projected.unpersist()
@@ -588,20 +782,37 @@ class SuiteValidator:
         samples: Dict[int, Dict[str, Any]],
         rf: dict,
         catch_exceptions: bool,
+        prefetched: Optional[Dict[int, Tuple[str, Any]]] = None,
     ) -> ExpectationValidationResult:
         config_dict = item.config.to_json_dict()
         if item.error is not None:
             return self._exception_result(config_dict, item.error)
         c = item.compiled
+        pre = (prefetched or {}).get(id(item))
         try:
+            if pre is not None and pre[1] == "err":
+                raise pre[2]
             if isinstance(c, CompiledMap):
                 return self._assemble_map(item, c, metrics, samples, rf, config_dict)
             if isinstance(c, CompiledWindow):
                 return self._assemble_window(
-                    item, c, df, metrics, rf, config_dict
+                    item,
+                    c,
+                    df,
+                    metrics,
+                    rf,
+                    config_dict,
+                    pre[2] if pre is not None and pre[0] == "wsample" else None,
                 )
             if isinstance(c, CompiledAggregate):
-                return self._assemble_aggregate(item, c, df, metrics, config_dict)
+                return self._assemble_aggregate(
+                    item,
+                    c,
+                    df,
+                    metrics,
+                    config_dict,
+                    pre[2] if pre is not None and pre[0] == "agg" else None,
+                )
             if isinstance(c, CompiledSchemaCheck):
                 out = c.validate(df)
                 return ExpectationValidationResult(
@@ -610,11 +821,10 @@ class SuiteValidator:
                     result=convert_to_json_serializable(out.get("result", {})),
                 )
             if isinstance(c, CompiledJob):
-                sig = inspect.signature(c.run)
-                if "result_format" in sig.parameters:
-                    out = c.run(df, spark, item.domain, result_format=rf)
+                if pre is not None and pre[0] == "job":
+                    out = pre[2]
                 else:
-                    out = c.run(df, spark, item.domain)
+                    out = self._run_job_item(c, df, spark, item.domain, rf)
                 result = out.get("result", {})
                 if "result" not in out and "success" in out:
                     result = {
@@ -715,6 +925,7 @@ class SuiteValidator:
         metrics: Dict[str, Any],
         rf: dict,
         config_dict: Dict[str, Any],
+        prefetched_sample: Optional[Any] = None,
     ) -> ExpectationValidationResult:
         element_count = int(metrics.get(item.element_alias) or 0)
         considered_count = int(
@@ -737,7 +948,11 @@ class SuiteValidator:
                     if rf["result_format"] == "COMPLETE"
                     else rf["partial_unexpected_count"]
                 )
-                sample = c.sample(df, item.domain, limit, index_cols)
+                sample = (
+                    prefetched_sample
+                    if prefetched_sample is not None
+                    else c.sample(df, item.domain, limit, index_cols)
+                )
                 if isinstance(sample, dict):
                     unexpected_list = sample.get("unexpected_list", [])
                     unexpected_index_list = sample.get("unexpected_index_list")
@@ -768,22 +983,13 @@ class SuiteValidator:
         df: DataFrame,
         metrics: Dict[str, Any],
         config_dict: Dict[str, Any],
+        prefetched_values: Optional[Dict[str, Any]] = None,
     ) -> ExpectationValidationResult:
-        if item.domain is not None and not item.agg_aliases:
-            # domain-scoped aggregate: dedicated filtered bundle
-            scoped = df.filter(domain_gate(item.domain))
-            aliases = {k: f"a{i}" for i, k in enumerate(c.agg_exprs)}
-            row = scoped.agg(
-                *[col.alias(aliases[k]) for k, col in c.agg_exprs.items()]
-            ).first()
-            values = {k: row[a] for k, a in aliases.items()}
-        else:
-            scoped = df
-            values = {
-                k: metrics.get(alias) for k, alias in item.agg_aliases.items()
-            }
-        if c.followup is not None:
-            values.update(c.followup(scoped, values))
+        values = (
+            prefetched_values
+            if prefetched_values is not None
+            else self._aggregate_values(item, c, df, metrics)
+        )
         out = c.validate(values)
         return ExpectationValidationResult(
             success=bool(out["success"]),

@@ -61,6 +61,9 @@ DATASET = os.environ.get(
 # validate_by_partition (every day-partition's whole suite in O(1) jobs,
 # the 10^12-row strategy).  Inherited by the inner driver via env.
 MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "suite")
+# driver-side intra-suite job concurrency (SuiteValidator job_concurrency);
+# 1 = sequential submission, for isolating the serial-driver Amdahl term
+JOB_CONCURRENCY = int(os.environ.get("SPARK_GRAFT_JOB_CONCURRENCY", "8"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "4"))
 SPARK_SUBMIT = os.environ.get(
@@ -109,7 +112,7 @@ def inner() -> None:
     df = spark.read.parquet(DATASET)
     n_turns = df.count()  # materialize FS cache / executor registration
     suite = default_suite()
-    validator = gx.SuiteValidator()
+    validator = gx.SuiteValidator(job_concurrency=JOB_CONCURRENCY)
     walls = []
     success = None
     for _ in range(REPEATS):
@@ -128,6 +131,7 @@ def inner() -> None:
     print(json.dumps({
         "turns": n_turns,
         "mode": MODE,
+        "job_concurrency": JOB_CONCURRENCY,
         "executors": spark.conf.get("spark.executor.instances", "?"),
         "default_parallelism": spark.sparkContext.defaultParallelism,
         "success": success,
@@ -214,6 +218,7 @@ def main() -> None:
     print(json.dumps({
         "turns": turns,
         "mode": MODE,
+        "job_concurrency": JOB_CONCURRENCY,
         "dataset": DATASET,
         "levels": {k: f"local-cluster[{w},{c},{WORKER_MEM_MB}]"
                    for k, (w, c) in LEVELS.items()},
