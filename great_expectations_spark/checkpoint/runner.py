@@ -13,9 +13,18 @@ Two execution strategies over a partitioned table:
 
 * ``validate_by_partition`` — the scale path: ONE
   ``groupBy(partition_col)`` pass computes every partition's bundled
-  counters simultaneously (plus one grouped pass per window expectation),
-  producing an ExpectationSuiteValidationResult per partition with counts
-  (BASIC, no samples).  10^5 partitions = still ~3 Spark jobs.
+  counters simultaneously, plus one grouped pass per window *group* —
+  window expectations sharing a (partition_by, order_by) spec and domain
+  compute all their flags in a single projection and one
+  ``groupBy(partition_col)`` (uniqueness expectations whose keys equal
+  the window spec ride the same pass as an adjacent-duplicate flag,
+  mirroring ``SuiteValidator._run_window_phase``) — producing an
+  ExpectationSuiteValidationResult per partition with counts (BASIC, no
+  samples).  10^5 partitions = still ~3 Spark jobs.  The independent
+  grouped passes (bundled agg, each window group, each grouped job
+  expectation) are submitted concurrently from driver threads
+  (``validator.job_concurrency``), the same serial-driver-term fix as
+  ``SuiteValidator.validate``.
 """
 
 from __future__ import annotations
@@ -44,6 +53,7 @@ from great_expectations_spark.core.results import (
     build_suite_statistics,
     convert_to_json_serializable,
 )
+from great_expectations_spark.core.domain import domain_gate
 from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.plans.planner import SuiteValidator, _PlannedItem
 from great_expectations_spark.plans.specs import (
@@ -267,30 +277,145 @@ def validate_by_partition(
         suite, suite.evaluation_parameters, True, parameter_store
     )
     validator._check_columns_exist(df, items)
-    grouped = validator._run_bundled_phase(df, items, group_by=partition_column)
+
+    # --- plan the grouped window passes: share one projection + one
+    # groupBy(partition) among window expectations with the same
+    # (partition_by, order_by) spec and domain; adopt uniqueness
+    # expectations whose keys equal the spec (adjacent-duplicate flag) —
+    # the same sharing SuiteValidator._run_window_phase does, valid here
+    # because window keys nest within partitions (docstring assumption)
+    groups: Dict[Any, List[_PlannedItem]] = {}
+    single_windows: List[_PlannedItem] = []
+    uniq_candidates: List[_PlannedItem] = []
+    for item in items:
+        c = item.compiled
+        if not isinstance(c, CompiledWindow) or item.error is not None:
+            continue
+        if (
+            c.flag_builder is not None
+            and c.window_signature is not None
+            and c.window_signature[0]  # global windows keep the dedicated
+            # per-partition path (prepending the partition column is the
+            # semantics there, not a nesting no-op)
+        ):
+            key = (
+                c.window_signature,
+                str(item.config.kwargs.get("row_condition") or ""),
+            )
+            groups.setdefault(key, []).append(item)
+        elif getattr(c, "uniqueness_keys", None) is not None:
+            uniq_candidates.append(item)
+        else:
+            single_windows.append(item)
+    for item in uniq_candidates:
+        c = item.compiled
+        adopted = False
+        for (signature, domain_key), members in groups.items():
+            partition_by, order_by = signature
+            if (
+                order_by
+                and set(c.uniqueness_keys)
+                == set(partition_by) | set(order_by)
+                and domain_key
+                == str(item.config.kwargs.get("row_condition") or "")
+            ):
+                from great_expectations_spark.operators.window_ops import (
+                    uniqueness_flag_over_window,
+                )
+
+                key_cols = list(c.uniqueness_keys)
+                c.flag_builder = (
+                    lambda kc=key_cols, p=list(partition_by), o=list(
+                        order_by
+                    ): uniqueness_flag_over_window(kc, p, o)
+                )
+                members.append(item)
+                adopted = True
+                break
+        if not adopted:
+            single_windows.append(item)
 
     # grouped window counts: per item -> {partition: unexpected_count}
     window_counts: Dict[int, Dict[Any, int]] = {}
     # grouped job results: per item -> {partition: vout} in O(1) jobs
     job_grouped: Dict[int, Dict[Any, Dict[str, Any]]] = {}
-    for item in items:
-        c = item.compiled
-        if isinstance(c, CompiledWindow) and item.error is None:
-            try:
-                window_counts[id(item)] = _grouped_window_counts(
-                    df, item, partition_column
+
+    # the grouped passes are independent Spark jobs — submit them from
+    # driver threads so planning of one overlaps execution of the others
+    conc = max(1, getattr(validator, "job_concurrency", 1))
+    with ThreadPoolExecutor(max_workers=conc) as pool:
+        fut_bundle = pool.submit(
+            validator._run_bundled_phase, df, items, partition_column
+        )
+        group_futs = [
+            (members, pool.submit(
+                _grouped_window_counts_shared, df, members, partition_column
+            ))
+            for members in groups.values()
+        ]
+        single_futs = [
+            (item, pool.submit(
+                _grouped_window_counts, df, item, partition_column
+            ))
+            for item in single_windows
+        ]
+        job_futs = [
+            (item, pool.submit(
+                item.compiled.grouped, df, spark, item.domain,
+                partition_column,
+            ))
+            for item in items
+            if isinstance(item.compiled, CompiledJob)
+            and item.compiled.grouped is not None
+            and item.error is None
+        ]
+        grouped = fut_bundle.result()
+        # aggregate followups with a grouped hook (the distinct-value-set
+        # family): every partition's followup in O(1) jobs instead of one
+        # partition-filtered job per partition — needs phase-A counts, so
+        # submitted after the bundle resolves (still inside the pool)
+        agg_grouped: Dict[int, Dict[Any, Any]] = {}
+        agg_futs = []
+        for item in items:
+            c = item.compiled
+            if (
+                isinstance(c, CompiledAggregate)
+                and c.grouped_followup is not None
+                and item.error is None
+                and item.domain is None
+            ):
+                values_by_part = {
+                    part: {
+                        k: metrics.get(alias)
+                        for k, alias in item.agg_aliases.items()
+                    }
+                    for part, metrics in grouped.items()
+                }
+                agg_futs.append(
+                    (item, pool.submit(
+                        c.grouped_followup, df, partition_column,
+                        values_by_part,
+                    ))
                 )
+        for members, fut in group_futs:
+            try:
+                window_counts.update(fut.result())
+            except Exception as exc:  # noqa: BLE001
+                for m in members:
+                    m.error = exc
+        for item, fut in single_futs:
+            try:
+                window_counts[id(item)] = fut.result()
             except Exception as exc:  # noqa: BLE001
                 item.error = exc
-        elif (
-            isinstance(c, CompiledJob)
-            and c.grouped is not None
-            and item.error is None
-        ):
+        for item, fut in job_futs:
             try:
-                job_grouped[id(item)] = c.grouped(
-                    df, spark, item.domain, partition_column
-                )
+                job_grouped[id(item)] = fut.result()
+            except Exception as exc:  # noqa: BLE001
+                item.error = exc
+        for item, fut in agg_futs:
+            try:
+                agg_grouped[id(item)] = fut.result()
             except Exception as exc:  # noqa: BLE001
                 item.error = exc
 
@@ -358,7 +483,12 @@ def validate_by_partition(
                         k: metrics.get(alias)
                         for k, alias in item.agg_aliases.items()
                     }
-                    if c.followup is not None:
+                    if id(item) in agg_grouped:
+                        extra = agg_grouped[id(item)].get(part)
+                        if isinstance(extra, Exception):
+                            raise extra
+                        values.update(extra or {})
+                    elif c.followup is not None:
                         values.update(
                             c.followup(
                                 df.filter(
@@ -431,6 +561,47 @@ def validate_by_partition(
             },
         )
     return out
+
+
+def _grouped_window_counts_shared(
+    df: DataFrame, members: List[_PlannedItem], partition_column: str
+) -> Dict[int, Dict[Any, int]]:
+    """Per-partition unexpected counts for a GROUP of window expectations
+    sharing a (partition_by, order_by) spec and domain: one projection
+    computes every member's flag column, one ``groupBy(partition)`` sums
+    them — a single shuffle for the whole group.  The members' own window
+    specs are reused unchanged: window keys nest within partitions, so
+    ``partitionBy(conv_id)`` frames equal ``partitionBy(day, conv_id)``
+    frames and the flags are the per-partition flags already.  Null
+    handling stays correct when sharing because the flag builders are
+    null-transparent (``_prev_nonnull``) rather than relying on
+    pre-filtered frames."""
+    scoped = df
+    if members[0].domain is not None:
+        scoped = scoped.filter(domain_gate(members[0].domain))
+    flagged = scoped.select(
+        F.col(partition_column).alias("__gx_part"),
+        *[
+            domain_gate(m.compiled.flag_builder()).alias(f"f{i}")
+            for i, m in enumerate(members)
+        ],
+    )
+    rows = (
+        flagged.groupBy("__gx_part")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col(f"f{i}"), 1).otherwise(0)), F.lit(0)
+                ).alias(f"w{i}")
+                for i in range(len(members))
+            ]
+        )
+        .collect()
+    )
+    return {
+        id(m): {r["__gx_part"]: int(r[f"w{i}"] or 0) for r in rows}
+        for i, m in enumerate(members)
+    }
 
 
 def _grouped_window_counts(

@@ -257,6 +257,41 @@ def _distinct_set_validator(
         row = df.agg(F.collect_set(F.col(column)).alias("s")).first()
         return {skey: row["s"]}
 
+    def grouped_followup(
+        df: DataFrame,
+        partition_column: str,
+        values_by_partition: Dict[Any, Dict[str, Any]],
+    ) -> Dict[Any, Any]:
+        """All partitions' value sets in ONE groupBy job.  Partitions whose
+        phase-A distinct count exceeds the cap are excluded from the scan
+        entirely (their sets are never aggregated) and marked with the cap
+        error, so one hot partition can't blow executor memory or fail the
+        rest."""
+        out: Dict[Any, Any] = {}
+        ok_parts = []
+        for part, vals in values_by_partition.items():
+            count = vals.get(ckey) or 0
+            if count > DISTINCT_COLLECT_CAP:
+                out[part] = ValueError(
+                    f"distinct cardinality {count} of {column!r} in "
+                    f"partition {part!r} exceeds the collect cap "
+                    f"{DISTINCT_COLLECT_CAP}; use an approximate "
+                    "expectation instead"
+                )
+            else:
+                ok_parts.append(part)
+                out[part] = {skey: []}  # default for empty partitions
+        if ok_parts:
+            rows = (
+                df.filter(F.col(partition_column).isin(ok_parts))
+                .groupBy(partition_column)
+                .agg(F.collect_set(F.col(column)).alias("s"))
+                .collect()
+            )
+            for r in rows:
+                out[r[partition_column]] = {skey: r["s"]}
+        return out
+
     def validate(metrics: Dict[str, Any]) -> Dict[str, Any]:
         count = metrics.get(ckey) or 0
         observed_set = set(metrics.get(skey) or [])
@@ -276,6 +311,7 @@ def _distinct_set_validator(
         agg_exprs=_distinct_set_exprs(column),
         validate=validate,
         followup=followup,
+        grouped_followup=grouped_followup,
     )
 
 

@@ -78,6 +78,14 @@ class CompiledAggregate:
     values; returns extra metric values merged before ``validate``.  Used
     to gate unbounded collects (e.g. ``collect_set``) behind a phase-A
     cardinality check so the guard fires BEFORE any heavy aggregation.
+    ``grouped_followup(df, partition_column, values_by_partition)`` —
+    optional scale hook for ``validate_by_partition``: the followup for
+    ALL partitions in O(1) Spark jobs, given each partition's phase-A
+    values; returns {partition: extra-values-dict-or-Exception} (an
+    Exception marks that partition's expectation failed-with-error, e.g.
+    over the collect cap, without poisoning the others).  Without it the
+    runner falls back to one partition-filtered ``followup`` job per
+    partition.
     """
 
     agg_exprs: Dict[str, Column]
@@ -85,6 +93,9 @@ class CompiledAggregate:
     finisher_inputs: List[str] = field(default_factory=list)
     followup: Optional[
         Callable[[DataFrame, Dict[str, Any]], Dict[str, Any]]
+    ] = None
+    grouped_followup: Optional[
+        Callable[[DataFrame, str, Dict[Any, Dict[str, Any]]], Dict[Any, Any]]
     ] = None
 
 

@@ -25,11 +25,16 @@ import sys
 import time
 
 THRESHOLD_PCT = float(os.environ.get("QUIET_THRESHOLD_PCT", "2.0"))
+# other work on THIS vm (test runs, dataset generation) also pollutes a
+# measurement — and asymmetrically across the N/4N legs, which would bias
+# the ratio, not just inflate walls.  Require the host to be near-idle
+# too, not just steal-free.
+BUSY_THRESHOLD_PCT = float(os.environ.get("QUIET_BUSY_PCT", "8.0"))
 SAMPLE_SEC = int(os.environ.get("QUIET_SAMPLE_SEC", "45"))
 IDLE_SLEEP = int(os.environ.get("QUIET_IDLE_SLEEP", "90"))
 
 
-def steal_pct(seconds: int) -> float:
+def steal_pct(seconds: int) -> tuple:
     def ticks():
         with open("/proc/stat") as f:
             v = [int(x) for x in f.readline().split()[1:]]
@@ -41,7 +46,10 @@ def steal_pct(seconds: int) -> float:
     time.sleep(seconds)
     b1, i1, s1 = ticks()
     total = (b1 - b0) + (i1 - i0) + (s1 - s0)
-    return 100.0 * (s1 - s0) / max(total, 1)
+    return (
+        100.0 * (s1 - s0) / max(total, 1),
+        100.0 * (b1 - b0) / max(total, 1),
+    )
 
 
 def main() -> None:
@@ -49,15 +57,16 @@ def main() -> None:
     out = sys.argv[2]
     i = 0
     while True:
-        pct = steal_pct(SAMPLE_SEC)
-        if pct >= THRESHOLD_PCT:
-            print(f"steal {pct:.1f}% — waiting", file=sys.stderr, flush=True)
+        pct, busy = steal_pct(SAMPLE_SEC)
+        if pct >= THRESHOLD_PCT or busy >= BUSY_THRESHOLD_PCT:
+            print(f"steal {pct:.1f}% busy {busy:.1f}% — waiting",
+                  file=sys.stderr, flush=True)
             time.sleep(IDLE_SLEEP)
             continue
         spec = cmds[i % len(cmds)]
         i += 1
         env = {**os.environ, **spec.get("env", {})}
-        print(f"steal {pct:.1f}% — firing {spec['name']}",
+        print(f"steal {pct:.1f}% busy {busy:.1f}% — firing {spec['name']}",
               file=sys.stderr, flush=True)
         t0 = time.time()
         try:

@@ -345,3 +345,112 @@ def test_partition_list_cap(spark, transcripts, tmp_path, monkeypatch):
     vals = runner._collect_partition_values(transcripts, "day", cap=100_000)
     assert 10 < len(vals) <= 100_000
     assert vals == sorted(vals, key=lambda v: (v is None, v))
+
+
+def test_grouped_shared_window_pass_matches_per_partition(spark, transcripts):
+    """Increasing + contiguity share a (conv_id, turn_idx) window spec and
+    compound-uniqueness rides the same pass as a duplicate flag — ONE
+    grouped shuffle for all three.  Counts must equal the full validator
+    run partition by partition (planted ts-decreases, turn gaps and
+    duplicate (conv_id, turn_idx) pairs make every count nonzero
+    somewhere)."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    suite = (
+        ExpectationSuite("sharedwin")
+        .add(
+            "expect_column_values_to_be_increasing",
+            column="ts",
+            partition_by="conv_id",
+            order_by="turn_idx",
+            mostly=0.9,
+        )
+        .add(
+            "expect_sequence_to_be_contiguous",
+            group_column="conv_id",
+            index_column="turn_idx",
+            mostly=0.9,
+        )
+        .add(
+            "expect_compound_columns_to_be_unique",
+            column_list=["conv_id", "turn_idx"],
+            mostly=0.9,
+        )
+    )
+    grouped = validate_by_partition(transcripts, suite, "day")
+    assert len(grouped) == 30
+    v = SuiteValidator()
+    for day in sorted(grouped)[:4]:
+        full = v.validate(
+            transcripts.filter(F.col("day") == day), suite, "BASIC"
+        )
+        for gr, fr in zip(grouped[day].results, full.results):
+            et = gr.expectation_config["expectation_type"]
+            assert gr.success == fr.success, et
+            assert (
+                gr.result["unexpected_count"]
+                == fr.result["unexpected_count"]
+            ), et
+    # the planted violations are visible through the shared pass
+    # (ts-decreases and referential gaps are planted at 1/4000 and 1/250
+    # conversation rates and may be absent in a 300-conversation fixture;
+    # duplicate (conv_id, turn_idx) pairs — turn 13 of every conversation
+    # with >= 13 turns — are guaranteed present)
+    assert any(
+        g.results[2].result["unexpected_count"] > 0
+        for g in grouped.values()
+    )
+
+
+def test_grouped_distinct_set_followup_single_job(spark):
+    """The distinct-value-set family's grouped followup resolves every
+    partition's value set in one groupBy job; a partition over the collect
+    cap gets the cap error without poisoning the others."""
+    from pyspark.sql import functions as F
+
+    import great_expectations_spark.operators.aggregates as agg
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("day"),
+        F.concat(F.lit("v"), (F.col("id") % 3).cast("string")).alias("cat"),
+        F.when(F.col("id") % 5 == 2, F.col("id").cast("string"))
+        .otherwise(F.lit("x"))
+        .alias("wide"),
+    )
+    suite = ExpectationSuite("ds").add(
+        "expect_column_distinct_values_to_be_in_set",
+        column="cat",
+        value_set=["v0", "v1", "v2"],
+    )
+    grouped = validate_by_partition(df, suite, "day")
+    v = SuiteValidator()
+    for day in sorted(grouped):
+        full = v.validate(df.filter(F.col("day") == day), suite, "BASIC")
+        assert grouped[day].results[0].success == full.results[0].success
+        assert (
+            grouped[day].results[0].result["observed_value"]
+            == full.results[0].result["observed_value"]
+        )
+
+    # over-cap partition: 'wide' has 2000 distinct values in day=2 only
+    old_cap = agg.DISTINCT_COLLECT_CAP
+    agg.DISTINCT_COLLECT_CAP = 100
+    try:
+        suite2 = ExpectationSuite("ds2").add(
+            "expect_column_distinct_values_to_be_in_set",
+            column="wide",
+            value_set=["x"],
+        )
+        grouped2 = validate_by_partition(df, suite2, "day")
+    finally:
+        agg.DISTINCT_COLLECT_CAP = old_cap
+    r2 = {day: res.results[0] for day, res in grouped2.items()}
+    assert not r2["2"].success
+    assert r2["2"].exception_info["raised_exception"]
+    assert "collect cap" in r2["2"].exception_info["exception_message"]
+    for day in ("0", "1", "3", "4"):
+        assert r2[day].success, day
+        assert r2[day].result["observed_value"] == ["x"]
