@@ -640,6 +640,54 @@ def _grouped_jobs_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("part")
 
 
+def _grouped_shared_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared grouped window pass (`runner._grouped_window_counts_shared`):
+    a monotonicity expectation and a compound-uniqueness expectation on
+    the same (day, user_id) / event_id window spec compute BOTH per-day
+    counts in one projection + one groupBy(day) — a single shuffle, with
+    uniqueness riding as an adjacent-duplicate flag instead of its own
+    groupBy.  Oracled by a DuckDB window replica (lag IGNORE NULLS
+    mirrors the engine's null-transparent previous-value semantics)."""
+    from great_expectations_spark.checkpoint.runner import (
+        validate_by_partition,
+    )
+
+    events = _load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    suite = (
+        ExpectationSuite("grouped_shared_window")
+        .add(
+            "expect_column_values_to_be_increasing",
+            column="value",
+            partition_by=["day", "user_id"],
+            order_by="event_id",
+            mostly=0.01,
+        )
+        .add(
+            "expect_compound_columns_to_be_unique",
+            column_list=["day", "user_id", "event_id"],
+        )
+    )
+    per_part = validate_by_partition(events, suite, "day")
+    rows = []
+    for part, res in sorted(per_part.items()):
+        inc, dup = res.results
+        rows.append(
+            (
+                str(part),
+                int(inc.result["element_count"]),
+                int(inc.result["unexpected_count"]),
+                int(dup.result["unexpected_count"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "day string, element_count bigint, inc_unexpected bigint, "
+        "dup_unexpected bigint",
+    ).orderBy("day")
+
+
 def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _map_counts(
         spark,
@@ -950,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- per-partition single-pass grouped validation ---
         "grouped_by_day_between": _grouped_by_day,
         "grouped_jobs_by_flag": _grouped_jobs_by_flag,
+        "grouped_shared_window_events": _grouped_shared_window,
         "days_missing_events": _days_missing,
         # --- referential / cross-table ---
         "anti_join_lineitem_orders": _anti_join,
@@ -1238,6 +1287,29 @@ def oracle_sql() -> dict[str, str]:
             "element_count, count(*) FILTER (WHERE value IS NOT NULL AND "
             "NOT (value >= 0 AND value <= 400))::BIGINT AS unexpected_count "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "grouped_shared_window_events": (
+            # the engine's previous-value is null-transparent (last non-null
+            # in window order) -> lag(... IGNORE NULLS); a duplicate key
+            # group of k rows flags all k rows -> count rows whose
+            # (day,user_id,event_id) group has cardinality > 1
+            "WITH e AS ("
+            "  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, event_id,"
+            "         value FROM events"
+            "), w AS ("
+            "  SELECT day, value,"
+            "         lag(value IGNORE NULLS) OVER ("
+            "           PARTITION BY day, user_id ORDER BY event_id"
+            "         ) AS prev,"
+            "         count(*) OVER ("
+            "           PARTITION BY day, user_id, event_id"
+            "         ) AS key_cnt"
+            "  FROM e"
+            ") SELECT day, count(*)::BIGINT AS element_count,"
+            "  count(*) FILTER (WHERE value IS NOT NULL AND prev IS NOT "
+            "NULL AND value < prev)::BIGINT AS inc_unexpected,"
+            "  count(*) FILTER (WHERE key_cnt > 1)::BIGINT AS "
+            "dup_unexpected FROM w GROUP BY 1 ORDER BY 1"
         ),
         "grouped_jobs_by_flag": (
             "WITH ref AS ("
