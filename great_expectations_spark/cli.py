@@ -161,6 +161,48 @@ def _cmd_profile(args) -> int:
             spark.stop()
 
 
+def _suite_store(args):
+    from great_expectations_spark.checkpoint.store_backends import (
+        FilesystemResultBackend,
+    )
+    from great_expectations_spark.checkpoint.suite_store import SuiteStore
+
+    return SuiteStore(FilesystemResultBackend(args.store_dir))
+
+
+def _cmd_suite(args) -> int:
+    """``suite save/list/show/delete`` — reference ``cli/suite.py`` verbs
+    over the SuiteStore (no Spark session needed for the filesystem
+    backend)."""
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    store = _suite_store(args)
+    if args.suite_command == "save":
+        with open(args.suite) as f:
+            suite = ExpectationSuite.from_dict(json.load(f))
+        if args.name:
+            suite.expectation_suite_name = args.name
+        version = store.save(suite)
+        print(f"saved {suite.expectation_suite_name} @ {version}")
+        return 0
+    if args.suite_command == "list":
+        for name in store.list_suites():
+            print(name)
+        return 0
+    if args.suite_command == "show":
+        try:
+            print(store.load(args.name).to_json())
+        except KeyError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1
+        return 0
+    if args.suite_command == "delete":
+        store.delete(args.name)
+        print(f"deleted {args.name}")
+        return 0
+    return 2
+
+
 def _cmd_docs(args) -> int:
     from great_expectations_spark.render.html import (
         render_index_html,
@@ -252,6 +294,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="JSON RuleBasedProfiler config (declarative rules)",
     )
     p.set_defaults(fn=_cmd_profile)
+
+    s = sub.add_parser(
+        "suite", help="suite CRUD against a store directory"
+    )
+    s.add_argument("--store-dir", required=True, help="suite store root")
+    ssub = s.add_subparsers(dest="suite_command", required=True)
+    s_save = ssub.add_parser("save", help="persist a suite JSON file")
+    s_save.add_argument("--suite", required=True, help="suite JSON file")
+    s_save.add_argument("--name", help="override the stored suite name")
+    ssub.add_parser("list", help="list live suites")
+    s_show = ssub.add_parser("show", help="print the latest suite JSON")
+    s_show.add_argument("--name", required=True)
+    s_del = ssub.add_parser("delete", help="tombstone a suite")
+    s_del.add_argument("--name", required=True)
+    s.set_defaults(fn=_cmd_suite)
 
     d = sub.add_parser("docs", help="render HTML docs from a stored result")
     d.add_argument("--result", required=True, help="validation result JSON")

@@ -162,3 +162,36 @@ def test_profile_assistant_and_rule_config(data_path, tmp_path):
     )
     suite2 = ExpectationSuite.from_json(open(out2).read())
     assert {e.kwargs["column"] for e in suite2.expectations} == {"value"}
+
+
+def test_suite_crud_verbs(tmp_path, capsys):
+    """suite save/list/show/delete (reference cli/suite.py) — no Spark
+    session involved for the filesystem store."""
+    store_dir = str(tmp_path / "suite_store")
+    suite_path = str(tmp_path / "s.json")
+    suite = (
+        ExpectationSuite("crud_suite")
+        .add("expect_column_values_to_not_be_null", column="kind")
+    )
+    with open(suite_path, "w") as f:
+        f.write(suite.to_json())
+
+    assert main(["suite", "--store-dir", store_dir,
+                 "save", "--suite", suite_path]) == 0
+    capsys.readouterr()
+    assert main(["suite", "--store-dir", store_dir, "list"]) == 0
+    assert capsys.readouterr().out.strip() == "crud_suite"
+    assert main(["suite", "--store-dir", store_dir,
+                 "show", "--name", "crud_suite"]) == 0
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["expectation_suite_name"] == "crud_suite"
+    # save under an overridden name, then delete the original
+    assert main(["suite", "--store-dir", store_dir,
+                 "save", "--suite", suite_path, "--name", "renamed"]) == 0
+    assert main(["suite", "--store-dir", store_dir,
+                 "delete", "--name", "crud_suite"]) == 0
+    capsys.readouterr()
+    assert main(["suite", "--store-dir", store_dir, "list"]) == 0
+    assert capsys.readouterr().out.split() == ["renamed"]
+    assert main(["suite", "--store-dir", store_dir,
+                 "show", "--name", "crud_suite"]) == 1
