@@ -169,16 +169,39 @@ class HtmlDocsAction:
     """Checkpoint action: write one HTML report per validated partition
     under ``<directory>/<run_id>/`` and keep ``index.html`` current after
     every partition (the Data Docs analogue of the reference's
-    UpdateDataDocsAction + SiteBuilder)."""
+    UpdateDataDocsAction + SiteBuilder).
+
+    Thread-safe: ``run_checkpoint(max_concurrency>1)`` fires actions from
+    a thread pool, so the shared entry list and the index rewrite are
+    serialized under a lock, and the index lands via temp-file +
+    ``os.replace`` so a concurrent reader never sees a torn page.  The
+    per-partition document itself is written outside the lock (distinct
+    file per partition, no contention)."""
 
     notify_on = "all"
 
     def __init__(self, directory: str) -> None:
+        import threading
+
         self.directory = directory
         self._entries: Dict[str, List[Dict[str, Any]]] = {}
+        self._lock = threading.Lock()
 
     def should_run(self, ctx) -> bool:
         return True
+
+    @staticmethod
+    def _atomic_write(path: str, payload: str) -> None:
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def run(self, ctx) -> str:
         out_dir = os.path.join(self.directory, ctx.run_id)
@@ -193,23 +216,20 @@ class HtmlDocsAction:
         with open(os.path.join(out_dir, fname), "w", encoding="utf-8") as f:
             f.write(doc)
         stats = ctx.result.statistics or {}
-        entries = self._entries.setdefault(ctx.run_id, [])
-        entries.append(
-            {
-                "partition_id": str(ctx.partition_id),
-                "success": bool(ctx.result.success),
-                "expectations": (
-                    f"{stats.get('successful_expectations', 0)}/"
-                    f"{stats.get('evaluated_expectations', 0)}"
-                ),
-                "file": fname,
-            }
-        )
-        index = render_index_html(
-            entries, title=f"{ctx.suite_name} — run {ctx.run_id}"
-        )
-        with open(
-            os.path.join(out_dir, "index.html"), "w", encoding="utf-8"
-        ) as f:
-            f.write(index)
+        entry = {
+            "partition_id": str(ctx.partition_id),
+            "success": bool(ctx.result.success),
+            "expectations": (
+                f"{stats.get('successful_expectations', 0)}/"
+                f"{stats.get('evaluated_expectations', 0)}"
+            ),
+            "file": fname,
+        }
+        with self._lock:
+            entries = self._entries.setdefault(ctx.run_id, [])
+            entries.append(entry)
+            index = render_index_html(
+                list(entries), title=f"{ctx.suite_name} — run {ctx.run_id}"
+            )
+            self._atomic_write(os.path.join(out_dir, "index.html"), index)
         return os.path.join(out_dir, fname)

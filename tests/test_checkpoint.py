@@ -454,3 +454,26 @@ def test_grouped_distinct_set_followup_single_job(spark):
     for day in ("0", "1", "3", "4"):
         assert r2[day].success, day
         assert r2[day].result["observed_value"] == ["x"]
+
+
+def test_checkpoint_html_docs_action_concurrent(spark, transcripts, tmp_path):
+    """max_concurrency>1 fires HtmlDocsAction from pool threads: the
+    index must come out complete (one row per partition, never a torn
+    file) — the entry list + index rewrite are lock-serialized."""
+    import glob
+    import os
+
+    from great_expectations_spark.render.html import HtmlDocsAction
+
+    docs_dir = str(tmp_path / "docs_mt")
+    summary = run_checkpoint(
+        transcripts, _suite(), "day", str(tmp_path / "ck_html_mt"),
+        actions=[HtmlDocsAction(docs_dir)], max_concurrency=4,
+    )
+    run_dir = os.path.join(docs_dir, summary["run_id"])
+    pages = glob.glob(os.path.join(run_dir, "*.html"))
+    assert len(pages) == summary["partitions_total"] + 1
+    with open(os.path.join(run_dir, "index.html")) as f:
+        index = f.read()
+    assert index.count("<a href=") == summary["partitions_total"]
+    assert index.rstrip().endswith("</html>")
