@@ -894,6 +894,48 @@ def _streaming_windowed_violations(
     )
 
 
+def _turn_text_order_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant from the north rule's input hint: per-turn TEXT
+    EQUALITY under STABLE turn ordering.  events is the transcript analog
+    (user_id=conv_id, event_id=turn_idx, props=text): each conversation's
+    texts are concatenated under the deterministic (turn_idx, text) sort
+    — text (null-coalesced to '' on both engines) breaks any turn-idx
+    ties identically — and md5-fingerprinted; the fingerprint set reduces
+    to one comparable row.  Any single-character text divergence or
+    ordering instability flips a fingerprint and the row mismatches.
+    One groupBy shuffle; collect_list is bounded by conversation length
+    (map-side groups are per conversation, never the whole table)."""
+    df = _load(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    per = df.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_id").alias("i"),
+                                F.coalesce(F.col("props"), F.lit("")).alias(
+                                    "t"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("n_turns").alias("n_turns"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- map conditions (engine bundled-agg path) ---
@@ -995,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splitter_md5_parity": _splitter_md5_parity,
         # --- structured streaming (real readStream -> memory sink) ---
         "streaming_windowed_violations": _streaming_windowed_violations,
+        "turn_text_order_fp": _turn_text_order_fp,
         # --- per-partition single-pass grouped validation ---
         "grouped_by_day_between": _grouped_by_day,
         "grouped_jobs_by_flag": _grouped_jobs_by_flag,
@@ -1287,6 +1330,21 @@ def oracle_sql() -> dict[str, str]:
             "element_count, count(*) FILTER (WHERE value IS NOT NULL AND "
             "NOT (value >= 0 AND value <= 400))::BIGINT AS unexpected_count "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "turn_text_order_fp": (
+            # per-turn text equality under stable ordering: ordered md5
+            # fingerprint per conversation analog, reduced to one row;
+            # coalesced text breaks (group, idx) ties identically on both
+            "WITH per AS ("
+            "  SELECT user_id,"
+            "         md5(string_agg(coalesce(props, ''), '|'"
+            "             ORDER BY event_id, coalesce(props, ''))) AS fp,"
+            "         count(*) AS n_turns"
+            "  FROM events WHERE event_id IS NOT NULL GROUP BY user_id"
+            ") SELECT count(*)::BIGINT AS n_convs,"
+            "         count(DISTINCT fp)::BIGINT AS n_distinct_fp,"
+            "         min(fp) AS min_fp, max(fp) AS max_fp,"
+            "         sum(n_turns)::BIGINT AS n_turns FROM per"
         ),
         "grouped_shared_window_events": (
             # the engine's previous-value is null-transparent (last non-null
