@@ -54,13 +54,26 @@ from great_expectations_spark.sources.sinks import (
     results_to_dataframe,
     write_results,
 )
-from great_expectations_spark.operators.rule_profiler import (
-    Rule,
-    RuleBasedProfiler,
-    onboarding_assistant,
-)
-
 __version__ = "0.1.0"
+
+# rule_profiler needs numpy (not a pyspark hard dependency) — exported
+# lazily so `import great_expectations_spark` keeps working for the
+# validation/checkpoint API in numpy-less environments (PEP 562)
+_LAZY = {
+    "Rule": "great_expectations_spark.operators.rule_profiler",
+    "RuleBasedProfiler": "great_expectations_spark.operators.rule_profiler",
+    "onboarding_assistant": "great_expectations_spark.operators.rule_profiler",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )
 
 __all__ = [
     "parse_result_format",

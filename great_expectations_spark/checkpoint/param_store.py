@@ -59,7 +59,7 @@ class ValidationResultStore:
     def _atomic_write(path: str, payload: str) -> None:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
         try:
-            with os.fdopen(fd, "w") as f:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
                 f.write(payload)
             os.replace(tmp, path)
         finally:

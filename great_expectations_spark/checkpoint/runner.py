@@ -55,7 +55,11 @@ from great_expectations_spark.core.results import (
 )
 from great_expectations_spark.core.domain import domain_gate
 from great_expectations_spark.core.suite import ExpectationSuite
-from great_expectations_spark.plans.planner import SuiteValidator, _PlannedItem
+from great_expectations_spark.plans.planner import (
+    SuiteValidator,
+    _PlannedItem,
+    plan_window_groups,
+)
 from great_expectations_spark.plans.specs import (
     CompiledAggregate,
     CompiledJob,
@@ -278,62 +282,16 @@ def validate_by_partition(
     )
     validator._check_columns_exist(df, items)
 
-    # --- plan the grouped window passes: share one projection + one
-    # groupBy(partition) among window expectations with the same
-    # (partition_by, order_by) spec and domain; adopt uniqueness
-    # expectations whose keys equal the spec (adjacent-duplicate flag) —
-    # the same sharing SuiteValidator._run_window_phase does, valid here
-    # because window keys nest within partitions (docstring assumption)
-    groups: Dict[Any, List[_PlannedItem]] = {}
-    single_windows: List[_PlannedItem] = []
-    uniq_candidates: List[_PlannedItem] = []
-    for item in items:
-        c = item.compiled
-        if not isinstance(c, CompiledWindow) or item.error is not None:
-            continue
-        if (
-            c.flag_builder is not None
-            and c.window_signature is not None
-            and c.window_signature[0]  # global windows keep the dedicated
-            # per-partition path (prepending the partition column is the
-            # semantics there, not a nesting no-op)
-        ):
-            key = (
-                c.window_signature,
-                str(item.config.kwargs.get("row_condition") or ""),
-            )
-            groups.setdefault(key, []).append(item)
-        elif getattr(c, "uniqueness_keys", None) is not None:
-            uniq_candidates.append(item)
-        else:
-            single_windows.append(item)
-    for item in uniq_candidates:
-        c = item.compiled
-        adopted = False
-        for (signature, domain_key), members in groups.items():
-            partition_by, order_by = signature
-            if (
-                order_by
-                and set(c.uniqueness_keys)
-                == set(partition_by) | set(order_by)
-                and domain_key
-                == str(item.config.kwargs.get("row_condition") or "")
-            ):
-                from great_expectations_spark.operators.window_ops import (
-                    uniqueness_flag_over_window,
-                )
-
-                key_cols = list(c.uniqueness_keys)
-                c.flag_builder = (
-                    lambda kc=key_cols, p=list(partition_by), o=list(
-                        order_by
-                    ): uniqueness_flag_over_window(kc, p, o)
-                )
-                members.append(item)
-                adopted = True
-                break
-        if not adopted:
-            single_windows.append(item)
+    # --- plan the grouped window passes: the SAME shared planning step
+    # SuiteValidator._run_window_phase uses (one projection + one
+    # groupBy(partition) per (partition_by, order_by, domain) group,
+    # uniqueness expectations adopted as duplicate flags), with global
+    # windows kept on the dedicated per-partition path (prepending the
+    # partition column is the semantics there, not a nesting no-op);
+    # valid here because window keys nest within partitions
+    groups, single_windows = plan_window_groups(
+        items, require_partitioned=True
+    )
 
     # grouped window counts: per item -> {partition: unexpected_count}
     window_counts: Dict[int, Dict[Any, int]] = {}
@@ -528,15 +486,9 @@ def validate_by_partition(
                         part_df = df.filter(
                             F.col(partition_column) == F.lit(part)
                         )
-                        import inspect
-
-                        sig = inspect.signature(c.run)
-                        if "result_format" in sig.parameters:
-                            vout = c.run(
-                                part_df, spark, item.domain, result_format=rf
-                            )
-                        else:
-                            vout = c.run(part_df, spark, item.domain)
+                        vout = validator._run_job_item(
+                            c, part_df, spark, item.domain, rf
+                        )
                     results.append(
                         ExpectationValidationResult(
                             success=bool(vout["success"]),

@@ -48,6 +48,21 @@ class ResultStoreBackend:
     def list_suites(self) -> List[str]:
         raise NotImplementedError
 
+    def latest_payloads(self, prefix: str = "") -> Dict[str, str]:
+        """Bulk read: latest payload per key starting with ``prefix``.
+        Default implementation loops (fine for local filesystem backends);
+        ``SparkTableResultBackend`` overrides it with ONE Spark job so
+        callers like ``SuiteStore.list_suites`` don't issue one job per
+        key."""
+        out: Dict[str, str] = {}
+        for key in self.list_suites():
+            if key.startswith(prefix):
+                try:
+                    out[key] = self.latest_payload(key)
+                except KeyError:
+                    pass
+        return out
+
 
 class FilesystemResultBackend(ResultStoreBackend):
     """Directory-of-JSON backend (reference TupleFilesystemStoreBackend);
@@ -113,10 +128,10 @@ class SparkTableResultBackend(ResultStoreBackend):
       single-row ``mode('append')`` writes (delta needs the delta-spark
       classpath, parquet works everywhere).
     * ``"table"``  — a catalog table name (``saveAsTable`` append).
-    * ``"jdbc"``   — a database table; ``options`` must carry the usual
-      ``url`` / ``dbtable`` / ``driver`` / credentials.  Thin passthrough
-      to ``spark.write.format('jdbc')`` — exercised only where a live
-      database exists.
+    * ``"jdbc"``   — a database table (``location`` is the table name,
+      passed as ``dbtable``); ``options`` carries ``url`` / ``driver`` /
+      credentials.  Thin passthrough to ``spark.write.format('jdbc')`` —
+      exercised only where a live database exists.
     """
 
     def __init__(
@@ -138,12 +153,8 @@ class SparkTableResultBackend(ResultStoreBackend):
         if self.fmt == "table":
             df.write.mode("append").saveAsTable(self.location)
         elif self.fmt == "jdbc":
-            (
-                df.write.format("jdbc")
-                .options(dbtable=self.location, **self.options)
-                .mode("append")
-                .save()
-            )
+            opts = {**self.options, "dbtable": self.location}
+            df.write.format("jdbc").options(**opts).mode("append").save()
         else:
             df.write.format(self.fmt).options(**self.options).mode(
                 "append"
@@ -153,11 +164,8 @@ class SparkTableResultBackend(ResultStoreBackend):
         if self.fmt == "table":
             return self.spark.table(self.location)
         if self.fmt == "jdbc":
-            return (
-                self.spark.read.format("jdbc")
-                .options(dbtable=self.location, **self.options)
-                .load()
-            )
+            opts = {**self.options, "dbtable": self.location}
+            return self.spark.read.format("jdbc").options(**opts).load()
         return (
             self.spark.read.format(self.fmt)
             .options(**self.options)
@@ -189,6 +197,27 @@ class SparkTableResultBackend(ResultStoreBackend):
             r["suite_name"]
             for r in self._read().select("suite_name").distinct().collect()
         )
+
+    def latest_payloads(self, prefix: str = "") -> Dict[str, str]:
+        """Latest record per key in ONE Spark job (window row_number over
+        the append log), instead of the protocol-default one-job-per-key
+        loop."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = self._read()
+        if prefix:
+            df = df.filter(F.col("suite_name").startswith(prefix))
+        w = Window.partitionBy("suite_name").orderBy(
+            F.col("stored_at_ns").desc()
+        )
+        rows = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("suite_name", "payload")
+            .collect()
+        )
+        return {r["suite_name"]: r["payload"] for r in rows}
 
 
 class BackendValidationResultStore:

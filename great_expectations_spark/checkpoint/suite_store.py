@@ -89,20 +89,15 @@ class SuiteStore:
         """
         from great_expectations_spark.checkpoint.param_store import _safe
 
-        prefixes = (_NAMESPACE, _safe(_NAMESPACE))
         names = set()
-        for key in self.backend.list_suites():
-            for p in prefixes:
-                if key.startswith(p):
-                    name = key[len(p):]
-                    if self._alive(name):
-                        names.add(name)
-                    break
+        for p in {_NAMESPACE, _safe(_NAMESPACE)}:
+            # ONE bulk read per prefix (a single Spark job on table
+            # backends), not one latest_payload job per candidate name
+            for key, payload in self.backend.latest_payloads(p).items():
+                try:
+                    alive = not json.loads(payload).get(_TOMBSTONE)
+                except ValueError:
+                    alive = False
+                if alive:
+                    names.add(key[len(p):])
         return sorted(names)
-
-    def _alive(self, name: str) -> bool:
-        try:
-            self.load(name)
-            return True
-        except KeyError:
-            return False

@@ -20,6 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 import pandas as pd
@@ -42,6 +43,19 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     except Exception:  # pragma: no cover — connect-mode etc.
         pass
     return df
+
+
+# Python replica of the JVM normalization (text.normalize_text =
+# regexp_replace(lower(trim(col)), '\\s+', ' ')).  Java regex \s is the
+# ASCII class [ \t\n\x0B\f\r] (no NBSP/Unicode spaces) and Spark trim
+# strips ASCII space only — Python's default str.strip()/re '\s' are
+# Unicode-wide and would tokenize 'foo bar' differently, diverging
+# the Arrow signatures from the JVM ones.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _normalize_py(t: str) -> str:
+    return _JAVA_WS_RE.sub(" ", t.strip(" ").lower())
 
 
 # --- exact ----------------------------------------------------------------
@@ -187,16 +201,13 @@ def _shingles_and_signature_arrow(shingle_k: int, num_hashes: int):
     )
     def both(texts: pd.Series) -> pd.DataFrame:
         import hashlib
-        import re
 
         import numpy as np
-
-        ws = re.compile(r"\s+")
 
         def one(t):
             if t is None:
                 return None, None
-            words = ws.sub(" ", t.strip().lower()).split(" ")
+            words = _normalize_py(t).split(" ")
             if len(words) < shingle_k:
                 shingles = {" ".join(words)}
             else:
@@ -410,14 +421,10 @@ def _text_to_simhash_arrow(shingle_k: int):
 
     @F.pandas_udf(T.LongType())
     def sig(texts: pd.Series) -> pd.Series:
-        import re
-
-        ws = re.compile(r"\s+")
-
         def one(t) -> int:
             if t is None:
                 return 0
-            words = ws.sub(" ", t.strip().lower()).split(" ")
+            words = _normalize_py(t).split(" ")
             if len(words) < shingle_k:
                 shingles = {" ".join(words)}
             else:

@@ -282,8 +282,15 @@ def _distinct_set_validator(
                 ok_parts.append(part)
                 out[part] = {skey: []}  # default for empty partitions
         if ok_parts:
+            # isin() never matches NULL, so a null partition value needs
+            # an explicit isNull() disjunct or its rows are silently
+            # dropped from the scan (and its set would read empty)
+            non_null = [p for p in ok_parts if p is not None]
+            gate = F.col(partition_column).isin(non_null)
+            if len(non_null) < len(ok_parts):
+                gate = gate | F.col(partition_column).isNull()
             rows = (
-                df.filter(F.col(partition_column).isin(ok_parts))
+                df.filter(gate)
                 .groupBy(partition_column)
                 .agg(F.collect_set(F.col(column)).alias("s"))
                 .collect()

@@ -851,6 +851,13 @@ def resolve_reference(
             cur = cur[seg]
         else:
             raise KeyError(f"cannot resolve segment {seg!r} in {token!r}")
+    if root == "parameter" and cur is None:
+        # a parameter VALUE of None means the estimator had nothing to
+        # estimate (empty batch, all-null column) — same "nothing to
+        # assert" semantics as navigating into a null, so the
+        # configuration builder skips this expectation instead of
+        # emitting a vacuous config (e.g. value_ranges=None)
+        raise NullParameterPath(token)
     return cur
 
 
@@ -957,12 +964,19 @@ class DefaultExpectationConfigurationBuilder:
         variables: Dict[str, Any],
         parameters: Dict[str, Dict[str, Any]],
     ) -> Optional[ExpectationConfiguration]:
-        if not self._condition_holds(variables, parameters, domain):
+        try:
+            if not self._condition_holds(variables, parameters, domain):
+                return None
+            resolved = _resolve_tree(
+                self.kwargs, variables, parameters, domain
+            )
+        except NullParameterPath:
+            # a referenced parameter value is null (empty batch, all-null
+            # column): nothing to assert — skip this expectation, exactly
+            # like a failed condition
             return None
         kwargs = dict(domain.kwargs)
-        kwargs.update(
-            _resolve_tree(self.kwargs, variables, parameters, domain)
-        )
+        kwargs.update(resolved)
         meta = dict(self.meta)
         meta.setdefault("profiler_details", {})
         for pname, payload in parameters.items():
@@ -1145,7 +1159,14 @@ class RuleBasedProfiler:
                     }
                 )
                 for ecb in rule.expectation_configuration_builders:
-                    cfg = ecb.build(domain, merged_vars, params)
+                    try:
+                        cfg = ecb.build(domain, merged_vars, params)
+                    except NullParameterPath:
+                        # a reference navigated into a null parameter value
+                        # (empty batch / all-null column): nothing to
+                        # assert for THIS expectation on THIS domain —
+                        # skip it, keep the rest of the run
+                        continue
                     if cfg is not None:
                         suite.expectations.append(cfg)
         return RuleBasedProfilerResult(

@@ -151,6 +151,84 @@ class _PlannedItem:
     agg_aliases: Dict[str, str] = field(default_factory=dict)
 
 
+def plan_window_groups(
+    items: List["_PlannedItem"], require_partitioned: bool = False
+) -> Tuple[Dict[Any, List["_PlannedItem"]], List["_PlannedItem"]]:
+    """Shared window-pass planning (used by both ``SuiteValidator`` and
+    ``checkpoint.runner.validate_by_partition``): group CompiledWindow
+    items by (window_signature, row_condition) so each group computes all
+    its flags in ONE projection + ONE shuffle, and adopt uniqueness
+    expectations whose key columns equal a group's (partition_by +
+    order_by) spec as a duplicate flag over that same window.
+
+    ``require_partitioned=True`` keeps global windows (empty
+    partition_by) out of the groups — the grouped per-partition runner
+    gives those a dedicated path, because prepending the partition column
+    there IS the semantics, not a nesting no-op.
+
+    Returns ``(groups, singles)``; adoption mutates the adopted items'
+    ``flag_builder`` in place (same contract as before extraction).
+    """
+    groups: Dict[Any, List["_PlannedItem"]] = {}
+    singles: List["_PlannedItem"] = []
+    for item in items:
+        c = item.compiled
+        if not isinstance(c, CompiledWindow) or item.error:
+            continue
+        if (
+            c.flag_builder is not None
+            and c.window_signature is not None
+            and (not require_partitioned or c.window_signature[0])
+        ):
+            key = (
+                c.window_signature,
+                str(item.config.kwargs.get("row_condition") or ""),
+            )
+            groups.setdefault(key, []).append(item)
+        else:
+            singles.append(item)
+
+    # uniqueness expectations whose key columns equal an existing window
+    # spec (partition_by + order_by) ride that pass as a lag/lead
+    # duplicate flag instead of shuffling all rows by key
+    still_single: List["_PlannedItem"] = []
+    for item in singles:
+        c = item.compiled
+        adopted = False
+        # only true uniqueness expectations (marked by the compiler) may
+        # be rewritten as a duplicate flag over a shared window; other
+        # flag_builder-less windows (e.g. join-strategy contiguity) keep
+        # their own execute path
+        unique_keys = getattr(c, "uniqueness_keys", None)
+        if unique_keys is None:
+            still_single.append(item)
+            continue
+        for (signature, domain_key), members in groups.items():
+            partition_by, order_by = signature
+            if (
+                order_by
+                and set(unique_keys) == set(partition_by) | set(order_by)
+                and domain_key
+                == str(item.config.kwargs.get("row_condition") or "")
+            ):
+                from great_expectations_spark.operators.window_ops import (
+                    uniqueness_flag_over_window,
+                )
+
+                key_cols = list(unique_keys)
+                c.flag_builder = (
+                    lambda kc=key_cols, p=list(partition_by), o=list(
+                        order_by
+                    ): uniqueness_flag_over_window(kc, p, o)
+                )
+                members.append(item)
+                adopted = True
+                break
+        if not adopted:
+            still_single.append(item)
+    return groups, still_single
+
+
 class SuiteValidator:
     """Validate an ExpectationSuite against a DataFrame in O(1) scans.
 
@@ -565,61 +643,7 @@ class SuiteValidator:
         ONE agg sums them — one shuffle for the whole group (e.g. the
         transcript suite's ts-monotonicity + turn-contiguity share the
         (conv_id, turn_idx) window)."""
-        groups: Dict[Any, List[_PlannedItem]] = {}
-        singles: List[_PlannedItem] = []
-        for item in items:
-            c = item.compiled
-            if not isinstance(c, CompiledWindow) or item.error:
-                continue
-            if c.flag_builder is not None and c.window_signature is not None:
-                key = (
-                    c.window_signature,
-                    str(item.config.kwargs.get("row_condition") or ""),
-                )
-                groups.setdefault(key, []).append(item)
-            else:
-                singles.append(item)
-
-        # uniqueness expectations whose key columns equal an existing
-        # window spec (partition_by + order_by) ride that pass as a
-        # lag/lead duplicate flag instead of shuffling all rows by key
-        still_single: List[_PlannedItem] = []
-        for item in singles:
-            c = item.compiled
-            adopted = False
-            # only true uniqueness expectations (marked by the compiler)
-            # may be rewritten as a duplicate flag over a shared window;
-            # other flag_builder-less windows (e.g. join-strategy
-            # contiguity) keep their own execute path
-            unique_keys = getattr(c, "uniqueness_keys", None)
-            if unique_keys is None:
-                still_single.append(item)
-                continue
-            for (signature, domain_key), members in groups.items():
-                partition_by, order_by = signature
-                if (
-                    order_by
-                    and set(unique_keys)
-                    == set(partition_by) | set(order_by)
-                    and domain_key
-                    == str(item.config.kwargs.get("row_condition") or "")
-                ):
-                    from great_expectations_spark.operators.window_ops import (
-                        uniqueness_flag_over_window,
-                    )
-
-                    key_cols = list(unique_keys)
-                    c.flag_builder = (
-                        lambda kc=key_cols, p=list(partition_by), o=list(
-                            order_by
-                        ): uniqueness_flag_over_window(kc, p, o)
-                    )
-                    members.append(item)
-                    adopted = True
-                    break
-            if not adopted:
-                still_single.append(item)
-        singles = still_single
+        groups, singles = plan_window_groups(items)
 
         for members in groups.values():
             try:

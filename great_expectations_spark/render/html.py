@@ -89,7 +89,8 @@ def render_suite_result_html(
         )
         + f" — {stats.get('successful_expectations', 0)}/"
         f"{stats.get('evaluated_expectations', 0)} expectations passed "
-        f"({stats.get('success_percent', 0):.1f}%)</p>",
+        # success_percent is None when zero expectations were evaluated
+        f"({(stats.get('success_percent') or 0.0):.1f}%)</p>",
         "<table><thead><tr><th>status</th><th>expectation</th>"
         "<th>column / domain</th><th>observed</th><th>unexpected</th>"
         "</tr></thead><tbody>",
@@ -192,16 +193,11 @@ class HtmlDocsAction:
 
     @staticmethod
     def _atomic_write(path: str, payload: str) -> None:
-        import tempfile
+        from great_expectations_spark.checkpoint.param_store import (
+            ValidationResultStore,
+        )
 
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(payload)
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        ValidationResultStore._atomic_write(path, payload)
 
     def run(self, ctx) -> str:
         out_dir = os.path.join(self.directory, ctx.run_id)

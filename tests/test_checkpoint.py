@@ -477,3 +477,27 @@ def test_checkpoint_html_docs_action_concurrent(spark, transcripts, tmp_path):
         index = f.read()
     assert index.count("<a href=") == summary["partitions_total"]
     assert index.rstrip().endswith("</html>")
+
+
+def test_grouped_distinct_set_null_partition(spark):
+    """A NULL partition value must not be silently dropped by the
+    grouped distinct-set followup (isin() never matches NULL): its
+    observed value set must be real, so out-of-set values there fail."""
+    from great_expectations_spark.checkpoint.runner import (
+        validate_by_partition,
+    )
+
+    df = spark.createDataFrame(
+        [("2026-01-01", "a"), ("2026-01-01", "b"),
+         (None, "a"), (None, "zzz")],
+        "day string, kind string",
+    )
+    suite = ExpectationSuite("s").add(
+        "expect_column_distinct_values_to_be_in_set",
+        column="kind", value_set=["a", "b"],
+    )
+    results = validate_by_partition(df, suite, "day")
+    assert results["2026-01-01"].success is True
+    null_res = results["None"].results[0]
+    assert null_res.success is False
+    assert "zzz" in null_res.result["observed_value"]

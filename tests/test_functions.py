@@ -436,3 +436,32 @@ def test_langid_ct_deterministic_rank_tiebreak():
     grams = Counter({"b": 2, "a": 2, "c": 3})
     ranked = _rank(grams, 10)
     assert ranked == {"c": 0, "a": 1, "b": 2}
+
+
+def test_simhash_arrow_jvm_agree_on_unicode_whitespace(spark):
+    """The one-pass Arrow signature must tokenize exactly like the JVM
+    normalize path — including NBSP and other Unicode spaces, which
+    Java regex \\s does NOT treat as whitespace."""
+    from great_expectations_spark.functions import dedup
+
+    texts = [
+        ("a", "foo bar baz qux"),       # NBSP inside a token (JVM keeps)
+        ("b", "foo bar baz qux"),
+        ("c", " foo\tbar\nbaz qux "),        # ASCII ws variants
+        ("d", "x y z w"),               # unicode line sep
+    ]
+    df = spark.createDataFrame(texts, "id string, text string")
+    jvm = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", dedup.simhash64(F.col("text"), shingle_k=2).alias("s")
+        ).collect()
+    }
+    arrow_sig = dedup._text_to_simhash_arrow(shingle_k=2)
+    arrow = {
+        r["id"]: r["s"]
+        for r in df.select("id", arrow_sig(F.col("text")).alias("s")).collect()
+    }
+    assert jvm == arrow
+    # and the NBSP text must NOT hash like the plain-space text
+    assert jvm["a"] != jvm["b"]

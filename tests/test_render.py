@@ -175,3 +175,26 @@ def test_render_index_html():
     # sorted by partition, overall verdict FAIL
     assert idx.index("p1.html") < idx.index("p2.html")
     assert '<span class="fail">FAIL</span> daily run' in idx
+
+
+def test_render_zero_expectation_result_does_not_raise():
+    """statistics.success_percent is None when nothing was evaluated —
+    rendering must not TypeError on the format spec."""
+    from great_expectations_spark.render.html import (
+        render_suite_result_html,
+    )
+
+    html = render_suite_result_html(
+        {
+            "success": True,
+            "results": [],
+            "statistics": {
+                "evaluated_expectations": 0,
+                "successful_expectations": 0,
+                "unsuccessful_expectations": 0,
+                "success_percent": None,
+            },
+            "meta": {"expectation_suite_name": "empty"},
+        }
+    )
+    assert "0/0 expectations passed" in html

@@ -473,3 +473,30 @@ def test_onboarding_assistant_self_validates(spark, batches):
         if not r.success
     ]
     assert validation.success, failed
+
+
+def test_all_null_column_skips_expectation_not_whole_run(spark):
+    """A null parameter path (all-null numeric column -> no range
+    estimate) must skip THAT expectation and keep profiling the rest
+    (NullParameterPath contract), not crash the run."""
+    from pyspark.sql import Row
+
+    from great_expectations_spark.operators.rule_profiler import (
+        onboarding_assistant,
+    )
+
+    df = spark.createDataFrame(
+        [Row(ok=float(i % 7), broken=None, name=f"n{i}") for i in range(40)],
+        "ok double, broken double, name string",
+    )
+    result = onboarding_assistant().run([df], suite_name="nulls")
+    types_by_col = {
+        (e.kwargs.get("column"), e.expectation_type)
+        for e in result.suite.expectations
+    }
+    # the healthy numeric column still got range expectations
+    assert any(col == "ok" for col, _ in types_by_col)
+    # nothing asserts a numeric range on the all-null column
+    assert not any(
+        col == "broken" and "between" in t for col, t in types_by_col
+    )
