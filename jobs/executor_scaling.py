@@ -194,6 +194,13 @@ def submit(workers: int, cores: int, zip_path: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", action="store_true")
+    ap.add_argument(
+        "--single",
+        metavar="WxC",
+        help="run ONE spark-submit round at local-cluster[W,C] and print "
+        "its JSON (for the quiet-window runner: one fire = one round of "
+        "one level, so steal-free windows can be used per-level)",
+    )
     args = ap.parse_args()
     if args.inner:
         inner()
@@ -201,6 +208,13 @@ def main() -> None:
 
     zip_path = "/tmp/gx_spark_pkg.zip"
     build_zip(zip_path)
+
+    if args.single:
+        w, c = (int(x) for x in args.single.split("x"))
+        r = submit(w, c, zip_path)
+        r["level"] = args.single
+        print(json.dumps(r))
+        return
     results: dict[str, list] = {k: [] for k in LEVELS}
     for round_no in range(ROUNDS):
         for name, (workers, cores) in LEVELS.items():
