@@ -28,6 +28,8 @@ def main() -> None:
                 print(f"skip {rec.get('name')}: error={rec.get('error')}")
                 continue
             lvl = r.get("level") or rec["name"]
+            if r.get("job_concurrency") is not None:
+                lvl = f"{lvl}_jc{r['job_concurrency']}"
             ok = r.get("steal_pct", 0.0) <= max_steal
             by_level.setdefault(lvl, []).append(
                 {"best": r["best"], "walls": r["walls"],
