@@ -150,6 +150,30 @@ def _uniqueness_window(
         cond = F.col(c).isNotNull()
         considered = cond if considered is None else considered & cond
 
+    def sample_columns(index_cols):
+        return list(key_cols) + [
+            c for c in (index_cols or []) if c not in key_cols
+        ]
+
+    def pool_sample(rows, index_cols):
+        # only reachable when the planner ADOPTED this expectation into a
+        # shared window pass (adjacent-duplicate flag) — each flagged row
+        # is one duplicated record, matching the adopted count semantics
+        values: List[Any] = []
+        for r in rows:
+            if value_is_dict:
+                values.append({c: r[c] for c in key_cols})
+            elif len(key_cols) == 1:
+                values.append(r[key_cols[0]])
+            else:
+                values.append(tuple(r[c] for c in key_cols))
+        out: Dict[str, Any] = {"unexpected_list": values}
+        if index_cols:
+            out["unexpected_index_list"] = [
+                {c: r[c] for c in index_cols} for r in rows
+            ]
+        return out
+
     cw = CompiledWindow(
         kind=kind,
         domain_columns=key_cols,
@@ -157,6 +181,8 @@ def _uniqueness_window(
         execute=execute,
         sample=sample,
         value_is_dict=value_is_dict,
+        sample_columns=sample_columns,
+        pool_sample=pool_sample,
     )
     cw.considered = considered  # counted in the bundled phase by the planner
     # marker for the planner's shared-window adoption: ONLY uniqueness
@@ -288,6 +314,19 @@ def _monotonic_window(
             ]
         return out
 
+    def sample_columns(index_cols):
+        return [column] + [
+            c for c in (index_cols or []) if c != column
+        ]
+
+    def pool_sample(rows, index_cols):
+        out = {"unexpected_list": [r[column] for r in rows]}
+        if index_cols:
+            out["unexpected_index_list"] = [
+                {c: r[c] for c in index_cols} for r in rows
+            ]
+        return out
+
     cw = CompiledWindow(
         kind="column_map",
         domain_columns=[column],
@@ -299,6 +338,8 @@ def _monotonic_window(
             tuple(partition_by or ()),
             tuple(order_by or ()),
         ),
+        sample_columns=sample_columns,
+        pool_sample=pool_sample,
     )
     cw.considered = F.col(column).isNotNull()
     return cw
@@ -396,6 +437,19 @@ def _sequence_contiguous_window(kwargs: Dict[str, Any]) -> CompiledWindow:
             "unexpected_index_list": values,
         }
 
+    def sample_columns(index_cols):
+        return [group_column, index_column]
+
+    def pool_sample(rows, index_cols):
+        values = [
+            {group_column: r[group_column], index_column: r[index_column]}
+            for r in rows
+        ]
+        return {
+            "unexpected_list": values,
+            "unexpected_index_list": values,
+        }
+
     cw = CompiledWindow(
         kind="multicolumn_map",
         domain_columns=[group_column, index_column],
@@ -405,6 +459,8 @@ def _sequence_contiguous_window(kwargs: Dict[str, Any]) -> CompiledWindow:
         value_is_dict=True,
         flag_builder=unexpected_flag,
         window_signature=(tuple(partition_by), tuple(order_by)),
+        sample_columns=sample_columns,
+        pool_sample=pool_sample,
     )
     cw.considered = F.col(index_column).isNotNull()
     return cw

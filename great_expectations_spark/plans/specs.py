@@ -62,6 +62,19 @@ class CompiledWindow:
     # Column; window_signature groups compatible specs
     flag_builder: Optional[Callable[[], Column]] = None
     window_signature: Optional[tuple] = None
+    # pooled group sampling: expectations riding a SHARED window pass can
+    # also share ONE violation-sample job (instead of one full
+    # re-scan+re-shuffle per expectation — the measured non-scaling term
+    # of the suite).  ``sample_columns(index_cols)`` lists the row columns
+    # the pooled collector must carry for this member;
+    # ``pool_sample(row_dicts, index_cols)`` formats the member's flagged
+    # rows (already limited) into the exact dict ``sample()`` returns.
+    sample_columns: Optional[
+        Callable[[Optional[List[str]]], List[str]]
+    ] = None
+    pool_sample: Optional[
+        Callable[[List[dict], Optional[List[str]]], Dict[str, Any]]
+    ] = None
 
 
 @dataclass
