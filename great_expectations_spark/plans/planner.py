@@ -151,6 +151,33 @@ class _PlannedItem:
     agg_aliases: Dict[str, str] = field(default_factory=dict)
 
 
+def _per_partition_flag_caps(flag_names: List[str], limit: int):
+    """mapInPandas generator factory: emit at most ``limit`` rows per
+    flag column per PARTITION (the iterator covers one task's partition;
+    counters persist across its Arrow batches).  Input is pre-filtered to
+    violating rows, so Arrow only ever carries the (rare) violations."""
+
+    def take(iterator):
+        taken = {fn: 0 for fn in flag_names}
+        for pdf in iterator:
+            if all(t >= limit for t in taken.values()):
+                break
+            keep = None
+            for fn in flag_names:
+                room = limit - taken[fn]
+                if room <= 0:
+                    continue
+                hits = pdf[fn].fillna(False).astype(bool)
+                idx = pdf.index[hits][:room]
+                taken[fn] += len(idx)
+                sel = pdf.index.isin(idx)
+                keep = sel if keep is None else (keep | sel)
+            if keep is not None and keep.any():
+                yield pdf[keep]
+
+    return take
+
+
 def plan_window_groups(
     items: List["_PlannedItem"], require_partitioned: bool = False
 ) -> Tuple[Dict[Any, List["_PlannedItem"]], List["_PlannedItem"]]:
@@ -768,45 +795,75 @@ class SuiteValidator:
                 scoped = df
                 if needy[0].domain is not None:
                     scoped = scoped.filter(domain_gate(needy[0].domain))
-                cols: List[str] = []
-                for m in needy:
-                    for c in m.compiled.sample_columns(index_cols):
-                        if c not in cols:
-                            cols.append(c)
-                flag_names = [f"__gx_pf{i}" for i in range(len(needy))]
-                flags = [
-                    domain_gate(m.compiled.flag_builder()).alias(fn)
-                    for fn, m in zip(flag_names, needy)
-                ]
-                any_flag = F.col(flag_names[0])
-                for fn in flag_names[1:]:
-                    any_flag = any_flag | F.col(fn)
-                cap = limit * len(needy) * self._POOL_OVERSAMPLE
-                rows = [
-                    r.asDict()
-                    for r in scoped.select(
+                # starvation loop: when one member's violations are far
+                # denser than another's (e.g. 1% duplicate rows vs 0.01%
+                # ts regressions), the first pool's prefix is all the
+                # dense member's rows; re-pool with ONLY the still-
+                # starved members' flags so the satisfied member stops
+                # polluting the prefix.  <= len(needy) rounds, typically 1-2.
+                pending = list(needy)
+                while pending:
+                    cols: List[str] = []
+                    for m in pending:
+                        for c in m.compiled.sample_columns(index_cols):
+                            if c not in cols:
+                                cols.append(c)
+                    flag_names = [
+                        f"__gx_pf{i}" for i in range(len(pending))
+                    ]
+                    flags = [
+                        domain_gate(m.compiled.flag_builder()).alias(fn)
+                        for fn, m in zip(flag_names, pending)
+                    ]
+                    any_flag = F.col(flag_names[0])
+                    for fn in flag_names[1:]:
+                        any_flag = any_flag | F.col(fn)
+                    cap = limit * len(pending) * self._POOL_OVERSAMPLE
+                    proj = scoped.select(
                         *[F.col(c) for c in cols], *flags
-                    )
-                    .filter(any_flag)
-                    .limit(cap)
-                    .collect()
-                ]
-                pool_truncated = len(rows) >= cap
-                for fn, m in zip(flag_names, needy):
-                    mine = [r for r in rows if r[fn]][:limit]
-                    want = min(
-                        limit,
-                        int(
-                            metrics.get(f"window_unexpected::{id(m)}") or 0
-                        ),
-                    )
-                    if len(mine) < want and pool_truncated:
-                        continue  # starved — dedicated job at assembly
-                    prefetched[id(m)] = (
-                        "wsample",
-                        "ok",
-                        m.compiled.pool_sample(mine, index_cols),
-                    )
+                    ).filter(any_flag)
+                    # per-partition per-member caps (Arrow batches over
+                    # the ALREADY-FILTERED violating rows only): each
+                    # task emits at most ``limit`` rows per member, so a
+                    # member whose violations are 100x denser than
+                    # another's cannot monopolize the pool the way a raw
+                    # prefix limit lets it; the outer limit then bounds
+                    # the driver collect at any partition count
+                    rows = [
+                        r.asDict()
+                        for r in proj.mapInPandas(
+                            _per_partition_flag_caps(flag_names, limit),
+                            proj.schema,
+                        )
+                        .limit(cap)
+                        .collect()
+                    ]
+                    pool_truncated = len(rows) >= cap
+                    starved: List[_PlannedItem] = []
+                    for fn, m in zip(flag_names, pending):
+                        mine = [r for r in rows if r[fn]][:limit]
+                        want = min(
+                            limit,
+                            int(
+                                metrics.get(
+                                    f"window_unexpected::{id(m)}"
+                                )
+                                or 0
+                            ),
+                        )
+                        if len(mine) < want and pool_truncated:
+                            starved.append(m)
+                            continue
+                        prefetched[id(m)] = (
+                            "wsample",
+                            "ok",
+                            m.compiled.pool_sample(mine, index_cols),
+                        )
+                    if len(starved) == len(pending):
+                        # no progress (cap too small for ANY member):
+                        # dedicated jobs at assembly rather than looping
+                        break
+                    pending = starved
             except Exception as exc:  # noqa: BLE001 — pool is an optimization
                 logger.warning(
                     "pooled window sample failed (%s); falling back to "
