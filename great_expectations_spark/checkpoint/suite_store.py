@@ -27,6 +27,7 @@ from typing import Dict, List, Optional
 
 from great_expectations_spark.checkpoint.store_backends import (
     ResultStoreBackend,
+    reject_reserved_key,
 )
 from great_expectations_spark.core.suite import ExpectationSuite
 
@@ -54,6 +55,11 @@ class SuiteStore:
         name = suite.expectation_suite_name
         if not name:
             raise ValueError("suite has no expectation_suite_name")
+        # a suite named 'suite::x' would store under 'suite::suite::x' and
+        # list back as 'suite::x' — consistent, but indistinguishable from
+        # a namespace-forgery attempt on shared backends; reject like the
+        # result-store side does (store_backends.reject_reserved_key)
+        reject_reserved_key(name)
         version = suite.suite_hash()
         self.backend.append(
             _NAMESPACE + name, version, suite.to_json()
@@ -62,6 +68,7 @@ class SuiteStore:
 
     def delete(self, suite_name: str) -> None:
         """Tombstone the suite: ``load`` raises afterwards, history stays."""
+        reject_reserved_key(suite_name)
         self.backend.append(
             _NAMESPACE + suite_name,
             _TOMBSTONE,

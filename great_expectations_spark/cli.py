@@ -204,36 +204,14 @@ def _cmd_suite(args) -> int:
 
 
 def _cmd_docs(args) -> int:
-    from great_expectations_spark.render.html import (
-        render_index_html,
-        render_suite_result_html,
-    )
+    from great_expectations_spark.render.site import SiteBuilder
 
     with open(args.result) as f:
         loaded = json.load(f)
-    os.makedirs(args.out_dir, exist_ok=True)
-    page = os.path.join(args.out_dir, "validation_result.html")
-    with open(page, "w") as f:
-        f.write(render_suite_result_html(loaded))
-    stats = loaded.get("statistics", {})
+    # incremental: re-running docs over successive result files extends
+    # the same navigable site (home -> suite -> run -> report)
+    SiteBuilder(args.out_dir).add_validation_result(loaded)
     index = os.path.join(args.out_dir, "index.html")
-    with open(index, "w") as f:
-        f.write(
-            render_index_html(
-                [
-                    {
-                        "partition_id": loaded.get("meta", {}).get(
-                            "expectation_suite_name", "validation"
-                        ),
-                        "success": loaded.get("success"),
-                        "expectations": stats.get(
-                            "evaluated_expectations", ""
-                        ),
-                        "file": "validation_result.html",
-                    }
-                ]
-            )
-        )
     print(f"docs: {index}", file=sys.stderr)
     return 0
 

@@ -1,9 +1,11 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 All hot-path computation is JVM-side (``pyspark.sql.functions`` — regexp,
-split, hash); nothing here crosses into Python per row.  These compose with
-the validation engine (each returns a Column usable in expectations) and
-are exposed as first-class queries in ``__spark_entry__.py``.
+split, hash) except :func:`language_id`, which dispatches to the
+Arrow-batched Cavnar–Trenkle classifier (``langid.py``; never per-row
+Python).  These compose with the validation engine (each returns a Column
+usable in expectations) and are exposed as first-class queries in
+``__spark_entry__.py``.
 """
 
 from __future__ import annotations
@@ -91,10 +93,28 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def language_id(col: Column, languages: Optional[List[str]] = None) -> Column:
+def language_id(col: Column) -> Column:
+    """Language ID: the real Cavnar–Trenkle char-n-gram classifier
+    (20 languages, rank-order out-of-place distance, Arrow-batched —
+    ``functions/langid.py``).  This is the documented public name, so it
+    must return classifier quality, not placeholder quality; the
+    4-language stopword argmax it used to alias is still available as
+    :func:`language_id_fast` for pure-JVM pipelines that accept the
+    quality trade."""
+    from great_expectations_spark.functions.langid import language_id_ct
+
+    return language_id_ct(col)
+
+
+def language_id_fast(
+    col: Column, languages: Optional[List[str]] = None
+) -> Column:
     """Stopword-hit language ID: argmax over per-language stopword counts;
     'und' when nothing matches.  One pass of JVM regexp counts; the argmax
-    rides on struct ordering (greatest compares field-by-field)."""
+    rides on struct ordering (greatest compares field-by-field).  A cheap
+    heuristic (4 languages, placeholder quality) — prefer
+    :func:`language_id` (Cavnar–Trenkle) unless the pipeline must stay
+    entirely JVM-side."""
     langs = languages or list(LANG_STOPWORDS)
     scored = [
         F.struct(
@@ -132,10 +152,16 @@ def rolling_fingerprints(col: Column, k: int = 5) -> Column:
     )
 
 
-def text_profile(df: DataFrame, column: str = "text") -> DataFrame:
+def text_profile(
+    df: DataFrame, column: str = "text", fast_lang: bool = False
+) -> DataFrame:
     """Per-document feature frame: token counts, ratios, lang, quality,
-    fingerprint — one projection, zero shuffles."""
+    fingerprint — one projection, zero shuffles.  ``lang_pred`` comes
+    from the Cavnar–Trenkle classifier (one Arrow-batched pandas UDF in
+    the projection); pass ``fast_lang=True`` to keep the whole profile
+    JVM-side with the 4-language stopword heuristic instead."""
     col = F.col(column)
+    lang = language_id_fast(col) if fast_lang else language_id(col)
     return df.select(
         "*",
         token_count(col).alias("n_tokens"),
@@ -143,6 +169,6 @@ def text_profile(df: DataFrame, column: str = "text") -> DataFrame:
         F.round(punct_ratio(col), 6).alias("punct_ratio"),
         F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
         quality_score(col).alias("quality_score"),
-        language_id(col).alias("lang_pred"),
+        lang.alias("lang_pred"),
         fingerprint64(col).alias("fingerprint"),
     )

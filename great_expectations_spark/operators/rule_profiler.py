@@ -1041,6 +1041,9 @@ class RuleBasedProfilerResult:
     suite: ExpectationSuite
     parameters_by_domain: Dict[str, Dict[str, Any]]
     rule_domains: Dict[str, List[str]]
+    # per-rule attribution of generated configs (feeds the data-assistant
+    # result layer's per-rule summary; reference DataAssistantResult)
+    expectations_by_rule: Dict[str, List[Any]] = field(default_factory=dict)
 
     def get_expectation_suite(self) -> ExpectationSuite:
         return self.suite
@@ -1146,6 +1149,7 @@ class RuleBasedProfiler:
         # 5. build expectation configurations
         suite = ExpectationSuite(suite_name or f"{self.name}_suite")
         parameters_by_domain: Dict[str, Dict[str, Any]] = {}
+        expectations_by_rule: Dict[str, List[Any]] = {}
         for rule in self.rules:
             merged_vars = {**self.variables, **rule.variables}
             for domain in domains_by_rule[rule.name]:
@@ -1169,12 +1173,16 @@ class RuleBasedProfiler:
                         continue
                     if cfg is not None:
                         suite.expectations.append(cfg)
+                        expectations_by_rule.setdefault(
+                            rule.name, []
+                        ).append(cfg)
         return RuleBasedProfilerResult(
             suite=suite,
             parameters_by_domain=parameters_by_domain,
             rule_domains={
                 r: [d.id for d in ds] for r, ds in domains_by_rule.items()
             },
+            expectations_by_rule=expectations_by_rule,
         )
 
     # -- declarative config (reference YAML-config style) ------------------

@@ -52,7 +52,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple, Union
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -317,13 +317,10 @@ class SuiteValidator:
             )
         else:
             metrics = self._run_bundled_phase(df, items)
-            self._run_window_phase(df, items, metrics, catch_exceptions)
+            self._run_window_phase(
+                df, items, metrics, catch_exceptions, rf, prefetched
+            )
             samples = self._collect_samples(df, items, metrics, rf)
-            needy_groups = self._poolable_window_groups(items, metrics, rf)
-            if needy_groups:
-                prefetched.update(
-                    self._pooled_window_samples(df, needy_groups, metrics, rf)
-                )
 
         results: List[ExpectationValidationResult] = []
         for item in items:
@@ -388,12 +385,17 @@ class SuiteValidator:
         with ThreadPoolExecutor(max_workers=self.job_concurrency) as pool:
             fut_bundle = pool.submit(self._run_bundled_phase, df, items)
             window_metrics: Dict[str, Any] = {}
+            # the window phase writes fused counts+samples into
+            # ``prefetched`` from its worker thread; the main thread only
+            # touches ``prefetched`` after fut_window is joined below
             fut_window = pool.submit(
                 self._run_window_phase,
                 df,
                 items,
                 window_metrics,
                 catch_exceptions,
+                rf,
+                prefetched,
             )
             job_futs = {
                 id(item): pool.submit(
@@ -434,7 +436,6 @@ class SuiteValidator:
                 )
             }
             wsample_futs = {}
-            pooled_fut = None
             if rf["result_format"] != "BOOLEAN_ONLY":
                 limit = (
                     self.max_complete_collect
@@ -442,26 +443,15 @@ class SuiteValidator:
                     else rf["partial_unexpected_count"]
                 )
                 index_cols = rf.get("unexpected_index_column_names")
-                # members of a shared window pass pool their samples into
-                # ONE bounded job; everything else keeps a dedicated job
-                needy_groups = self._poolable_window_groups(
-                    items, metrics, rf
-                )
-                pooled_ids = {id(m) for g in needy_groups for m in g}
-                if needy_groups:
-                    pooled_fut = pool.submit(
-                        self._pooled_window_samples,
-                        df,
-                        needy_groups,
-                        metrics,
-                        rf,
-                    )
+                # shared-window members were served counts AND samples by
+                # the fused wave-1 window job (already in ``prefetched``);
+                # everything still unserved keeps a dedicated sample job
                 for item in items:
                     c = item.compiled
                     if (
                         item.error is None
                         and isinstance(c, CompiledWindow)
-                        and id(item) not in pooled_ids
+                        and id(item) not in prefetched
                         and int(
                             metrics.get(f"window_unexpected::{id(item)}") or 0
                         )
@@ -479,8 +469,6 @@ class SuiteValidator:
                 prefetched[key] = ("agg",) + fut.result()
             for key, fut in wsample_futs.items():
                 prefetched[key] = ("wsample",) + fut.result()
-            if pooled_fut is not None:
-                prefetched.update(pooled_fut.result())
         return metrics, samples
 
     def _run_job_item(
@@ -687,15 +675,33 @@ class SuiteValidator:
         items: List[_PlannedItem],
         metrics: Dict[str, Any],
         catch_exceptions: bool,
+        rf: Optional[dict] = None,
+        prefetched: Optional[Dict[int, Tuple[str, str, Any]]] = None,
     ) -> None:
         """Window expectations sharing a (partition_by, order_by) spec and
         domain evaluate together: ONE select computes every flag column,
         ONE agg sums them — one shuffle for the whole group (e.g. the
         transcript suite's ts-monotonicity + turn-contiguity share the
-        (conv_id, turn_idx) window)."""
+        (conv_id, turn_idx) window).
+
+        When ``rf``/``prefetched`` are passed (any non-BOOLEAN_ONLY
+        format), the group's violation SAMPLES ride the same job as the
+        counts (``_fused_window_group``): the count sums become
+        observation metrics on the flag projection, so the window
+        shuffle is paid exactly once per group instead of once for the
+        counts plus once for the pooled sample job."""
         groups, singles = plan_window_groups(items)
 
         for members in groups.values():
+            if (
+                rf is not None
+                and prefetched is not None
+                and rf["result_format"] != "BOOLEAN_ONLY"
+                and self._fused_window_group(
+                    df, members, metrics, rf, prefetched
+                )
+            ):
+                continue
             try:
                 scoped = df
                 if members[0].domain is not None:
@@ -734,143 +740,128 @@ class SuiteValidator:
                     raise
                 item.error = exc
 
-    # pooled samples cover BASIC/SUMMARY (bounded partial counts); a
-    # COMPLETE collect can be max_complete_collect rows PER member, where
-    # an oversampled shared pool would dwarf the dedicated per-item jobs
-    _POOL_OVERSAMPLE = 32
-
-    def _poolable_window_groups(
-        self,
-        items: List[_PlannedItem],
-        metrics: Dict[str, Any],
-        rf: dict,
-    ) -> List[List[_PlannedItem]]:
-        """Shared-window-group members whose violation sample the pooled
-        job can serve: flagged members with violations and pool
-        formatting hooks, under a bounded (non-COMPLETE) result format."""
-        if rf["result_format"] in ("BOOLEAN_ONLY", "COMPLETE"):
-            return []
-        groups, _ = plan_window_groups(items)
-        out: List[List[_PlannedItem]] = []
-        for members in groups.values():
-            needy = [
-                m
-                for m in members
-                if m.error is None
-                and int(metrics.get(f"window_unexpected::{id(m)}") or 0) > 0
-                and m.compiled.pool_sample is not None
-                and m.compiled.sample_columns is not None
-            ]
-            if needy:
-                out.append(needy)
-        return out
-
-    def _pooled_window_samples(
+    def _fused_window_group(
         self,
         df: DataFrame,
-        needy_groups: List[List[_PlannedItem]],
+        members: List[_PlannedItem],
         metrics: Dict[str, Any],
         rf: dict,
-    ) -> Dict[int, Tuple[str, str, Any]]:
-        """ONE bounded job per shared window group serves every member's
-        violation sample: project the group's flags once (same projection
-        as the count pass), keep rows where ANY needed flag fires, limit
-        to an oversampled pool, slice per member driver-side.
+        prefetched: Dict[int, Tuple[str, str, Any]],
+    ) -> bool:
+        """ONE job per shared-window group serves the violation COUNTS and
+        every poolable member's violation sample.
 
-        Motivation (phase_profile, local-cluster 4x1): the alternative —
-        one full re-scan+re-shuffle per expectation — cost 20.8s of a
-        46.1s suite pass and scaled 2.9x from 1 to 4 cores while the
-        shared count passes scaled 4.3-4.7x; per-expectation sample jobs
-        were the suite's largest non-scaling term.  A member the pool
-        starved (cap hit before its limit filled — violations of one
-        expectation monopolizing the scanned prefix) silently falls back
-        to its dedicated sample job at assembly; correctness never
-        depends on the pool.
+        The count sums ride the flag projection as ``Observation``
+        metrics (a JVM ``CollectMetrics`` node sees every projected row
+        before the violation filter), so the sample job IS the count
+        job: the group's window shuffle is computed exactly once.
+        Before this fold, counts paid one projection+agg job and the
+        pooled samples re-ran the identical window shuffle a second
+        time (round-3 phase_profile: the recompute was ~45 s at 1x1 /
+        ~12 s at 4x1 on the 24.69M-turn corpus).
+
+        Sample bounding is exact rather than oversampled: the
+        ``mapInPandas`` per-partition caps emit at most ``limit`` rows
+        per member per task, and a small repartition funnel (16 -> 1
+        partitions, re-capping at each level) bounds the driver collect
+        to ``limit * len(members)`` at ANY shuffle-partition count.
+        Each cap level preserves min(limit, violations) rows per member,
+        so a member can never be starved by a denser member — the
+        round-3 starvation re-pool loop is structurally unnecessary.
+        COMPLETE formats pool too (limit = max_complete_collect): with
+        exact per-member caps the collect is the same size the
+        dedicated per-member jobs would fetch, in one job instead of N.
+
+        Returns False — caller falls back to the count-only agg and
+        dedicated sample jobs — if the fused machinery fails for any
+        reason; counts must never depend on the sample path.
         """
-        limit = max(int(rf["partial_unexpected_count"] or 0), 1)
-        index_cols = rf.get("unexpected_index_column_names")
-        prefetched: Dict[int, Tuple[str, str, Any]] = {}
-        for needy in needy_groups:
-            try:
-                scoped = df
-                if needy[0].domain is not None:
-                    scoped = scoped.filter(domain_gate(needy[0].domain))
-                # starvation loop: when one member's violations are far
-                # denser than another's (e.g. 1% duplicate rows vs 0.01%
-                # ts regressions), the first pool's prefix is all the
-                # dense member's rows; re-pool with ONLY the still-
-                # starved members' flags so the satisfied member stops
-                # polluting the prefix.  <= len(needy) rounds, typically 1-2.
-                pending = list(needy)
-                while pending:
-                    cols: List[str] = []
-                    for m in pending:
-                        for c in m.compiled.sample_columns(index_cols):
-                            if c not in cols:
-                                cols.append(c)
-                    flag_names = [
-                        f"__gx_pf{i}" for i in range(len(pending))
-                    ]
-                    flags = [
-                        domain_gate(m.compiled.flag_builder()).alias(fn)
-                        for fn, m in zip(flag_names, pending)
-                    ]
-                    any_flag = F.col(flag_names[0])
-                    for fn in flag_names[1:]:
-                        any_flag = any_flag | F.col(fn)
-                    cap = limit * len(pending) * self._POOL_OVERSAMPLE
-                    proj = scoped.select(
-                        *[F.col(c) for c in cols], *flags
-                    ).filter(any_flag)
-                    # per-partition per-member caps (Arrow batches over
-                    # the ALREADY-FILTERED violating rows only): each
-                    # task emits at most ``limit`` rows per member, so a
-                    # member whose violations are 100x denser than
-                    # another's cannot monopolize the pool the way a raw
-                    # prefix limit lets it; the outer limit then bounds
-                    # the driver collect at any partition count
-                    rows = [
-                        r.asDict()
-                        for r in proj.mapInPandas(
-                            _per_partition_flag_caps(flag_names, limit),
-                            proj.schema,
-                        )
-                        .limit(cap)
-                        .collect()
-                    ]
-                    pool_truncated = len(rows) >= cap
-                    starved: List[_PlannedItem] = []
-                    for fn, m in zip(flag_names, pending):
-                        mine = [r for r in rows if r[fn]][:limit]
-                        want = min(
-                            limit,
-                            int(
-                                metrics.get(
-                                    f"window_unexpected::{id(m)}"
-                                )
-                                or 0
-                            ),
-                        )
-                        if len(mine) < want and pool_truncated:
-                            starved.append(m)
-                            continue
-                        prefetched[id(m)] = (
-                            "wsample",
-                            "ok",
-                            m.compiled.pool_sample(mine, index_cols),
-                        )
-                    if len(starved) == len(pending):
-                        # no progress (cap too small for ANY member):
-                        # dedicated jobs at assembly rather than looping
-                        break
-                    pending = starved
-            except Exception as exc:  # noqa: BLE001 — pool is an optimization
-                logger.warning(
-                    "pooled window sample failed (%s); falling back to "
-                    "dedicated per-expectation sample jobs",
-                    exc,
+        try:
+            limit = (
+                self.max_complete_collect
+                if rf["result_format"] == "COMPLETE"
+                else max(int(rf["partial_unexpected_count"] or 0), 1)
+            )
+            index_cols = rf.get("unexpected_index_column_names")
+            scoped = df
+            if members[0].domain is not None:
+                scoped = scoped.filter(domain_gate(members[0].domain))
+            flag_names = [f"__gx_pf{i}" for i in range(len(members))]
+            poolable = [
+                (fn, m)
+                for fn, m in zip(flag_names, members)
+                if m.compiled.pool_sample is not None
+                and m.compiled.sample_columns is not None
+            ]
+            if not poolable:
+                # nothing to sample: a plain count agg is the same single
+                # job with less machinery
+                return False
+            cols: List[str] = []
+            for _, m in poolable:
+                for c in m.compiled.sample_columns(index_cols):
+                    if c not in cols:
+                        cols.append(c)
+            obs = Observation()
+            proj = scoped.select(
+                *[F.col(c) for c in cols],
+                *[
+                    domain_gate(m.compiled.flag_builder()).alias(fn)
+                    for fn, m in zip(flag_names, members)
+                ],
+            ).observe(
+                obs,
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col(fn), 1).otherwise(0)), F.lit(0)
+                    ).alias(fn)
+                    for fn in flag_names
+                ],
+            )
+            pf = [fn for fn, _ in poolable]
+            any_flag = F.col(pf[0])
+            for fn in pf[1:]:
+                any_flag = any_flag | F.col(fn)
+            # Arrow only ever carries the (rare) violating rows; every
+            # funnel stage keeps at most ``limit`` rows per member per
+            # partition, so each repartition shuffles bounded data and
+            # the final single partition emits <= limit * len(pf) rows
+            capped = proj.filter(any_flag).mapInPandas(
+                _per_partition_flag_caps(pf, limit), proj.schema
+            )
+            for width in (16, 1):
+                capped = capped.repartition(width).mapInPandas(
+                    _per_partition_flag_caps(pf, limit), proj.schema
                 )
-        return prefetched
+            rows = [r.asDict() for r in capped.collect()]
+            vals = obs.get  # complete: the collect consumed every stage
+            for fn, m in zip(flag_names, members):
+                metrics[f"window_unexpected::{id(m)}"] = int(vals[fn] or 0)
+            for fn, m in poolable:
+                if not metrics[f"window_unexpected::{id(m)}"]:
+                    continue  # passing members need no sample
+                try:
+                    mine = [r for r in rows if r[fn]][:limit]
+                    prefetched[id(m)] = (
+                        "wsample",
+                        "ok",
+                        m.compiled.pool_sample(mine, index_cols),
+                    )
+                except Exception:  # noqa: BLE001 — dedicated job at assembly
+                    logger.warning(
+                        "fused pool_sample failed for %s; dedicated sample "
+                        "job at assembly",
+                        m.config.expectation_type,
+                        exc_info=True,
+                    )
+            return True
+        except Exception as exc:  # noqa: BLE001 — fold is an optimization
+            logger.warning(
+                "fused window counts+samples failed (%s); falling back to "
+                "the count-only agg + dedicated per-expectation sample jobs",
+                exc,
+            )
+            return False
 
     # ------------------------------------------------------------------
 

@@ -167,65 +167,34 @@ def render_index_html(
 
 
 class HtmlDocsAction:
-    """Checkpoint action: write one HTML report per validated partition
-    under ``<directory>/<run_id>/`` and keep ``index.html`` current after
-    every partition (the Data Docs analogue of the reference's
-    UpdateDataDocsAction + SiteBuilder).
+    """Checkpoint action: maintain a browsable Data Docs SITE (the
+    reference's UpdateDataDocsAction + SiteBuilder): every validated
+    partition writes its report page and refreshes the navigation above
+    it — home index → suite page (column-grouped expectation blocks +
+    run history) → run page (partition index) → partition report.
+    Page layout and incremental/concurrent semantics live in
+    :class:`great_expectations_spark.render.site.SiteBuilder`.
 
     Thread-safe: ``run_checkpoint(max_concurrency>1)`` fires actions from
-    a thread pool, so the shared entry list and the index rewrite are
-    serialized under a lock, and the index lands via temp-file +
-    ``os.replace`` so a concurrent reader never sees a torn page.  The
-    per-partition document itself is written outside the lock (distinct
-    file per partition, no contention)."""
+    a thread pool; SiteBuilder serializes state updates and index
+    rewrites under a lock and lands every page via temp-file +
+    ``os.replace`` so a concurrent reader never sees a torn page."""
 
     notify_on = "all"
 
     def __init__(self, directory: str) -> None:
-        import threading
+        from great_expectations_spark.render.site import SiteBuilder
 
         self.directory = directory
-        self._entries: Dict[str, List[Dict[str, Any]]] = {}
-        self._lock = threading.Lock()
+        self.site = SiteBuilder(directory)
 
     def should_run(self, ctx) -> bool:
         return True
 
-    @staticmethod
-    def _atomic_write(path: str, payload: str) -> None:
-        from great_expectations_spark.checkpoint.param_store import (
-            ValidationResultStore,
-        )
-
-        ValidationResultStore._atomic_write(path, payload)
-
     def run(self, ctx) -> str:
-        out_dir = os.path.join(self.directory, ctx.run_id)
-        os.makedirs(out_dir, exist_ok=True)
-        safe = str(ctx.partition_id).replace(os.sep, "_")
-        fname = f"{safe}.html"
-        doc = render_suite_result_html(
+        return self.site.add_validation_result(
             ctx.result,
-            title=f"{ctx.suite_name} — {ctx.partition_column}="
-            f"{ctx.partition_id}",
+            suite_name=ctx.suite_name,
+            run_id=ctx.run_id,
+            partition_id=f"{ctx.partition_column}={ctx.partition_id}",
         )
-        with open(os.path.join(out_dir, fname), "w", encoding="utf-8") as f:
-            f.write(doc)
-        stats = ctx.result.statistics or {}
-        entry = {
-            "partition_id": str(ctx.partition_id),
-            "success": bool(ctx.result.success),
-            "expectations": (
-                f"{stats.get('successful_expectations', 0)}/"
-                f"{stats.get('evaluated_expectations', 0)}"
-            ),
-            "file": fname,
-        }
-        with self._lock:
-            entries = self._entries.setdefault(ctx.run_id, [])
-            entries.append(entry)
-            index = render_index_html(
-                list(entries), title=f"{ctx.suite_name} — run {ctx.run_id}"
-            )
-            self._atomic_write(os.path.join(out_dir, "index.html"), index)
-        return os.path.join(out_dir, fname)

@@ -36,7 +36,7 @@ PHASES = [
     "_run_job_item",
     "_aggregate_values",
     "_collect_samples",
-    "_pooled_window_samples",
+    "_fused_window_group",
     "_assemble",
 ]
 

@@ -301,8 +301,9 @@ def test_grouped_job_expectations_job_count_constant(spark, transcripts):
 
 
 def test_checkpoint_html_docs_action(spark, transcripts, tmp_path):
-    """End-to-end: checkpoint run emits a browsable HTML report per
-    partition plus an index page with verdicts and links."""
+    """End-to-end: checkpoint run emits a navigable Data Docs SITE —
+    home index → suite page (column-grouped expectation blocks + run
+    history) → run page → one report per partition."""
     import glob
     import os
 
@@ -313,19 +314,34 @@ def test_checkpoint_html_docs_action(spark, transcripts, tmp_path):
         transcripts, _suite(), "day", str(tmp_path / "ck_html"),
         actions=[HtmlDocsAction(docs_dir)],
     )
-    run_dir = os.path.join(docs_dir, summary["run_id"])
+    from great_expectations_spark.render.site import _safe
+
+    run_dir = os.path.join(
+        docs_dir, "suites", "ckpt", "runs", _safe(summary["run_id"])
+    )
     pages = glob.glob(os.path.join(run_dir, "*.html"))
-    # one page per partition + the index
+    # one page per partition + the run index
     assert len(pages) == summary["partitions_total"] + 1
     with open(os.path.join(run_dir, "index.html")) as f:
         index = f.read()
-    assert index.count("<a href=") == summary["partitions_total"]
+    assert index.count("<td><a href=") == summary["partitions_total"]
     first = sorted(p for p in pages if not p.endswith("index.html"))[0]
     with open(first) as f:
         page = f.read()
     assert page.startswith("<!doctype html>")
     assert "expect_column_values_to_not_be_null" in page
     assert 'class="ok"' in page or 'class="fail"' in page
+
+    # navigation above the run: home index links the suite page, the
+    # suite page links the run page and groups expectations by column
+    with open(os.path.join(docs_dir, "index.html")) as f:
+        home = f.read()
+    assert 'href="suites/ckpt/index.html"' in home
+    with open(os.path.join(docs_dir, "suites", "ckpt", "index.html")) as f:
+        suite_page = f.read()
+    assert f'href="runs/{_safe(summary["run_id"])}/index.html"' in suite_page
+    assert "<h3><code>text</code></h3>" in suite_page
+    assert "values must not be null" in suite_page
 
 
 def test_partition_list_cap(spark, transcripts, tmp_path, monkeypatch):
@@ -470,12 +486,16 @@ def test_checkpoint_html_docs_action_concurrent(spark, transcripts, tmp_path):
         transcripts, _suite(), "day", str(tmp_path / "ck_html_mt"),
         actions=[HtmlDocsAction(docs_dir)], max_concurrency=4,
     )
-    run_dir = os.path.join(docs_dir, summary["run_id"])
+    from great_expectations_spark.render.site import _safe
+
+    run_dir = os.path.join(
+        docs_dir, "suites", "ckpt", "runs", _safe(summary["run_id"])
+    )
     pages = glob.glob(os.path.join(run_dir, "*.html"))
     assert len(pages) == summary["partitions_total"] + 1
     with open(os.path.join(run_dir, "index.html")) as f:
         index = f.read()
-    assert index.count("<a href=") == summary["partitions_total"]
+    assert index.count("<td><a href=") == summary["partitions_total"]
     assert index.rstrip().endswith("</html>")
 
 

@@ -61,9 +61,18 @@ def test_profile_then_validate_then_docs(data_path, tmp_path, capsys):
     assert (
         main(["docs", "--result", result_path, "--out-dir", docs_dir]) == 0
     )
+    # docs now emits the navigable site: home -> suite -> run -> report
+    import glob
+
     index = open(f"{docs_dir}/index.html").read()
-    assert "validation_result.html" in index
-    page = open(f"{docs_dir}/validation_result.html").read()
+    assert "suites/" in index and "index.html" in index
+    reports = [
+        p
+        for p in glob.glob(f"{docs_dir}/suites/*/runs/*/*.html")
+        if not p.endswith("index.html")
+    ]
+    assert reports
+    page = open(reports[0]).read()
     assert "expect_" in page
 
 

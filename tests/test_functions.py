@@ -39,14 +39,30 @@ def test_token_counts(spark, docs):
     assert got[6] is None
 
 
-def test_language_id(spark, docs):
+def test_language_id_fast(spark, docs):
     out = docs.select(
-        "doc_id", gxtext.language_id(F.col("text")).alias("lang")
+        "doc_id", gxtext.language_id_fast(F.col("text")).alias("lang")
     ).collect()
     got = {r["doc_id"]: r["lang"] for r in out}
     assert got[0] == "en"
     assert got[3] == "es"
     assert got[6] == "und"
+
+
+def test_language_id_dispatches_to_cavnar_trenkle(spark):
+    # the documented public name must return classifier quality: check it
+    # against held-out sentences (never used for profile building)
+    from great_expectations_spark.functions import langid
+
+    rows = [
+        (lang, langid.HELDOUT_SENTENCES[lang][0])
+        for lang in ("en", "de", "fr", "pt")
+    ] + [("und", None)]
+    df = spark.createDataFrame(rows, "true_lang string, text string")
+    out = df.select(
+        "true_lang", gxtext.language_id(F.col("text")).alias("pred")
+    ).collect()
+    assert all(r["pred"] == r["true_lang"] for r in out)
 
 
 def test_quality_and_fingerprint(spark, docs):

@@ -1,8 +1,10 @@
-"""Pooled window-group violation samples: the three window-family
-expectations sharing one (conv_id, turn_idx) spec must get their
-samples from ONE bounded pool job (not one full re-scan each), with
-per-member content identical in kind to the dedicated path and a
-starvation fallback that never loses rows."""
+"""Fused window counts+samples: the three window-family expectations
+sharing one (conv_id, turn_idx) spec must get their violation COUNTS
+(observation metrics) and their violation SAMPLES from ONE job — not a
+count agg plus a pooled re-scan — with per-member content identical in
+kind to the dedicated path, exact per-member caps (no starvation), and
+a fallback that never loses counts or rows when the fused machinery is
+disabled."""
 
 from __future__ import annotations
 
@@ -64,62 +66,65 @@ def _by_type(res):
     }
 
 
-def _spy_pool(monkeypatch, calls):
-    orig = SuiteValidator._pooled_window_samples
+def _spy_fused(monkeypatch, calls):
+    orig = SuiteValidator._fused_window_group
 
-    def spy(self, df, needy_groups, metrics, rf):
-        out = orig(self, df, needy_groups, metrics, rf)
+    def spy(self, df, members, metrics, rf, prefetched):
+        before = set(prefetched)
+        ok = orig(self, df, members, metrics, rf, prefetched)
         calls.append(
             {
-                "needy": sum(len(g) for g in needy_groups),
-                "groups": len(needy_groups),
-                "served": len(out),
+                "members": len(members),
+                "fused": ok,
+                "served": len(set(prefetched) - before),
             }
         )
-        return out
+        return ok
 
-    monkeypatch.setattr(SuiteValidator, "_pooled_window_samples", spy)
+    monkeypatch.setattr(SuiteValidator, "_fused_window_group", spy)
 
 
-@pytest.mark.parametrize("jc", [1, 8])
-def test_pool_serves_all_shared_window_members(
-    spark, convs, window_suite, monkeypatch, jc
-):
-    calls = []
-    _spy_pool(monkeypatch, calls)
-    res = SuiteValidator(job_concurrency=jc).validate(
-        convs, window_suite, result_format="SUMMARY"
-    )
-    # one group (conv_id, turn_idx); all three violated members served
-    assert calls and calls[-1] == {"needy": 3, "groups": 1, "served": 3}
+def _assert_window_contents(res, list_key="partial_unexpected_list"):
     by = _by_type(res)
 
     inc = by["expect_column_values_to_be_increasing"]
     assert inc.success is False
     assert inc.result["unexpected_count"] == 1
-    assert inc.result["partial_unexpected_list"] == [1001]
+    assert inc.result[list_key] == [1001]
 
     seq = by["expect_sequence_to_be_contiguous"]
     assert seq.success is False
     assert seq.result["unexpected_count"] == 1
-    assert seq.result["partial_unexpected_list"] == [
-        {"conv_id": "gap", "turn_idx": 3}
-    ]
+    assert seq.result[list_key] == [{"conv_id": "gap", "turn_idx": 3}]
 
     uniq = by["expect_compound_columns_to_be_unique"]
     assert uniq.success is False
     # both rows of the duplicated key are flagged (adopted-count parity)
     assert uniq.result["unexpected_count"] == 2
     assert sorted(
-        tuple(sorted(d.items()))
-        for d in uniq.result["partial_unexpected_list"]
+        tuple(sorted(d.items())) for d in uniq.result[list_key]
     ) == [
         (("conv_id", "dup"), ("turn_idx", 2)),
         (("conv_id", "dup"), ("turn_idx", 2)),
     ]
 
 
-def test_pool_carries_index_lineage(spark, convs, window_suite):
+@pytest.mark.parametrize("jc", [1, 8])
+def test_fused_job_serves_counts_and_all_samples(
+    spark, convs, window_suite, monkeypatch, jc
+):
+    calls = []
+    _spy_fused(monkeypatch, calls)
+    res = SuiteValidator(job_concurrency=jc).validate(
+        convs, window_suite, result_format="SUMMARY"
+    )
+    # one group (conv_id, turn_idx); one fused call serving all three
+    # violated members' samples alongside their counts
+    assert calls == [{"members": 3, "fused": True, "served": 3}]
+    _assert_window_contents(res)
+
+
+def test_fused_carries_index_lineage(spark, convs, window_suite):
     rf = {
         "result_format": "SUMMARY",
         "unexpected_index_column_names": ["conv_id", "turn_idx"],
@@ -134,14 +139,34 @@ def test_pool_carries_index_lineage(spark, convs, window_suite):
     ]
 
 
-def test_starved_pool_falls_back_to_dedicated_jobs(
-    spark, convs, window_suite, monkeypatch
+@pytest.mark.parametrize("jc", [1, 8])
+def test_fused_failure_falls_back_to_count_agg_and_dedicated_jobs(
+    spark, convs, window_suite, monkeypatch, jc
 ):
-    # cap = limit * members * OVERSAMPLE = 0 -> every member starves and
-    # must fall back to its dedicated sample job with identical content
-    monkeypatch.setattr(SuiteValidator, "_POOL_OVERSAMPLE", 0)
-    res = SuiteValidator(job_concurrency=1).validate(
+    # counts must never depend on the fused path: disable it entirely and
+    # the suite must produce identical counts and sample content through
+    # the count-only agg + dedicated per-expectation sample jobs
+    monkeypatch.setattr(
+        SuiteValidator,
+        "_fused_window_group",
+        lambda self, df, members, metrics, rf, prefetched: False,
+    )
+    res = SuiteValidator(job_concurrency=jc).validate(
         convs, window_suite, result_format="SUMMARY"
+    )
+    _assert_window_contents(res)
+
+
+def test_partial_cap_respected_per_member(spark, convs, window_suite):
+    # partial_unexpected_count=1 must cap EVERY member's list at 1 row
+    # (the duplicate member has 2 violations) without starving the others
+    res = SuiteValidator(job_concurrency=1).validate(
+        convs,
+        window_suite,
+        result_format={
+            "result_format": "SUMMARY",
+            "partial_unexpected_count": 1,
+        },
     )
     by = _by_type(res)
     assert by["expect_column_values_to_be_increasing"].result[
@@ -150,24 +175,20 @@ def test_starved_pool_falls_back_to_dedicated_jobs(
     assert by["expect_sequence_to_be_contiguous"].result[
         "partial_unexpected_list"
     ] == [{"conv_id": "gap", "turn_idx": 3}]
-    assert (
-        len(
-            by["expect_compound_columns_to_be_unique"].result[
-                "partial_unexpected_list"
-            ]
-        )
-        == 2
-    )
+    uniq = by["expect_compound_columns_to_be_unique"]
+    assert uniq.result["unexpected_count"] == 2
+    assert len(uniq.result["partial_unexpected_list"]) == 1
 
 
-def test_complete_format_bypasses_pool(spark, convs, window_suite, monkeypatch):
+def test_complete_format_uses_fused_pool(
+    spark, convs, window_suite, monkeypatch
+):
+    # COMPLETE pools too now (exact per-member caps make the collect the
+    # same size as the dedicated jobs'): full lists, one fused job
     calls = []
-    _spy_pool(monkeypatch, calls)
+    _spy_fused(monkeypatch, calls)
     res = SuiteValidator(job_concurrency=1).validate(
         convs, window_suite, result_format="COMPLETE"
     )
-    assert not calls  # COMPLETE keeps the dedicated per-member jobs
-    by = _by_type(res)
-    assert by["expect_column_values_to_be_increasing"].result[
-        "unexpected_list"
-    ] == [1001]
+    assert calls == [{"members": 3, "fused": True, "served": 3}]
+    _assert_window_contents(res, list_key="unexpected_list")

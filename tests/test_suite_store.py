@@ -67,6 +67,49 @@ def test_missing_suite_raises(tmp_path):
         store.load("nope")
 
 
+def test_read_probe_leaves_no_directory(tmp_path):
+    # probing a missing suite must NOT create its directory as a side
+    # effect (round-3 ADVICE: the empty dir showed up in list_suites and
+    # was re-probed by every latest_payloads loop afterwards)
+    backend = FilesystemResultBackend(str(tmp_path / "s"))
+    store = SuiteStore(backend)
+    with pytest.raises(KeyError):
+        store.load("phantom")
+    assert backend.list_suites() == []
+    assert list((tmp_path / "s").iterdir()) == []
+
+
+def test_reserved_namespace_names_rejected(tmp_path):
+    # a suite (or validation-result suite name) starting with the store
+    # namespace prefix could shadow real suite records on a shared
+    # backend (round-3 ADVICE) — rejected at save time on both paths
+    from great_expectations_spark.checkpoint.store_backends import (
+        BackendValidationResultStore,
+    )
+    from great_expectations_spark.core.results import (
+        ExpectationSuiteValidationResult,
+    )
+
+    backend = FilesystemResultBackend(str(tmp_path / "s"))
+    store = SuiteStore(backend)
+    for bad in ("suite::evil", "suite__evil"):
+        with pytest.raises(ValueError):
+            store.save(_suite(bad))
+        with pytest.raises(ValueError):
+            store.delete(bad)
+        with pytest.raises(ValueError):
+            BackendValidationResultStore(backend).save(
+                ExpectationSuiteValidationResult(
+                    success=True,
+                    results=[],
+                    statistics={},
+                    meta={"expectation_suite_name": bad, "run_id": "r1"},
+                )
+            )
+    # nothing leaked into the namespace
+    assert store.list_suites() == []
+
+
 def test_spark_table_backend_round_trip(spark, tmp_path):
     backend = SparkTableResultBackend(
         spark, str(tmp_path / "suite_log"), fmt="parquet"
@@ -102,3 +145,70 @@ def test_suites_and_results_share_a_backend(spark, tmp_path):
     results.save(res)
     assert suites.list_suites() == ["orders_suite"]
     assert results.latest("orders_suite")["success"] is True
+
+
+def test_tuple_hadoop_fs_backend_round_trip(spark, tmp_path):
+    """Keyed object-store backend (reference tuple_store_backend.py) over
+    a file:// root: result round-trip, latest pointer, URN resolution,
+    suite CRUD over the same backend, and read-probe purity.  The same
+    code path serves s3a:// / abfss:// / gs:// roots — only the root URI
+    changes (credentials ride the session's Hadoop conf)."""
+    from great_expectations_spark.checkpoint.store_backends import (
+        BackendValidationResultStore,
+        TupleHadoopFsBackend,
+    )
+    from great_expectations_spark.core.results import (
+        ExpectationSuiteValidationResult,
+        ExpectationValidationResult,
+    )
+
+    root = f"file://{tmp_path}/tuple_store"
+    backend = TupleHadoopFsBackend(spark, root)
+
+    res = ExpectationSuiteValidationResult(
+        success=True,
+        results=[
+            ExpectationValidationResult(
+                success=True,
+                expectation_config={
+                    "expectation_type": "expect_table_row_count_to_equal",
+                    "kwargs": {"value": 3},
+                },
+                result={"observed_value": 3},
+            )
+        ],
+        statistics={"evaluated_expectations": 1,
+                    "successful_expectations": 1},
+        meta={"expectation_suite_name": "orders", "run_id": "r1"},
+    )
+    store = BackendValidationResultStore(backend)
+    store.save(res)
+    assert store.latest("orders")["success"] is True
+    # immutable per-run object + overwritten latest pointer
+    res2 = ExpectationSuiteValidationResult(
+        success=False, results=[], statistics={},
+        meta={"expectation_suite_name": "orders", "run_id": "r2"},
+    )
+    store.save(res2)
+    assert store.latest("orders")["success"] is False
+    assert (tmp_path / "tuple_store" / "orders" / "r1.json").exists()
+    assert (tmp_path / "tuple_store" / "orders" / "r2.json").exists()
+
+    # URN parameter resolution straight off the object store
+    urn = (
+        "urn:great_expectations:validations:orders:"
+        "expect_table_row_count_to_equal.result.observed_value"
+    )
+    store.save(res)  # restore a result with the metric
+    assert store.resolve_urn(urn) == 3
+
+    # suite CRUD shares the backend without key collisions
+    suites = SuiteStore(backend)
+    suites.save(_suite("shared_suite"))
+    assert suites.list_suites() == ["shared_suite"]
+    assert backend.list_suites() == ["orders", "suite__shared_suite"]
+
+    # read probe for a missing key must not materialize objects
+    with pytest.raises(KeyError):
+        backend.latest_payload("phantom")
+    assert not (tmp_path / "tuple_store" / "phantom").exists()
