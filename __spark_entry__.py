@@ -192,6 +192,33 @@ def _unique_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_samples_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin the fused window-sample rows (COMPLETE format) against DuckDB.
+
+    The round-4 fused window pass computes violation counters AND pooled
+    sample rows in ONE job (planner round-4 fold); COMPLETE format pools
+    too, so ``unexpected_list`` is the FULL multiset of violating values.
+    A unique expectation on ``events.user_id`` flags every row whose
+    user_id appears more than once; the multiset is order-insensitively
+    fingerprinted (sorted md5) so any dropped/duplicated/extra sample row
+    flips the hash.  This is the oracle row the round-3 verdict asked for
+    on the rewritten sample path.
+    """
+    import hashlib
+
+    df = _load(spark, sf_dir, "events")
+    suite = ExpectationSuite("q").add(
+        "expect_column_values_to_be_unique", column="user_id"
+    )
+    validator = SuiteValidator(max_complete_collect=200_000)
+    res = validator.validate(df, suite, result_format="COMPLETE")
+    values = sorted(int(v) for v in res.results[0].result["unexpected_list"])
+    fp = hashlib.md5(",".join(str(v) for v in values).encode()).hexdigest()
+    return spark.createDataFrame(
+        [(len(values), fp)], "n_samples bigint, fp string"
+    )
+
+
 def _compound_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "lineitem")
     suite = ExpectationSuite("q").add(
@@ -1057,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_extendedprice": _zscore,
         # --- window / uniqueness (two-phase groupBy path) ---
         "unique_orderkey": _unique_dup_rows,
+        "window_samples_events": _window_samples_events,
         "compound_unique_lineitem": _compound_unique,
         "increasing_events": _increasing_events,
         "contiguous_linenumber": _contiguous_linenumber,
@@ -1236,6 +1264,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(sum(c), 0)::BIGINT AS dup_rows FROM ("
             "SELECT count(*) AS c FROM orders WHERE o_orderkey IS NOT NULL "
             "GROUP BY o_orderkey HAVING count(*) > 1)"
+        ),
+        "window_samples_events": (
+            # the full COMPLETE-format violation multiset for a unique
+            # expectation = every non-null row whose user_id occurs >1
+            # times; md5 over the numerically-sorted value list is
+            # order-insensitive on both engines (integers stringify
+            # identically, no collation hazard)
+            "SELECT count(*)::BIGINT AS n_samples, "
+            "md5(string_agg(cast(user_id AS varchar), ',' "
+            "    ORDER BY user_id)) AS fp "
+            "FROM events WHERE user_id IN ("
+            "  SELECT user_id FROM events WHERE user_id IS NOT NULL "
+            "  GROUP BY user_id HAVING count(*) > 1)"
         ),
         "compound_unique_lineitem": (
             "SELECT coalesce(sum(c), 0)::BIGINT AS dup_rows FROM ("
