@@ -16,9 +16,15 @@ alone.
 
 Execution model: the classifier runs as an Arrow-batched pandas UDF
 (``language_id_ct``) — one Python invocation per Arrow batch, no per-row
-Python UDF.  Scoring a doc is O(M · L) dict lookups (M grams, L
-languages), embarrassingly parallel, no shuffle: the 100 TB plan is a
-pure mapInArrow-style projection.
+Python UDF.  Inside the batch the hot path is fully vectorized
+(``classify_np``): grams are packed into left-aligned 21-bit-per-char
+int64 keys (numeric order == string order, so ranking tie-breaks are
+bit-identical to the scalar reference), counted with ``np.unique``, and
+scored against a [grams × languages] rank matrix via one ``searchsorted``
++ one masked |diff| reduction — no per-gram dict lookups.  The scalar
+``classify`` remains the reference implementation the vector path is
+parity-tested against.  Embarrassingly parallel, no shuffle: the 100 TB
+plan is a pure mapInArrow-style projection.
 
 Replaces the round-2 4-language stopword argmax (``text.language_id``)
 as the quality path; the stopword version remains for its SQL-replica
@@ -397,12 +403,145 @@ def classify(text: Optional[str]) -> str:
     return best_lang
 
 
+# ---------------------------------------------------------------------
+# Vectorized path.  Grams are packed into int64 keys, 21 bits per char,
+# LEFT-aligned (char0 in the highest field, missing trailing chars = 0).
+# Since every real gram char is >= U+0020 (space) and codepoints fit 21
+# bits, keys never collide across lengths and their numeric order equals
+# the gram's string order (prefix sorts first) — so (count desc, key asc)
+# reproduces the scalar `_rank` tie-break bit-for-bit.
+# ---------------------------------------------------------------------
+
+_SP = 0x20
+
+_VPROFILE = None  # (sorted_keys int64[G], ranks int32[G, L], langs)
+
+
+def _pack(gram: str) -> int:
+    k = 0
+    for i, ch in enumerate(gram):
+        k |= ord(ch) << (42 - 21 * i)
+    return k
+
+
+def _vprofile():
+    global _VPROFILE
+    if _VPROFILE is None:
+        import numpy as np
+
+        profs = profiles()
+        langs = sorted(profs)
+        key_set = sorted({_pack(g) for p in profs.values() for g in p})
+        index = {k: i for i, k in enumerate(key_set)}
+        ranks = np.full((len(key_set), len(langs)), -1, dtype=np.int32)
+        for li, lang in enumerate(langs):
+            for gram, rank in profs[lang].items():
+                ranks[index[_pack(gram)], li] = rank
+        _VPROFILE = (
+            np.asarray(key_set, dtype=np.int64),
+            ranks,
+            langs,
+        )
+    return _VPROFILE
+
+
+_ALPHA_TABLE = None  # bool[0x10000]: chr(c).isalpha() for the BMP
+
+
+def _alpha_table():
+    global _ALPHA_TABLE
+    if _ALPHA_TABLE is None:
+        import numpy as np
+
+        _ALPHA_TABLE = np.frombuffer(
+            bytes(chr(c).isalpha() for c in range(0x10000)), dtype=np.bool_
+        )
+    return _ALPHA_TABLE
+
+
+def _joined_codepoints(text: str):
+    """``_normalize`` + double-space word join, computed numerically:
+    codepoint array with words separated by two spaces and padded by one
+    space each side — identical to
+    ``" " + _normalize(text).replace(" ", "  ") + " "``."""
+    import numpy as np
+
+    cp = np.frombuffer(
+        text.lower()[:MAX_CHARS].encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    if cp.size == 0:
+        return None
+    table = _alpha_table()
+    high = cp >= 0x10000
+    is_a = table[np.where(high, 0, cp)]
+    if high.any():  # astral letters exist (Gothic, CJK ext): exact check
+        idx = np.nonzero(high)[0]
+        is_a[idx] = [chr(int(c)).isalpha() for c in cp[idx]]
+    n_alpha = int(is_a.sum())
+    if n_alpha == 0:
+        return None
+    prev = np.concatenate(([False], is_a[:-1]))
+    word_id = np.cumsum(is_a & ~prev)[is_a] - 1
+    out = np.full(n_alpha + 2 * int(word_id[-1]) + 2, _SP, dtype=np.int64)
+    out[1 + np.arange(n_alpha) + 2 * word_id] = cp[is_a]
+    return out
+
+
+def _doc_keys_np(text: str):
+    """Packed keys + out-of-place ranks for a document's top-M grams.
+
+    The per-word padding of the scalar `_ngrams` is reproduced with a
+    double-space join: grams never span two words, and the only spurious
+    grams the join introduces contain adjacent double spaces — masked
+    out below.  Returns (keys, ranks) or None for gram-less input.
+    """
+    import numpy as np
+
+    arr = _joined_codepoints(text)
+    if arr is None:
+        return None
+    k1 = arr[arr != _SP] << 42
+    a, b = arr[:-1], arr[1:]
+    m2 = ~((a == _SP) & (b == _SP))
+    k2 = (a[m2] << 42) | (b[m2] << 21)
+    a, b, c = arr[:-2], arr[1:-1], arr[2:]
+    m3 = ~(((a == _SP) & (b == _SP)) | ((b == _SP) & (c == _SP)))
+    k3 = (a[m3] << 42) | (b[m3] << 21) | c[m3]
+    keys = np.concatenate([k1, k2, k3])
+    if keys.size == 0:
+        return None
+    uniq, counts = np.unique(keys, return_counts=True)
+    top = np.lexsort((uniq, -counts))[:DOC_DEPTH]
+    return uniq[top], np.arange(len(top), dtype=np.int64)
+
+
+def classify_np(text: Optional[str]) -> str:
+    """Vectorized classifier — bit-identical to ``classify``."""
+    import numpy as np
+
+    if not text:
+        return "und"
+    doc = _doc_keys_np(text)
+    if doc is None:
+        return "und"
+    doc_keys, doc_ranks = doc
+    pkeys, ranks, langs = _vprofile()
+    pos = np.searchsorted(pkeys, doc_keys)
+    pos_c = np.minimum(pos, len(pkeys) - 1)
+    found = pkeys[pos_c] == doc_keys
+    sub = ranks[pos_c[found]]  # [F, L]
+    dr = doc_ranks[found][:, None]
+    dist = np.where(sub >= 0, np.abs(sub - dr), PROFILE_DEPTH).sum(axis=0)
+    dist = dist + int(len(doc_keys) - found.sum()) * PROFILE_DEPTH
+    return langs[int(np.argmin(dist))]
+
+
 def language_id_ct(col: Column) -> Column:
     """Arrow-batched Cavnar–Trenkle language ID over a string column."""
 
     @F.pandas_udf("string")
     def _classify_batch(texts: pd.Series) -> pd.Series:
-        profiles()  # build once per worker, outside the row loop
-        return texts.map(classify)
+        _vprofile()  # build once per worker, outside the row loop
+        return texts.map(classify_np)
 
     return _classify_batch(col)

@@ -75,6 +75,47 @@ def test_checkpoint_run_and_resume(spark, transcripts, tmp_path):
     assert payload["statistics"]["evaluated_expectations"] in (4, 5)
 
 
+def test_checkpoint_resume_after_kill(spark, transcripts, tmp_path):
+    """A job killed mid-run resumes EXACTLY where it stopped: only the
+    partitions with no 'done' manifest record re-run, completed results
+    are not recomputed (their record files are byte-identical), and a
+    half-written manifest record (the torn write a kill can leave) is
+    treated as not-done."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    run_checkpoint(
+        transcripts, _suite(), "day", ckpt, result_format="SUMMARY"
+    )
+    mdir = os.path.join(ckpt, "manifest")
+    records = sorted(os.listdir(mdir))
+    assert len(records) == 30
+
+    # simulate a kill after 12 partitions: drop 17 records, tear 1
+    for name in records[12:29]:
+        os.unlink(os.path.join(mdir, name))
+    torn = os.path.join(mdir, records[29])
+    with open(torn, "r+") as f:
+        f.truncate(37)  # mid-JSON: corrupt, as a kill during write leaves
+
+    survivors = {
+        n: open(os.path.join(mdir, n)).read() for n in records[:12]
+    }
+    summary = run_checkpoint(
+        transcripts, _suite(), "day", ckpt, result_format="SUMMARY"
+    )
+    assert summary["partitions_skipped_resume"] == 12
+    assert summary["partitions_validated_now"] == 18  # 17 missing + 1 torn
+    assert not summary["failures"]
+    # completed partitions were not recomputed
+    for name, before in survivors.items():
+        with open(os.path.join(mdir, name)) as f:
+            assert f.read() == before, name
+    # the torn record was rewritten whole
+    with open(torn) as f:
+        assert json.load(f)["status"] == "done"
+
+
 def test_checkpoint_concurrent_matches_serial(spark, transcripts, tmp_path):
     s1 = run_checkpoint(
         transcripts, _suite(), "day", str(tmp_path / "serial")

@@ -442,6 +442,38 @@ def test_langid_ct_udf_matches_python(spark):
         assert r["pred"] == classify(r["text"]), r["lang"]
 
 
+def test_langid_vectorized_matches_scalar():
+    """classify_np (packed-key numpy path, what the UDF runs) must be
+    bit-identical to the scalar reference — incl. empty/None input,
+    non-linguistic text, astral-plane letters, and rank ties."""
+    from great_expectations_spark.functions.langid import (
+        HELDOUT_SENTENCES,
+        classify,
+        classify_np,
+    )
+
+    cases = [
+        None,
+        "",
+        "12345 678 90 ...!!!",
+        "a",
+        " x  y ",
+        "é ü ñ č ß",
+        "ΑΒΓ αβγ δίκαιο",
+        "русский текст тут",
+        "mix123ed te!xt &*()",
+        "\U00010330\U00010331 gothic letters",
+        "\U00020000\U00020001 cjk ext b",
+        "İstanbul DİYOR",  # lower() changes length (İ -> i + U+0307)
+        "aa bb aa cc bb aa",  # forced count ties across grams
+    ]
+    for lang, sents in HELDOUT_SENTENCES.items():
+        cases.extend(sents)
+        cases.append(" ".join(sents))
+    for t in cases:
+        assert classify_np(t) == classify(t), repr(t)
+
+
 def test_langid_ct_deterministic_rank_tiebreak():
     """Rank ordering must be (count desc, gram asc) — the documented
     deterministic tie-break."""
