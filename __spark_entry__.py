@@ -14,6 +14,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -216,6 +218,123 @@ def _window_samples_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hashlib.md5(",".join(str(v) for v in values).encode()).hexdigest()
     return spark.createDataFrame(
         [(len(values), fp)], "n_samples bigint, fp string"
+    )
+
+
+def _streaming_stateful_gaps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator, oracle-checked end-to-end: a
+    real ``readStream`` over lineitem feeds ``streaming_sequence_gaps``
+    (``applyInPandasWithState`` per-conversation contiguity), drained
+    with ``availableNow``.  The single-file source yields ONE micro-batch,
+    so update-mode emits exactly one final summary row per gap group —
+    which the DuckDB watermark replica (largest contiguous prefix from
+    first_index, then the pending-set arithmetic) reproduces exactly.
+    Duplicated (orderkey, linenumber) rows — a known property of the
+    synthetic lineitem — are set-semantics on both engines."""
+    import uuid
+
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_sequence_gaps,
+    )
+
+    path = f"{sf_dir}/lineitem.parquet"
+    schema = spark.read.parquet(path).schema
+    src_dir = "/tmp/gx_stream_lineitem_" + sf_dir.strip("/").replace(
+        "/", "_"
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "lineitem.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select(
+            F.col("l_orderkey").cast("string").alias("conv_id"),
+            F.col("l_linenumber").cast("int").alias("turn_idx"),
+        )
+    )
+    gaps = streaming_sequence_gaps(
+        stream, "conv_id", "turn_idx", first_index=1
+    )
+    sink = f"gx_gaps_{uuid.uuid4().hex[:12]}"
+    query = (
+        gaps.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        F.col("conv_id").cast("long").alias("orderkey"),
+        F.col("max_seen").cast("long").alias("max_seen"),
+        F.col("missing_count").cast("long").alias("missing_count"),
+        F.col("first_missing").cast("long").alias("first_missing"),
+    )
+
+
+def _frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal.frame_sample_plan):
+    JVM-side sequence/explode of frame timestamps from a duration
+    column — replicated by DuckDB generate_series."""
+    from great_expectations_spark.functions import multimodal
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 7) * 1000 + 500)
+        .cast("int")
+        .alias("duration_ms"),
+    )
+    plan = multimodal.frame_sample_plan(
+        docs, "duration_ms", every_ms=1000
+    )
+    return plan.select(
+        "doc_id",
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-algorithm oracle for the multimodal image path: synthetic
+    P5 (grayscale PGM) bytes with a CLOSED-FORM pixel function are built
+    per doc, decoded by the REAL netpbm parser, and reduced by the real
+    4x4 block-mean feature extractor (`multimodal.image_features`,
+    deterministic_fake=False) — while DuckDB computes the expected block
+    means analytically from the same pixel formula.  24x32 splits into
+    exact 6x8 blocks; integer sums are exact in IEEE double on both
+    engines, so round(mean/255, 7) is bit-comparable.
+    """
+    import numpy as np
+
+    from great_expectations_spark.functions import multimodal
+
+    @F.pandas_udf("binary")
+    def gen_pgm(ids: pd.Series) -> pd.Series:
+        y, x = np.mgrid[0:24, 0:32]
+
+        def mk(i):
+            px = ((int(i) * 7919 + y * 32 + x) % 256).astype(np.uint8)
+            return b"P5\n32 24\n255\n" + px.tobytes()
+
+        return ids.map(mk)
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.withColumn("data", gen_pgm(F.col("doc_id")))
+    feats = multimodal.image_features(
+        imgs, "data", deterministic_fake=False
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("features").alias("fi", "raw"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("fi").cast("long").alias("fi"),
+        F.round(F.col("raw"), 7).alias("val"),
     )
 
 
@@ -1085,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window / uniqueness (two-phase groupBy path) ---
         "unique_orderkey": _unique_dup_rows,
         "window_samples_events": _window_samples_events,
+        "image_pipeline_docs": _image_pipeline,
+        "frame_sample_plan_docs": _frame_sample_plan,
+        "streaming_stateful_gaps": _streaming_stateful_gaps,
         "compound_unique_lineitem": _compound_unique,
         "increasing_events": _increasing_events,
         "contiguous_linenumber": _contiguous_linenumber,
@@ -1277,6 +1399,55 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE user_id IN ("
             "  SELECT user_id FROM events WHERE user_id IS NOT NULL "
             "  GROUP BY user_id HAVING count(*) > 1)"
+        ),
+        "image_pipeline_docs": (
+            # analytic replica of the REAL decode+feature path: the P5
+            # bytes are 13 header bytes + 24*32 pixels where
+            # pixel(y,x) = (doc_id*7919 + y*32 + x) % 256; 4x4 block
+            # means over exact 6x8 blocks, /255, rounded — integer sums
+            # are exact in double on both engines
+            "WITH px AS ("
+            "  SELECT d.doc_id, y.y, x.x,"
+            "         (d.doc_id * 7919 + y.y * 32 + x.x) % 256 AS v"
+            "  FROM (SELECT doc_id FROM documents) d"
+            "  CROSS JOIN (SELECT unnest(range(24)) AS y) y"
+            "  CROSS JOIN (SELECT unnest(range(32)) AS x) x"
+            ") SELECT doc_id, 781::BIGINT AS n_bytes,"
+            "         ((y // 6) * 4 + (x // 8))::BIGINT AS fi,"
+            "         round(avg(v) / 255.0, 7) AS val"
+            "  FROM px GROUP BY doc_id, y // 6, x // 8"
+        ),
+        "frame_sample_plan_docs": (
+            # F.sequence(0, stop, step) is stop-INCLUSIVE -> generate_series
+            "SELECT doc_id,"
+            " unnest(generate_series(0,"
+            "   greatest((doc_id % 7) * 1000 + 500 - 1, 0),"
+            "   1000))::BIGINT AS frame_ts_ms "
+            "FROM documents"
+        ),
+        "streaming_stateful_gaps": (
+            # watermark = largest contiguous prefix from 1 (i == rn over
+            # DISTINCT per-group indexes holds exactly up to the first
+            # gap); pending = indexes above it; one summary row per
+            # group with a non-empty pending set — the stateful
+            # operator's single-batch update-mode output
+            "WITH d AS ("
+            "  SELECT DISTINCT l_orderkey AS g, l_linenumber AS i"
+            "  FROM lineitem WHERE l_linenumber >= 1"
+            "), r AS ("
+            "  SELECT g, i,"
+            "         row_number() OVER (PARTITION BY g ORDER BY i) AS rn"
+            "  FROM d"
+            "), wm AS ("
+            "  SELECT g, coalesce(max(i) FILTER (WHERE i = rn), 0) AS w"
+            "  FROM r GROUP BY g"
+            ") SELECT r.g::BIGINT AS orderkey,"
+            "         max(r.i)::BIGINT AS max_seen,"
+            "         (max(r.i) - any_value(wm.w)"
+            "          - count(*))::BIGINT AS missing_count,"
+            "         (any_value(wm.w) + 1)::BIGINT AS first_missing"
+            "  FROM r JOIN wm ON r.g = wm.g WHERE r.i > wm.w"
+            "  GROUP BY r.g"
         ),
         "compound_unique_lineitem": (
             "SELECT coalesce(sum(c), 0)::BIGINT AS dup_rows FROM ("
