@@ -48,6 +48,21 @@ def convert_to_json_serializable(value: Any) -> Any:
     return value
 
 
+class ExpectationConfigView(dict):
+    """The stored expectation config, readable both ways: as the plain
+    dict this engine serializes (``cfg["expectation_type"]``) and with
+    the reference's attribute style
+    (``result.expectation_config.expectation_type`` / ``.kwargs`` —
+    reference ``core/expectation_configuration.py``), so code written
+    against the reference's result objects runs unchanged."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+
 @dataclass
 class ExpectationValidationResult:
     success: bool
@@ -61,6 +76,14 @@ class ExpectationValidationResult:
         }
     )
     meta: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if isinstance(self.expectation_config, dict) and not isinstance(
+            self.expectation_config, ExpectationConfigView
+        ):
+            self.expectation_config = ExpectationConfigView(
+                self.expectation_config
+            )
 
     def to_json_dict(self) -> Dict[str, Any]:
         return {

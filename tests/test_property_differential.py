@@ -1,0 +1,311 @@
+"""Property-based differential testing: random data + random expectation
+parameters vs an independent pure-Python oracle.
+
+Each hypothesis example builds ONE small DataFrame and validates ONE
+bundled suite (a single Spark agg job), then replays every expectation's
+semantics in plain Python over the same rows — nulls, NaN, unicode,
+strict bounds, mostly thresholds, COMPLETE-format violation multisets.
+The Python oracle shares no code with the engine (no Spark expressions,
+no planner), so any divergence is a real semantic finding.
+
+Reference semantics being pinned: mostly thresholds and the
+success-on-empty (vacuous true) rule from the reference's
+``_format_map_output`` family; NaN handling follows the reference's
+Spark backend (NaN is a VALUE, not a null — only ``isNull`` rows are
+missing).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from great_expectations_spark.core.suite import ExpectationSuite
+from great_expectations_spark.plans.planner import SuiteValidator
+
+SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic corpus: CI-stable, still varied
+)
+
+# ---------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------
+
+ints = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+)
+floats = st.one_of(
+    st.none(),
+    st.floats(allow_nan=True, allow_infinity=False, width=32),
+)
+texts = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=12,
+    ),
+)
+
+rows = st.lists(st.tuples(ints, floats, texts), min_size=0, max_size=40)
+
+
+def _mk_df(spark, data):
+    return spark.createDataFrame(
+        data, "i int, f float, s string"
+    )
+
+
+def _mostly_ok(unexpected: int, nonnull: int, mostly: float) -> bool:
+    # reference: success iff (nonnull - unexpected) / nonnull >= mostly;
+    # vacuous true when the domain is empty
+    if nonnull == 0:
+        return True
+    return (nonnull - unexpected) / nonnull >= mostly
+
+
+# ---------------------------------------------------------------------
+# map conditions: one bundled suite per example
+# ---------------------------------------------------------------------
+
+
+@given(
+    data=rows,
+    lo=st.integers(min_value=-100, max_value=100),
+    width=st.integers(min_value=0, max_value=100),
+    strict=st.booleans(),
+    mostly=st.sampled_from([1.0, 0.9, 0.5]),
+    value_set=st.lists(ints.filter(lambda v: v is not None), max_size=4),
+)
+@settings(**SETTINGS)
+def test_map_conditions_match_python_oracle(
+    spark, data, lo, width, strict, mostly, value_set
+):
+    hi = lo + width
+    suite = (
+        ExpectationSuite("prop")
+        .add("expect_column_values_to_not_be_null", column="i")
+        .add(
+            "expect_column_values_to_be_between",
+            column="i",
+            min_value=lo,
+            max_value=hi,
+            strict_min=strict,
+            strict_max=strict,
+            mostly=mostly,
+        )
+        .add(
+            "expect_column_values_to_be_in_set",
+            column="i",
+            value_set=value_set or [0],
+            mostly=mostly,
+        )
+        .add(
+            "expect_column_value_lengths_to_be_between",
+            column="s",
+            min_value=1,
+            max_value=5,
+        )
+    )
+    res = SuiteValidator().validate(
+        _mk_df(spark, data), suite, result_format="BASIC"
+    )
+    by_type = {
+        r.expectation_config.expectation_type: r for r in res.results
+    }
+
+    i_vals = [r[0] for r in data]
+    nonnull_i = [v for v in i_vals if v is not None]
+
+    # not_null: unexpected = nulls, domain = all rows
+    r = by_type["expect_column_values_to_not_be_null"]
+    exp_null = sum(1 for v in i_vals if v is None)
+    assert r.result["unexpected_count"] == exp_null
+    assert r.success == (exp_null == 0)
+
+    # between with strict flags
+    r = by_type["expect_column_values_to_be_between"]
+    if strict:
+        bad = [v for v in nonnull_i if not (lo < v < hi)]
+    else:
+        bad = [v for v in nonnull_i if not (lo <= v <= hi)]
+    assert r.result["unexpected_count"] == len(bad)
+    assert r.success == _mostly_ok(len(bad), len(nonnull_i), mostly)
+
+    # in_set
+    r = by_type["expect_column_values_to_be_in_set"]
+    vs = set(value_set or [0])
+    bad = [v for v in nonnull_i if v not in vs]
+    assert r.result["unexpected_count"] == len(bad)
+    assert r.success == _mostly_ok(len(bad), len(nonnull_i), mostly)
+
+    # value lengths (unicode: Python len == Spark length, both count
+    # codepoints)
+    r = by_type["expect_column_value_lengths_to_be_between"]
+    s_vals = [x[2] for x in data if x[2] is not None]
+    bad = [s for s in s_vals if not (1 <= len(s) <= 5)]
+    assert r.result["unexpected_count"] == len(bad)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_nan_is_a_value_not_a_null(spark, data):
+    """Reference Spark-backend semantics: only isNull rows are missing;
+    NaN participates in the domain and FAILS a between check."""
+    suite = (
+        ExpectationSuite("prop")
+        .add("expect_column_values_to_not_be_null", column="f")
+        .add(
+            "expect_column_values_to_be_between",
+            column="f",
+            # beyond float32 range so only NaN can fail the bounds
+            min_value=-4e38,
+            max_value=4e38,
+        )
+    )
+    res = SuiteValidator().validate(
+        _mk_df(spark, data), suite, result_format="BASIC"
+    )
+    f_vals = [r[1] for r in data]
+    nulls = sum(1 for v in f_vals if v is None)
+    nans = sum(
+        1 for v in f_vals if v is not None and math.isnan(v)
+    )
+    assert res.results[0].result["unexpected_count"] == nulls
+    # NaN compares false to both bounds -> unexpected
+    assert res.results[1].result["unexpected_count"] == nans
+    assert res.results[1].result["element_count"] == len(f_vals)
+    assert res.results[1].result["missing_count"] == nulls
+
+
+# ---------------------------------------------------------------------
+# aggregates
+# ---------------------------------------------------------------------
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_aggregates_match_python_oracle(spark, data):
+    suite = (
+        ExpectationSuite("prop")
+        .add("expect_table_row_count_to_equal", value=len(data))
+        .add(
+            "expect_column_mean_to_be_between",
+            column="i",
+            min_value=-1e12,
+            max_value=1e12,
+        )
+        .add(
+            "expect_column_distinct_values_to_be_in_set",
+            column="i",
+            value_set=list(range(-5, 6)),
+        )
+    )
+    res = SuiteValidator().validate(
+        _mk_df(spark, data), suite, result_format="BASIC"
+    )
+    by_type = {
+        r.expectation_config.expectation_type: r for r in res.results
+    }
+    assert by_type["expect_table_row_count_to_equal"].success
+
+    nonnull = [r[0] for r in data if r[0] is not None]
+    r = by_type["expect_column_mean_to_be_between"]
+    if nonnull:
+        assert r.result["observed_value"] == pytest.approx(
+            sum(nonnull) / len(nonnull), rel=1e-9
+        )
+    else:
+        assert r.result["observed_value"] is None
+
+    r = by_type["expect_column_distinct_values_to_be_in_set"]
+    expect_ok = set(nonnull) <= set(range(-5, 6))
+    assert r.success == expect_ok
+
+
+# ---------------------------------------------------------------------
+# uniqueness + COMPLETE violation multiset
+# ---------------------------------------------------------------------
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_unique_complete_list_matches_python(spark, data):
+    df = spark.createDataFrame(data, "a int, b int")
+    suite = ExpectationSuite("prop").add(
+        "expect_column_values_to_be_unique", column="a"
+    )
+    res = SuiteValidator().validate(df, suite, result_format="COMPLETE")
+    from collections import Counter
+
+    counts = Counter(r[0] for r in data)
+    expected = sorted(
+        v for v, c in counts.items() for _ in range(c) if c > 1
+    )
+    got = sorted(res.results[0].result["unexpected_list"])
+    assert got == expected
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_compound_unique_matches_python(spark, data):
+    df = spark.createDataFrame(data, "a int, b int")
+    suite = ExpectationSuite("prop").add(
+        "expect_compound_columns_to_be_unique", column_list=["a", "b"]
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    from collections import Counter
+
+    counts = Counter(data)
+    exp = sum(c for c in counts.values() if c > 1)
+    assert res.results[0].result["unexpected_count"] == exp
+
+
+# ---------------------------------------------------------------------
+# row conditions compose with map metrics
+# ---------------------------------------------------------------------
+
+
+@given(data=rows, cut=st.integers(min_value=-50, max_value=50))
+@settings(**SETTINGS)
+def test_row_condition_scopes_the_domain(spark, data, cut):
+    suite = ExpectationSuite("prop").add(
+        "expect_column_values_to_not_be_null",
+        column="s",
+        row_condition=f"i > {cut}",
+        condition_parser="spark",
+    )
+    res = SuiteValidator().validate(
+        _mk_df(spark, data), suite, result_format="BASIC"
+    )
+    domain = [r for r in data if r[0] is not None and r[0] > cut]
+    exp_null = sum(1 for r in domain if r[2] is None)
+    assert res.results[0].result["unexpected_count"] == exp_null
+    assert res.results[0].result["element_count"] == len(domain)
