@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -153,3 +155,56 @@ def test_multicolumn_sum_matches_python_oracle(spark, data, total):
         1 for r in domain if sum(v or 0 for v in r) != total
     )
     assert res.results[0].result["unexpected_count"] == bad, data
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_two_sample_ks_matches_python_oracle(spark, data):
+    """The one-pass split-histogram KS (both windows in ONE conditional
+    agg) must equal the from-scratch binned ECDF statistic."""
+    df = spark.createDataFrame(data, "v int, is_base boolean")
+    bins = [0, 1, 2, 3, 4, 5]
+    suite = ExpectationSuite("prop").add(
+        "expect_column_two_sample_ks_to_be_less_than",
+        column="v",
+        baseline_condition="is_base",
+        threshold=0.5,
+        bins=bins,
+    )
+    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    got = res.results[0].result["observed_value"]
+
+    def side(flag):
+        return [v for v, b in data if v is not None and b == flag]
+
+    base, cur = side(True), side(False)
+
+    def hist(vals):
+        counts = [0] * (len(bins) - 1)
+        for v in vals:
+            for i in range(len(bins) - 1):
+                lo, hi = bins[i], bins[i + 1]
+                last = i == len(bins) - 2
+                if lo <= v < hi or (last and lo <= v <= hi):
+                    counts[i] += 1
+                    break
+        return counts
+
+    hb, hc = hist(base), hist(cur)
+    tb, tc = len(base) or 1, len(cur) or 1
+    rb = rc = 0.0
+    stat = 0.0
+    for pb, pc in zip(hb, hc):
+        rb += pb / tb
+        rc += pc / tc
+        stat = max(stat, abs(rb - rc))
+    assert got == pytest.approx(stat, abs=1e-12), (data, got, stat)
