@@ -181,8 +181,12 @@ def submit(workers: int, cores: int, zip_path: str) -> dict:
         os.path.abspath(__file__), "--inner",
     ]
     t0 = _cpu_ticks()
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         check=True, timeout=1800)
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, check=True,
+        # a 10^8-turn corpus at a single 1-core executor legitimately
+        # runs ~45 min per JVM (count + REPEATS passes)
+        timeout=int(os.environ.get("SPARK_GRAFT_SUBMIT_TIMEOUT", "1800")),
+    )
     t1 = _cpu_ticks()
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
