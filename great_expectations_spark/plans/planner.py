@@ -345,6 +345,13 @@ class SuiteValidator:
             "run_id": run_id or str(uuid.uuid4()),
             "validation_time": started.isoformat(),
             "validation_duration_sec": (finished - started).total_seconds(),
+            # reference result-meta shape (validator.py meta: batch_spec /
+            # batch_markers always present); callers with real lineage
+            # (fluent assets, checkpoint runner) override via batch_meta
+            "batch_spec": {"type": "runtime_dataframe"},
+            "batch_markers": {
+                "ge_load_time": started.strftime("%Y%m%dT%H%M%S.%fZ")
+            },
             **(batch_meta or {}),
         }
         return ExpectationSuiteValidationResult(

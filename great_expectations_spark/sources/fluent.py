@@ -38,6 +38,34 @@ class DataAsset:
     def build_batch(self) -> DataFrame:
         return load_batch(self.spark, self.spec)
 
+    def batch_spec_meta(self) -> Dict[str, Any]:
+        """Result-meta lineage for batches built from this asset — the
+        reference's ``meta["batch_spec"]`` (path/table/format/options)."""
+        spec: Dict[str, Any] = {"asset_name": self.name}
+        if self.spec.path is not None:
+            spec["path"] = self.spec.path
+        if self.spec.table is not None:
+            spec["table"] = self.spec.table
+        if self.spec.format is not None:
+            spec["format"] = self.spec.format
+        if self.spec.reader_options:
+            spec["reader_options"] = dict(self.spec.reader_options)
+        if self.spec.dataframe is not None:
+            spec["type"] = "runtime_dataframe"
+        return {"batch_spec": spec}
+
+    def validate(self, suite, validator=None, **validate_kwargs):
+        """Build the batch and validate it, stamping the asset's
+        batch_spec lineage into the result meta."""
+        from great_expectations_spark.plans.planner import SuiteValidator
+
+        v = validator or SuiteValidator()
+        batch_meta = dict(validate_kwargs.pop("batch_meta", {}) or {})
+        merged = {**self.batch_spec_meta(), **batch_meta}
+        return v.validate(
+            self.build_batch(), suite, batch_meta=merged, **validate_kwargs
+        )
+
     # -- splitter / sampler passthroughs (reference splitter parity:
     # batch_identifiers select ONE batch from the split) ------------------
 

@@ -107,6 +107,36 @@ def test_fluent_datasource(spark, tmp_path):
         ds.add_parquet_asset("t", path)
 
 
+def test_asset_validate_stamps_batch_spec_lineage(spark, tmp_path):
+    """asset.validate() puts the asset's batch_spec in the result meta
+    (reference meta shape: batch_spec + batch_markers always present);
+    a bare SuiteValidator.validate gets the runtime_dataframe default."""
+    from great_expectations_spark import (
+        Datasource,
+        ExpectationSuite,
+        SuiteValidator,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "id int")
+    path = str(tmp_path / "ids.parquet")
+    df.write.mode("overwrite").parquet(path)
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_not_be_null", column="id"
+    )
+
+    asset = Datasource("lake", spark).add_parquet_asset("ids", path)
+    res = asset.validate(suite, result_format="BASIC")
+    assert res.meta["batch_spec"]["path"] == path
+    assert res.meta["batch_spec"]["format"] == "parquet"
+    assert res.meta["batch_spec"]["asset_name"] == "ids"
+    assert "ge_load_time" in res.meta["batch_markers"]
+    assert res.results[0].result["unexpected_count"] == 1
+
+    bare = SuiteValidator().validate(df, suite, result_format="BASIC")
+    assert bare.meta["batch_spec"] == {"type": "runtime_dataframe"}
+    assert "ge_load_time" in bare.meta["batch_markers"]
+
+
 def test_cloud_batch_spec_conf_plumbing(spark, tmp_path):
     from great_expectations_spark.sources.readers import (
         BatchSpec,
