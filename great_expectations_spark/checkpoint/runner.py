@@ -507,9 +507,18 @@ def validate_by_partition(
             results=results,
             statistics=build_suite_statistics(results),
             meta={
+                "expectation_suite_name": suite.expectation_suite_name,
                 "partition_column": partition_column,
                 "partition_id": str(part),
                 "strategy": "single_pass_grouped",
+                # same meta shape as SuiteValidator.validate: lineage keys
+                # always present
+                "batch_spec": {
+                    "type": "partition",
+                    "partition_column": partition_column,
+                    "partition_id": str(part),
+                },
+                "batch_markers": {},
             },
         )
     return out
