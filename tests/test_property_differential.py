@@ -18,7 +18,6 @@ missing).
 from __future__ import annotations
 
 import math
-import re
 
 import pytest
 from hypothesis import HealthCheck, given, settings
