@@ -77,9 +77,10 @@ def histogram_counts(
     column: str,
     bins: List[float],
     domain: Optional[Column] = None,
+    include_min_max: bool = False,
 ) -> Dict[str, Any]:
     """One-pass histogram: per-bucket conditional sums + tail counts +
-    nonnull count in a single agg."""
+    nonnull count (+ optional min/max) in a single agg."""
     col = F.col(column)
     scoped = _apply_domain(df, domain).filter(col.isNotNull())
     aggs = [
@@ -87,6 +88,9 @@ def histogram_counts(
         F.sum(F.when(col < F.lit(bins[0]), 1).otherwise(0)).alias("below"),
         F.sum(F.when(col > F.lit(bins[-1]), 1).otherwise(0)).alias("above"),
     ]
+    if include_min_max:
+        aggs.append(F.min(col).alias("min"))
+        aggs.append(F.max(col).alias("max"))
     n = len(bins) - 1
     for i in range(n):
         lo, hi = bins[i], bins[i + 1]
@@ -96,12 +100,16 @@ def histogram_counts(
             cond = (col >= F.lit(lo)) & (col < F.lit(hi))
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i}"))
     row = scoped.agg(*aggs).first()
-    return {
+    out = {
         "nonnull_count": int(row["nonnull_count"] or 0),
         "below": int(row["below"] or 0),
         "above": int(row["above"] or 0),
         "counts": [int(row[f"b{i}"] or 0) for i in range(n)],
     }
+    if include_min_max:
+        out["min"] = None if row["min"] is None else float(row["min"])
+        out["max"] = None if row["max"] is None else float(row["max"])
+    return out
 
 
 def build_continuous_partition_object(
@@ -379,9 +387,16 @@ def _chisquare(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run)
 
 
-# --- KS vs an expected continuous partition (reference's bootstrapped KS is
-# pandas-only, column_bootstrapped_ks_test_p_value.py:26-133; ours is the
-# scale path: sup |ECDF - CDF| on the partition's bin grid) ---------------
+# --- bootstrapped KS vs an expected continuous partition (reference
+# column_bootstrapped_ks_test_p_value.py:26-133, pandas-only there).
+# Scale split: the DISTRIBUTED part is one histogram agg (below / per-bin
+# / above / min / max in a single pass); the bootstrap itself resamples
+# from that binned empirical distribution DRIVER-SIDE with a seeded RNG —
+# the reference's np.random.choice over the raw column would require
+# collecting the column, which does not survive 100 TB.  Within-bin
+# placement is uniform (piecewise-linear ECDF inverse), which matches the
+# reference's value-level resampling up to bin resolution — the same
+# resolution the partition object itself imposes. ------------------------
 
 
 @register_dist("expect_column_bootstrapped_ks_test_p_value_to_be_greater_than")
@@ -391,30 +406,115 @@ def _ks_test(kwargs: Dict[str, Any]) -> CompiledJob:
     p_threshold = float(kwargs.get("p", 0.05))
 
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        import math as _math
+
+        import numpy as np
+
         if not is_valid_continuous_partition_object(partition):
-            raise ValueError("KS test needs a continuous partition_object")
+            raise ValueError("Invalid continuous partition object.")
         bins = [float(b) for b in partition["bins"]]
-        hist = histogram_counts(df, column, bins, domain)
-        total = hist["nonnull_count"] or 1
-        # ECDF and expected CDF at every bin edge
-        ecdf, cdf = [], []
-        run_obs = hist["below"] / total
-        tail_lo = (partition.get("tail_weights") or [0.0, 0.0])[0]
-        run_exp = tail_lo
-        ecdf.append(run_obs)
-        cdf.append(run_exp)
-        for c, w in zip(hist["counts"], partition["weights"]):
+        # reference parity: bootstrapping against an unbounded or
+        # tail-weighted partition is ill-defined
+        if _math.isinf(bins[0]) or _math.isinf(bins[-1]):
+            raise ValueError("Partition endpoints must be finite.")
+        if sum(partition.get("tail_weights") or []) > 0:
+            raise ValueError(
+                "Partition cannot have tail weights -- endpoints must "
+                "be finite."
+            )
+        weights = [float(w) for w in partition["weights"]]
+        n_samples = int(kwargs.get("bootstrap_samples") or 1000)
+        sample_size = int(
+            kwargs.get("bootstrap_sample_size") or 2 * len(weights)
+        )
+
+        hist = histogram_counts(
+            df, column, bins, domain, include_min_max=True
+        )
+        total = hist["nonnull_count"]
+        if total == 0:
+            return {
+                "success": False,
+                "result": {
+                    "observed_value": None,
+                    "details": {"element_count": 0},
+                },
+            }
+
+        # piecewise-linear empirical sampler: segments are [min, bins[0])
+        # below-mass, each partition bin, (bins[-1], max] above-mass
+        seg_lo = ([hist["min"]] if hist["below"] else []) + bins[:-1] + (
+            [bins[-1]] if hist["above"] else []
+        )
+        seg_hi = ([bins[0]] if hist["below"] else []) + bins[1:] + (
+            [hist["max"]] if hist["above"] else []
+        )
+        seg_n = (
+            ([hist["below"]] if hist["below"] else [])
+            + hist["counts"]
+            + ([hist["above"]] if hist["above"] else [])
+        )
+        seg_p = np.asarray(seg_n, dtype=float) / total
+
+        test_cdf = np.append([0.0], np.cumsum(weights))
+        rng = np.random.default_rng(int(kwargs.get("seed", 874991)))
+        segs = rng.choice(len(seg_p), size=(n_samples, sample_size), p=seg_p)
+        u = rng.random((n_samples, sample_size))
+        lo = np.asarray(seg_lo)[segs]
+        hi = np.asarray(seg_hi)[segs]
+        samples = np.sort(lo + u * (hi - lo), axis=1)
+
+        # one-sample KS of each bootstrap sample vs the interpolated
+        # partition CDF (0 below, 1 above — reference estimated_cdf)
+        cdf_at = np.clip(
+            np.interp(samples, bins, test_cdf, left=0.0, right=1.0), 0, 1
+        )
+        i = np.arange(1, sample_size + 1) / sample_size
+        d_plus = np.max(np.abs(cdf_at - i), axis=1)
+        d_minus = np.max(
+            np.abs(cdf_at - (np.arange(sample_size) / sample_size)), axis=1
+        )
+        stats_ = np.maximum(d_plus, d_minus)
+        p_values = np.asarray(
+            [gxstats.ks_p_value(float(s), sample_size) for s in stats_]
+        )
+        test_result = (1 + int((p_values >= p_threshold).sum())) / (
+            n_samples + 1
+        )
+
+        # full-sample sup-statistic on the bin grid, kept for diagnostics
+        ecdf, cdf = [hist["below"] / total], [0.0]
+        run_obs, run_exp = ecdf[0], 0.0
+        for c, w in zip(hist["counts"], weights):
             run_obs += c / total
             run_exp += w
             ecdf.append(run_obs)
             cdf.append(run_exp)
-        test = gxstats.ks_two_sample_from_cdfs(ecdf, cdf, total, float("inf"))
-        p_value = gxstats.ks_p_value(test["statistic"], total)
+        sup = gxstats.ks_two_sample_from_cdfs(
+            ecdf, cdf, total, float("inf")
+        )["statistic"]
+
         return {
-            "success": bool(p_value > p_threshold),
+            "success": bool(test_result > p_threshold),
             "result": {
-                "observed_value": p_value,
-                "details": {"statistic": test["statistic"]},
+                "observed_value": test_result,
+                "details": {
+                    "statistic": sup,
+                    "bootstrap_samples": n_samples,
+                    "bootstrap_sample_size": sample_size,
+                    "expected_partition": {
+                        "bins": bins,
+                        "weights": weights,
+                    },
+                    "observed_partition": {
+                        "bins": (
+                            ([hist["min"]] if hist["below"] else [])
+                            + bins
+                            + ([hist["max"]] if hist["above"] else [])
+                        ),
+                        "weights": [n / total for n in seg_n],
+                    },
+                },
             },
         }
 
