@@ -168,6 +168,82 @@ def build_categorical_partition_object(
     }
 
 
+def histogram_counts_grouped(
+    df: DataFrame,
+    column: str,
+    bins: List[float],
+    domain: Optional[Column],
+    partition_column: str,
+    include_min_max: bool = False,
+) -> Dict[Any, Dict[str, Any]]:
+    """Per-partition one-sample histograms in ONE grouped agg job (same
+    aggregates as :func:`histogram_counts`, keyed by partition).  Driver
+    transfer: one fixed-width row per partition."""
+    col = F.col(column)
+    scoped = _apply_domain(df, domain).filter(col.isNotNull())
+    aggs = [
+        F.count(F.lit(1)).alias("nonnull_count"),
+        F.sum(F.when(col < F.lit(bins[0]), 1).otherwise(0)).alias("below"),
+        F.sum(F.when(col > F.lit(bins[-1]), 1).otherwise(0)).alias("above"),
+    ]
+    if include_min_max:
+        aggs.append(F.min(col).alias("min"))
+        aggs.append(F.max(col).alias("max"))
+    n = len(bins) - 1
+    for i in range(n):
+        lo, hi = bins[i], bins[i + 1]
+        if i == n - 1:
+            cond = (col >= F.lit(lo)) & (col <= F.lit(hi))
+        else:
+            cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i}"))
+    out: Dict[Any, Dict[str, Any]] = {}
+    for row in scoped.groupBy(partition_column).agg(*aggs).collect():
+        stats = {
+            "nonnull_count": int(row["nonnull_count"] or 0),
+            "below": int(row["below"] or 0),
+            "above": int(row["above"] or 0),
+            "counts": [int(row[f"b{i}"] or 0) for i in range(n)],
+        }
+        if include_min_max:
+            stats["min"] = None if row["min"] is None else float(row["min"])
+            stats["max"] = None if row["max"] is None else float(row["max"])
+        out[row[partition_column]] = stats
+    return out
+
+
+def categorical_partitions_grouped(
+    df: DataFrame,
+    column: str,
+    domain: Optional[Column],
+    partition_column: str,
+) -> Dict[Any, Dict[str, Any]]:
+    """Per-partition categorical partition objects from ONE
+    groupBy(partition, value).count() job (cardinality-capped like the
+    whole-table builder; the cap applies to the total number of
+    (partition, value) pairs collected)."""
+    rows = _collect_categories_capped(
+        _apply_domain(df, domain)
+        .filter(F.col(column).isNotNull())
+        .groupBy(partition_column, column)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(partition_column, column),
+        column,
+    )
+    by_part: Dict[Any, List[Any]] = {}
+    for r in rows:
+        by_part.setdefault(r[partition_column], []).append(r)
+    out: Dict[Any, Dict[str, Any]] = {}
+    for part, part_rows in by_part.items():
+        total = sum(r["count"] for r in part_rows) or 1
+        out[part] = {
+            "values": [r[column] for r in part_rows],
+            "weights": [r["count"] / total for r in part_rows],
+            "n": sum(r["count"] for r in part_rows),
+        }
+    return out
+
+
 # --- KL divergence (ref: expect_column_kl_divergence_to_be_less_than.py:
 # 378-640 — tail_weight_holdout split across tails, internal_weight_holdout
 # over zero-weight internal bins) -----------------------------------------
@@ -217,103 +293,7 @@ def _kl_divergence(kwargs: Dict[str, Any]) -> CompiledJob:
                 "carry explicit tail_weights"
             )
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        nonlocal partition
-        if partition is None:
-            # auto-profile: build the expected partition from the data
-            # itself (reference 'auto' partition support)
-            partition = build_continuous_partition_object(
-                df, column, bins=10, method="quantile", domain=domain
-            )
-        if is_valid_categorical_partition_object(partition):
-            observed = build_categorical_partition_object(df, column, domain)
-            expected_map = dict(zip(partition["values"], partition["weights"]))
-            values = list(observed["values"])
-            pk = list(observed["weights"])
-            # membership, not weight magnitude, decides known vs unknown:
-            # the reference scales EVERY known expected weight by
-            # (1 - holdout) and gives each unknown category an equal share
-            # of the holdout (kl_divergence...py:480-485)
-            known = [v in expected_map for v in values]
-            n_unknown = sum(1 for k in known if not k)
-            if tail_holdout > 0 and n_unknown > 0:
-                qk = [
-                    expected_map[v] * (1.0 - tail_holdout)
-                    if k
-                    else tail_holdout / n_unknown
-                    for v, k in zip(values, known)
-                ]
-            else:
-                qk = [expected_map[v] if k else 0.0 for v, k in zip(values, known)]
-            kl = gxstats.kl_divergence(pk, qk)
-            observed_detail: Dict[str, Any] = {
-                "observed_partition": observed,
-                "expected_partition": partition,
-            }
-        elif is_valid_continuous_partition_object(partition):
-            # mirrors the reference's holdout/tail algebra exactly
-            # (expect_column_kl_divergence_to_be_less_than.py:525-700)
-            bins = [float(b) for b in partition["bins"]]
-            hist = histogram_counts(df, column, bins, domain)
-            total = hist["nonnull_count"] or 1
-            observed = [c / total for c in hist["counts"]]
-            below = hist["below"] / total
-            above = hist["above"] / total
-            expected = [
-                w * (1.0 - tail_holdout - internal_holdout)
-                for w in partition["weights"]
-            ]
-            if internal_holdout > 0:
-                zero_bins = sum(1 for q in expected if q == 0.0)
-                if zero_bins:
-                    expected = [
-                        q if q > 0 else internal_holdout / zero_bins
-                        for q in expected
-                    ]
-            lo_inf, hi_inf = math.isinf(bins[0]), math.isinf(bins[-1])
-            if lo_inf and hi_inf:
-                exp_tails = [expected[0], expected[-1]]
-                expected = expected[1:-1]
-                obs_tails = [observed[0], observed[-1]]
-                observed = observed[1:-1]
-                detail_bins = bins[1:-1]
-            elif lo_inf:
-                exp_tails = [expected[0], tail_holdout]
-                expected = expected[1:]
-                obs_tails = [observed[0], above]
-                observed = observed[1:]
-                detail_bins = bins[1:]
-            elif hi_inf:
-                exp_tails = [tail_holdout, expected[-1]]
-                expected = expected[:-1]
-                obs_tails = [below, observed[-1]]
-                observed = observed[:-1]
-                detail_bins = bins[:-1]
-            else:
-                if "tail_weights" in partition:
-                    exp_tails = list(partition["tail_weights"])
-                else:
-                    exp_tails = [tail_holdout / 2, tail_holdout / 2]
-                obs_tails = [below, above]
-                detail_bins = bins
-            kl = gxstats.kl_divergence(
-                observed + obs_tails, expected + exp_tails
-            )
-            observed_detail = {
-                "observed_partition": {
-                    "bins": detail_bins,
-                    "weights": observed,
-                    "tail_weights": obs_tails,
-                },
-                "expected_partition": {
-                    "bins": detail_bins,
-                    "weights": expected,
-                    "tail_weights": exp_tails,
-                },
-            }
-        else:
-            raise ValueError("invalid partition_object")
-
+    def _result(kl: float, observed_detail: Dict[str, Any]) -> Dict[str, Any]:
         if threshold is None:
             # null threshold: informational run, always succeeds
             success = True
@@ -330,7 +310,149 @@ def _kl_divergence(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def finish_categorical(observed: Dict[str, Any]) -> Dict[str, Any]:
+        expected_map = dict(zip(partition["values"], partition["weights"]))
+        values = list(observed["values"])
+        pk = list(observed["weights"])
+        # membership, not weight magnitude, decides known vs unknown:
+        # the reference scales EVERY known expected weight by
+        # (1 - holdout) and gives each unknown category an equal share
+        # of the holdout (kl_divergence...py:480-485)
+        known = [v in expected_map for v in values]
+        n_unknown = sum(1 for k in known if not k)
+        if tail_holdout > 0 and n_unknown > 0:
+            qk = [
+                expected_map[v] * (1.0 - tail_holdout)
+                if k
+                else tail_holdout / n_unknown
+                for v, k in zip(values, known)
+            ]
+        else:
+            qk = [expected_map[v] if k else 0.0 for v, k in zip(values, known)]
+        kl = gxstats.kl_divergence(pk, qk)
+        return _result(
+            kl,
+            {
+                "observed_partition": {
+                    "values": observed["values"],
+                    "weights": observed["weights"],
+                },
+                "expected_partition": partition,
+            },
+        )
+
+    def finish_continuous(hist: Dict[str, Any]) -> Dict[str, Any]:
+        # mirrors the reference's holdout/tail algebra exactly
+        # (expect_column_kl_divergence_to_be_less_than.py:525-700)
+        bins = [float(b) for b in partition["bins"]]
+        total = hist["nonnull_count"] or 1
+        observed = [c / total for c in hist["counts"]]
+        below = hist["below"] / total
+        above = hist["above"] / total
+        expected = [
+            w * (1.0 - tail_holdout - internal_holdout)
+            for w in partition["weights"]
+        ]
+        if internal_holdout > 0:
+            zero_bins = sum(1 for q in expected if q == 0.0)
+            if zero_bins:
+                expected = [
+                    q if q > 0 else internal_holdout / zero_bins
+                    for q in expected
+                ]
+        lo_inf, hi_inf = math.isinf(bins[0]), math.isinf(bins[-1])
+        if lo_inf and hi_inf:
+            exp_tails = [expected[0], expected[-1]]
+            expected = expected[1:-1]
+            obs_tails = [observed[0], observed[-1]]
+            observed = observed[1:-1]
+            detail_bins = bins[1:-1]
+        elif lo_inf:
+            exp_tails = [expected[0], tail_holdout]
+            expected = expected[1:]
+            obs_tails = [observed[0], above]
+            observed = observed[1:]
+            detail_bins = bins[1:]
+        elif hi_inf:
+            exp_tails = [tail_holdout, expected[-1]]
+            expected = expected[:-1]
+            obs_tails = [below, observed[-1]]
+            observed = observed[:-1]
+            detail_bins = bins[:-1]
+        else:
+            if "tail_weights" in partition:
+                exp_tails = list(partition["tail_weights"])
+            else:
+                exp_tails = [tail_holdout / 2, tail_holdout / 2]
+            obs_tails = [below, above]
+            detail_bins = bins
+        kl = gxstats.kl_divergence(
+            observed + obs_tails, expected + exp_tails
+        )
+        return _result(
+            kl,
+            {
+                "observed_partition": {
+                    "bins": detail_bins,
+                    "weights": observed,
+                    "tail_weights": obs_tails,
+                },
+                "expected_partition": {
+                    "bins": detail_bins,
+                    "weights": expected,
+                    "tail_weights": exp_tails,
+                },
+            },
+        )
+
+    def _resolve_partition(df: DataFrame, domain) -> None:
+        nonlocal partition
+        if partition is None:
+            # auto-profile: build the expected partition from the data
+            # itself (reference 'auto' partition support); in grouped mode
+            # this resolves ONCE over the whole table so every partition
+            # is scored against the same bin edges
+            partition = build_continuous_partition_object(
+                df, column, bins=10, method="quantile", domain=domain
+            )
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        _resolve_partition(df, domain)
+        if is_valid_categorical_partition_object(partition):
+            return finish_categorical(
+                build_categorical_partition_object(df, column, domain)
+            )
+        if is_valid_continuous_partition_object(partition):
+            bins = [float(b) for b in partition["bins"]]
+            return finish_continuous(
+                histogram_counts(df, column, bins, domain)
+            )
+        raise ValueError("invalid partition_object")
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # the 10^12-row strategy: every partition's KL in ONE grouped job
+        _resolve_partition(df, domain)
+        if is_valid_categorical_partition_object(partition):
+            groups = categorical_partitions_grouped(
+                df, column, domain, partition_column
+            )
+            return {
+                part: finish_categorical(obs)
+                for part, obs in groups.items()
+            }
+        if is_valid_continuous_partition_object(partition):
+            bins = [float(b) for b in partition["bins"]]
+            hists = histogram_counts_grouped(
+                df, column, bins, domain, partition_column
+            )
+            return {
+                part: finish_continuous(h) for part, h in hists.items()
+            }
+        raise ValueError("invalid partition_object")
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 # --- chi-square goodness-of-fit (pandas-only in the reference,
@@ -344,10 +466,7 @@ def _chisquare(kwargs: Dict[str, Any]) -> CompiledJob:
     p_threshold = float(kwargs.get("p", 0.05))
     tail_holdout = float(kwargs.get("tail_weight_holdout", 0.0))
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        if not is_valid_categorical_partition_object(partition):
-            raise ValueError("chisquare test needs a categorical partition_object")
-        observed = build_categorical_partition_object(df, column, domain)
+    def finish(observed: Dict[str, Any], n: int) -> Dict[str, Any]:
         obs_map = dict(zip(observed["values"], observed["weights"]))
         all_values = list(
             dict.fromkeys(list(partition["values"]) + list(observed["values"]))
@@ -366,25 +485,47 @@ def _chisquare(kwargs: Dict[str, Any]) -> CompiledJob:
                     for e, v in zip(exp, all_values)
                 ]
         # scale to counts for the chi2 statistic
-        n = (
-            _apply_domain(df, domain)
-            .filter(F.col(column).isNotNull())
-            .count()
-        )
         test = gxstats.chi2_test([o * n for o in obs], [e * n for e in exp])
         return {
             "success": bool(test["p_value"] > p_threshold),
             "result": {
                 "observed_value": test["p_value"],
                 "details": {
-                    "observed_partition": observed,
+                    "observed_partition": {
+                        "values": observed["values"],
+                        "weights": observed["weights"],
+                    },
                     "expected_partition": partition,
                     "statistic": test["statistic"],
                 },
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        if not is_valid_categorical_partition_object(partition):
+            raise ValueError("chisquare test needs a categorical partition_object")
+        observed = build_categorical_partition_object(df, column, domain)
+        n = (
+            _apply_domain(df, domain)
+            .filter(F.col(column).isNotNull())
+            .count()
+        )
+        return finish(observed, n)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # every partition's GoF chi-square from ONE grouped count job
+        if not is_valid_categorical_partition_object(partition):
+            raise ValueError("chisquare test needs a categorical partition_object")
+        groups = categorical_partitions_grouped(
+            df, column, domain, partition_column
+        )
+        return {
+            part: finish(obs, obs["n"]) for part, obs in groups.items()
+        }
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 # --- bootstrapped KS vs an expected continuous partition (reference
@@ -405,10 +546,8 @@ def _ks_test(kwargs: Dict[str, Any]) -> CompiledJob:
     partition = kwargs["partition_object"]
     p_threshold = float(kwargs.get("p", 0.05))
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+    def _validate_partition() -> List[float]:
         import math as _math
-
-        import numpy as np
 
         if not is_valid_continuous_partition_object(partition):
             raise ValueError("Invalid continuous partition object.")
@@ -422,14 +561,15 @@ def _ks_test(kwargs: Dict[str, Any]) -> CompiledJob:
                 "Partition cannot have tail weights -- endpoints must "
                 "be finite."
             )
+        return bins
+
+    def finish(hist: Dict[str, Any], bins: List[float]) -> Dict[str, Any]:
+        import numpy as np
+
         weights = [float(w) for w in partition["weights"]]
         n_samples = int(kwargs.get("bootstrap_samples") or 1000)
         sample_size = int(
             kwargs.get("bootstrap_sample_size") or 2 * len(weights)
-        )
-
-        hist = histogram_counts(
-            df, column, bins, domain, include_min_max=True
         )
         total = hist["nonnull_count"]
         if total == 0:
@@ -483,9 +623,10 @@ def _ks_test(kwargs: Dict[str, Any]) -> CompiledJob:
         )
 
         # full-sample sup-statistic on the bin grid, kept for diagnostics
+        weights_f = weights
         ecdf, cdf = [hist["below"] / total], [0.0]
         run_obs, run_exp = ecdf[0], 0.0
-        for c, w in zip(hist["counts"], weights):
+        for c, w in zip(hist["counts"], weights_f):
             run_obs += c / total
             run_exp += w
             ecdf.append(run_obs)
@@ -518,7 +659,24 @@ def _ks_test(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        bins = _validate_partition()
+        hist = histogram_counts(
+            df, column, bins, domain, include_min_max=True
+        )
+        return finish(hist, bins)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # every partition's bootstrapped KS from ONE grouped histogram job
+        bins = _validate_partition()
+        hists = histogram_counts_grouped(
+            df, column, bins, domain, partition_column, include_min_max=True
+        )
+        return {part: finish(h, bins) for part, h in hists.items()}
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 # --- two-sample drift (ours; north-star KS/PSI on turn length & role mix).

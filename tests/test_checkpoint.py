@@ -262,6 +262,70 @@ def _job_suite(dim):
     )
 
 
+def test_grouped_one_sample_distribution_matches_per_partition(
+    spark, transcripts
+):
+    """The one-sample distribution family (KL continuous + categorical,
+    chi-square GoF, bootstrapped KS) evaluates per-partition via the new
+    O(1) grouped hooks and must match the full validator run partition by
+    partition — including the seeded bootstrap (same seed per partition
+    on both paths)."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.operators.distribution import (
+        build_categorical_partition_object,
+        build_continuous_partition_object,
+    )
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    cont = build_continuous_partition_object(
+        transcripts, "turn_idx", bins=6
+    )
+    cont_finite = dict(cont)
+    cont_finite.pop("tail_weights", None)
+    cat = build_categorical_partition_object(transcripts, "role")
+    suite = (
+        ExpectationSuite("dist")
+        .add(
+            "expect_column_kl_divergence_to_be_less_than",
+            column="turn_idx",
+            partition_object=cont,
+            threshold=2.0,
+        )
+        .add(
+            "expect_column_kl_divergence_to_be_less_than",
+            column="role",
+            partition_object=cat,
+            threshold=2.0,
+        )
+        .add(
+            "expect_column_chisquare_test_p_value_to_be_greater_than",
+            column="role",
+            partition_object=cat,
+            p=0.0,
+        )
+        .add(
+            "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+            column="turn_idx",
+            partition_object=cont_finite,
+            p=0.05,
+        )
+    )
+    grouped = validate_by_partition(transcripts, suite, "day")
+    assert len(grouped) == 30
+    v = SuiteValidator()
+    for day in sorted(grouped)[:3]:
+        full = v.validate(
+            transcripts.filter(F.col("day") == day), suite, "BASIC"
+        )
+        for gr, fr in zip(grouped[day].results, full.results):
+            et = gr.expectation_config["expectation_type"]
+            assert gr.success == fr.success, (day, et)
+            assert gr.result["observed_value"] == pytest.approx(
+                fr.result["observed_value"]
+            ), (day, et)
+
+
 def test_grouped_job_expectations_match_per_partition(spark, transcripts):
     """Referential + drift expectations evaluate per-partition via the O(1)
     grouped hooks and must match the full validator run partition by
