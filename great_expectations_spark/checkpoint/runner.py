@@ -261,7 +261,9 @@ def validate_by_partition(
     Bundled counters: one groupBy(partition).agg(...) job.  Each window
     expectation adds one grouped two-phase job.  Schema checks evaluate
     once and fan out.  Job expectations with a ``grouped`` hook
-    (referential exist-in-other-table, two-sample KS/PSI/chi² drift) run
+    (referential exist-in-other-table, two-sample KS/PSI/chi² drift, and
+    the one-sample distribution family — KL divergence, chi-square GoF,
+    bootstrapped KS) run
     in O(1) grouped jobs covering every partition at once; job
     expectations without one (user SQL templates) fall back to one
     partition-filtered job per partition — at high partition counts
