@@ -983,16 +983,9 @@ def _cramers_phi(kwargs: Dict[str, Any]) -> CompiledJob:
     column_a, column_b = kwargs["column_A"], kwargs["column_B"]
     threshold = float(kwargs.get("threshold", 0.1))
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+    def finish(rows: List[Any]) -> Dict[str, Any]:
         import numpy as np
 
-        rows = _collect_categories_capped(
-            _apply_domain(df, domain)
-            .filter(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
-            .groupBy(column_a, column_b)
-            .agg(F.count(F.lit(1)).alias("n")),
-            f"({column_a}, {column_b})",
-        )
         if not rows:
             return {"success": True, "result": {"observed_value": 0.0}}
         a_vals = sorted({r[column_a] for r in rows}, key=str)
@@ -1016,7 +1009,33 @@ def _cramers_phi(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        rows = _collect_categories_capped(
+            _apply_domain(df, domain)
+            .filter(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
+            .groupBy(column_a, column_b)
+            .agg(F.count(F.lit(1)).alias("n")),
+            f"({column_a}, {column_b})",
+        )
+        return finish(rows)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # every partition's contingency table from ONE grouped count job
+        rows = _collect_categories_capped(
+            _apply_domain(df, domain)
+            .filter(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
+            .groupBy(partition_column, column_a, column_b)
+            .agg(F.count(F.lit(1)).alias("n")),
+            f"({partition_column}, {column_a}, {column_b})",
+        )
+        by_part: Dict[Any, List[Any]] = {}
+        for r in rows:
+            by_part.setdefault(r[partition_column], []).append(r)
+        return {part: finish(rs) for part, rs in by_part.items()}
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 def _make_cdf(distribution: str, params: Any):
@@ -1125,6 +1144,9 @@ def _parameterized_ks(kwargs: Dict[str, Any]) -> CompiledJob:
             statistic = max(
                 abs(p - cdf(float(x))) for p, x in zip(probs, row["q"])
             )
+        return _finish(statistic, n)
+
+    def _finish(statistic: float, n: int) -> Dict[str, Any]:
         p_value = gxstats.ks_p_value(statistic, n)
         return {
             "success": bool(p_value > p_threshold),
@@ -1137,7 +1159,42 @@ def _parameterized_ks(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        """Every partition's KS vs the parametric CDF in ONE grouped agg
+        (count + per-partition approx quantile grid).  Grouped mode always
+        uses the quantile-grid sup-distance — the exact small-column path
+        would collect per-partition values, which does not bound driver
+        transfer at high partition counts."""
+        col = F.col(column)
+        scoped = _apply_domain(df, domain).filter(col.isNotNull())
+        grid_n = 200
+        probs = [i / grid_n for i in range(1, grid_n)]
+        rows = (
+            scoped.groupBy(partition_column)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.percentile_approx(col, F.lit(probs), 10_000).alias("q"),
+            )
+            .collect()
+        )
+        out: Dict[Any, Dict[str, Any]] = {}
+        for row in rows:
+            n = int(row["n"])
+            if n == 0:
+                out[row[partition_column]] = {
+                    "success": True,
+                    "result": {"observed_value": 1.0},
+                }
+                continue
+            statistic = max(
+                abs(p - cdf(float(x))) for p, x in zip(probs, row["q"])
+            )
+            out[row[partition_column]] = _finish(statistic, n)
+        return out
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 def compile_distribution_expectation(

@@ -326,6 +326,48 @@ def test_grouped_one_sample_distribution_matches_per_partition(
             ), (day, et)
 
 
+def test_grouped_cramers_phi_and_parameterized_ks(
+    spark, transcripts, monkeypatch
+):
+    """Cramér's phi and parameterized KS also ride grouped O(1) jobs.
+    Parameterized KS grouped mode is grid-only, so force the whole-table
+    path onto the grid too (cap=0) for exact parity."""
+    from great_expectations_spark.operators import distribution as dist
+    from great_expectations_spark.plans.planner import SuiteValidator
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(dist, "EXACT_KS_COLLECT_CAP", 0)
+    suite = (
+        ExpectationSuite("assoc")
+        .add(
+            "expect_column_pair_cramers_phi_value_to_be_less_than",
+            column_A="role",
+            column_B="tool",
+            threshold=1.1,
+        )
+        .add(
+            "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+            column="turn_idx",
+            distribution="uniform",
+            params={"min": 0, "max": 60},
+            p=0.0,
+        )
+    )
+    grouped = validate_by_partition(transcripts, suite, "day")
+    assert len(grouped) == 30
+    v = SuiteValidator()
+    for day in sorted(grouped)[:3]:
+        full = v.validate(
+            transcripts.filter(F.col("day") == day), suite, "BASIC"
+        )
+        for gr, fr in zip(grouped[day].results, full.results):
+            et = gr.expectation_config["expectation_type"]
+            assert gr.success == fr.success, (day, et)
+            assert gr.result["observed_value"] == pytest.approx(
+                fr.result["observed_value"], rel=1e-6
+            ), (day, et)
+
+
 def test_grouped_job_expectations_match_per_partition(spark, transcripts):
     """Referential + drift expectations evaluate per-partition via the O(1)
     grouped hooks and must match the full validator run partition by
