@@ -297,6 +297,39 @@ def _frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_kl_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped O(1)-job distribution hook, oracle-checked: every
+    day-partition's KL divergence of events.value against a FIXED
+    continuous partition evaluates in ONE grouped histogram agg
+    (operators/distribution.py round-4 grouped hooks), replicated by a
+    DuckDB per-day histogram + sum(p*ln(p/q)).  Bin endpoints are wide
+    enough that no mass falls outside (tails are exactly zero on both
+    engines)."""
+    from great_expectations_spark.checkpoint.runner import (
+        validate_by_partition,
+    )
+
+    df = _load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    suite = ExpectationSuite("kl").add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="value",
+        partition_object={
+            "bins": [-1e6, 100.0, 200.0, 300.0, 1e6],
+            "weights": [0.3, 0.3, 0.2, 0.2],
+            "tail_weights": [0.0, 0.0],
+        },
+        threshold=10.0,
+    )
+    out = validate_by_partition(df, suite, "day")
+    rows = [
+        (day, round(float(res.results[0].result["observed_value"]), 6))
+        for day, res in out.items()
+    ]
+    return spark.createDataFrame(rows, "day string, kl double")
+
+
 def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-algorithm oracle for the multimodal image path: synthetic
     P5 (grayscale PGM) bytes with a CLOSED-FORM pixel function are built
@@ -1205,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_orderkey": _unique_dup_rows,
         "window_samples_events": _window_samples_events,
         "image_pipeline_docs": _image_pipeline,
+        "grouped_kl_by_day": _grouped_kl_by_day,
         "frame_sample_plan_docs": _frame_sample_plan,
         "streaming_stateful_gaps": _streaming_stateful_gaps,
         "compound_unique_lineitem": _compound_unique,
@@ -1416,6 +1450,26 @@ def oracle_sql() -> dict[str, str]:
             "         ((y // 6) * 4 + (x // 8))::BIGINT AS fi,"
             "         round(avg(v) / 255.0, 7) AS val"
             "  FROM px GROUP BY doc_id, y // 6, x // 8"
+        ),
+        "grouped_kl_by_day": (
+            # per-day binned KL vs the fixed expected weights; the wide
+            # endpoints guarantee zero tail mass, and p=0 bins contribute
+            # 0 by the KL convention — matching functions/stats.py
+            "WITH h AS ("
+            "  SELECT strftime(ts, '%Y-%m-%d') AS day,"
+            "         count(*) AS total,"
+            "         count(*) FILTER (WHERE value >= -1e6 AND value < 100) AS b0,"
+            "         count(*) FILTER (WHERE value >= 100 AND value < 200) AS b1,"
+            "         count(*) FILTER (WHERE value >= 200 AND value < 300) AS b2,"
+            "         count(*) FILTER (WHERE value >= 300 AND value <= 1e6) AS b3"
+            "  FROM events WHERE value IS NOT NULL GROUP BY 1"
+            ") SELECT day,"
+            "  round("
+            "    (CASE WHEN b0 > 0 THEN (b0::DOUBLE/total) * ln((b0::DOUBLE/total) / 0.3) ELSE 0 END)"
+            "  + (CASE WHEN b1 > 0 THEN (b1::DOUBLE/total) * ln((b1::DOUBLE/total) / 0.3) ELSE 0 END)"
+            "  + (CASE WHEN b2 > 0 THEN (b2::DOUBLE/total) * ln((b2::DOUBLE/total) / 0.2) ELSE 0 END)"
+            "  + (CASE WHEN b3 > 0 THEN (b3::DOUBLE/total) * ln((b3::DOUBLE/total) / 0.2) ELSE 0 END)"
+            "  , 6) AS kl FROM h"
         ),
         "frame_sample_plan_docs": (
             # F.sequence(0, stop, step) is stop-INCLUSIVE -> generate_series
