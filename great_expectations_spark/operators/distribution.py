@@ -975,57 +975,199 @@ def _two_sample_chi2(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run, grouped=grouped)
 
 
+def _reference_category_codes(
+    values: List[Any],
+    counts: Dict[Any, int],
+    has_null: bool,
+    numeric: bool,
+    bins: Optional[List[Any]],
+    n_bins: Optional[int],
+) -> Dict[Any, Optional[str]]:
+    """Port of the reference's binning for Cramér's φ
+    (``dataset/pandas_dataset.py:558-633`` ``get_binned_values``) at the
+    distinct-value level: maps each non-null distinct value to its
+    category label.  ``None`` label = row dropped (pandas Categorical
+    code -1, i.e. a value below user-provided bins).  Nulls map to
+    "(missing)" at the call site.
+
+    Numeric columns are ALWAYS binned (equal-width ``n_bins`` edges via
+    ``np.histogram_bin_edges``, default 10, max nudged into the last
+    bin); categorical columns keep their top-``n_bins`` values and fold
+    the rest into "(other)" — unless user ``bins`` (list of value
+    groups) provide the mapping.  Tie-break for equal counts is
+    (count desc, value asc) — deterministic, and matches pandas
+    ``value_counts`` first-occurrence order on sorted fixture data."""
+    import numpy as np
+
+    if numeric:
+        vals = np.array(sorted(float(v) for v in values), dtype=float)
+        nb = 10 if n_bins is None else int(n_bins)
+        if bins is not None:
+            edges = np.array(sorted({float(x) for x in bins}), dtype=float)
+            # reference: np.min(series) is NaN when nulls exist, so the
+            # extend-to-cover-min/max step silently no-ops there
+            if not has_null and vals.size:
+                if vals.min() < edges[0]:
+                    edges = np.concatenate(([vals.min()], edges))
+                if vals.max() > edges[-1]:
+                    edges = np.concatenate((edges, [vals.max()]))
+        elif vals.size:
+            edges = np.histogram_bin_edges(vals, bins=nb)
+        else:
+            edges = np.linspace(0.0, 1.0, nb + 1)
+        edges = edges.astype(float).copy()
+        edges[-1] = np.nextafter(edges[-1], edges[-1] + 1)
+        n_interval_labels = len(edges) - 1
+        codes = np.digitize(vals, bins=edges) - 1
+        mapping: Dict[Any, Optional[str]] = {}
+        for v, code in zip(sorted(values, key=float), codes):
+            if code < 0:
+                mapping[v] = None  # below provided bins -> dropped row
+            elif code < n_interval_labels:
+                mapping[v] = f"bin_{int(code)}"
+            elif has_null and code == n_interval_labels:
+                # overflow above provided bins digitizes into the extra
+                # "(missing)" slot exactly as pandas from_codes does
+                mapping[v] = "(missing)"
+            else:
+                raise ValueError(
+                    f"value {v} falls outside the provided bins"
+                )
+        return mapping
+    if bins is not None:
+        replace: Dict[Any, str] = {}
+        for group in bins:
+            label = ", ".join(str(x) for x in group)
+            for member in group:
+                replace[member] = label
+        return {v: replace.get(v, v) for v in values}
+    nb = 10 if n_bins is None else int(n_bins)
+    if len(values) < nb + 1:
+        return {v: v for v in values}
+    ranked = sorted(values, key=lambda v: (-counts[v], str(v)))
+    keep = set(ranked[:nb])
+    return {v: (v if v in keep else "(other)") for v in values}
+
+
 @register_dist("expect_column_pair_cramers_phi_value_to_be_less_than")
 def _cramers_phi(kwargs: Dict[str, Any]) -> CompiledJob:
-    """Cramér's φ (association) between two categorical columns from ONE
-    contingency groupBy — pandas-only in the reference
-    (``self_check/util.py:2073``)."""
+    """Cramér's φ (association) between two columns from ONE contingency
+    groupBy — pandas-only in the reference (``self_check/util.py:2073``;
+    ``dataset/dataset.py:4379-4449``).  Reference-parity semantics:
+    numeric columns are binned (``bins_A/bins_B`` value lists or
+    ``n_bins_A/n_bins_B`` equal-width, default 10), nulls count as a
+    "(missing)" category, χ² uses the Yates continuity correction on 2×2
+    tables (scipy ``chi2_contingency`` default), the denominator is the
+    FULL row count, φ is clamped to [0, 1], and success is φ ≤ threshold."""
     column_a, column_b = kwargs["column_A"], kwargs["column_B"]
     threshold = float(kwargs.get("threshold", 0.1))
+    bins_a, bins_b = kwargs.get("bins_A"), kwargs.get("bins_B")
+    n_bins_a, n_bins_b = kwargs.get("n_bins_A"), kwargs.get("n_bins_B")
 
-    def finish(rows: List[Any]) -> Dict[str, Any]:
+    def _is_numeric(df: DataFrame, column: str) -> bool:
+        from pyspark.sql import types as T
+
+        dt = df.schema[column].dataType
+        # pandas bins only int/float dtypes; decimals/booleans/strings
+        # take the categorical path there (object/bool dtype)
+        return isinstance(
+            dt,
+            (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType,
+            ),
+        )
+
+    def finish(
+        rows: List[Any], numeric_a: bool, numeric_b: bool
+    ) -> Dict[str, Any]:
         import numpy as np
 
         if not rows:
             return {"success": True, "result": {"observed_value": 0.0}}
-        a_vals = sorted({r[column_a] for r in rows}, key=str)
-        b_vals = sorted({r[column_b] for r in rows}, key=str)
-        table = np.zeros((len(a_vals), len(b_vals)))
-        ai = {v: i for i, v in enumerate(a_vals)}
-        bi = {v: i for i, v in enumerate(b_vals)}
+        total_n = sum(int(r["n"]) for r in rows)
+
+        def codes_for(column, numeric, bins, n_bins):
+            counts: Dict[Any, int] = {}
+            has_null = False
+            for r in rows:
+                v = r[column]
+                if v is None:
+                    has_null = True
+                else:
+                    counts[v] = counts.get(v, 0) + int(r["n"])
+            return (
+                _reference_category_codes(
+                    list(counts), counts, has_null, numeric, bins, n_bins
+                ),
+                has_null,
+            )
+
+        map_a, _ = codes_for(column_a, numeric_a, bins_a, n_bins_a)
+        map_b, _ = codes_for(column_b, numeric_b, bins_b, n_bins_b)
+        cells: Dict[Any, int] = {}
         for r in rows:
-            table[ai[r[column_a]], bi[r[column_b]]] = r["n"]
-        n = table.sum()
-        expected = np.outer(table.sum(axis=1), table.sum(axis=0)) / n
-        mask = expected > 0
-        chi2 = float(((table - expected)[mask] ** 2 / expected[mask]).sum())
-        k = min(len(a_vals), len(b_vals))
-        phi = math.sqrt(chi2 / (n * (k - 1))) if k > 1 and n > 0 else 0.0
+            la = "(missing)" if r[column_a] is None else map_a[r[column_a]]
+            lb = "(missing)" if r[column_b] is None else map_b[r[column_b]]
+            if la is None or lb is None:
+                continue  # dropped rows still count toward total_n
+            cells[(la, lb)] = cells.get((la, lb), 0) + int(r["n"])
+        if not cells:
+            return {"success": True, "result": {"observed_value": 0.0}}
+        a_labels = sorted({a for a, _ in cells}, key=str)
+        b_labels = sorted({b for _, b in cells}, key=str)
+        table = np.zeros((len(a_labels), len(b_labels)))
+        ai = {v: i for i, v in enumerate(a_labels)}
+        bi = {v: i for i, v in enumerate(b_labels)}
+        for (a, b), n in cells.items():
+            table[ai[a], bi[b]] = n
+        # crosstab's pivot drops all-NaN rows/cols, so empty categories
+        # never reach chi2; cells-only construction is equivalent
+        t_sum = table.sum()
+        expected = np.outer(table.sum(axis=1), table.sum(axis=0)) / t_sum
+        if (expected == 0).any():
+            raise ValueError(
+                "the internally computed table of expected frequencies "
+                "has a zero element"
+            )
+        dof = (len(a_labels) - 1) * (len(b_labels) - 1)
+        observed = table.astype(float)
+        if dof == 1:
+            # Yates continuity correction, scipy chi2_contingency default
+            observed = observed + 0.5 * np.sign(expected - observed)
+        chi2 = float(((observed - expected) ** 2 / expected).sum())
+        k = min(len(a_labels), len(b_labels))
+        phi = (
+            max(min(math.sqrt(chi2 / total_n / (k - 1)), 1.0), 0.0)
+            if k > 1 and total_n > 0
+            else 0.0
+        )
         return {
-            "success": bool(phi < threshold),
+            "success": bool(phi <= threshold),
             "result": {
                 "observed_value": phi,
-                "details": {"chi2": chi2, "n": int(n)},
+                "details": {"chi2": chi2, "n": int(total_n)},
             },
         }
 
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        # nulls stay in the groupBy: they form the "(missing)" category
         rows = _collect_categories_capped(
             _apply_domain(df, domain)
-            .filter(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
             .groupBy(column_a, column_b)
             .agg(F.count(F.lit(1)).alias("n")),
             f"({column_a}, {column_b})",
         )
-        return finish(rows)
+        return finish(rows, _is_numeric(df, column_a), _is_numeric(df, column_b))
 
     def grouped(
         df: DataFrame, spark, domain, partition_column: str
     ) -> Dict[Any, Dict[str, Any]]:
         # every partition's contingency table from ONE grouped count job
+        numeric_a = _is_numeric(df, column_a)
+        numeric_b = _is_numeric(df, column_b)
         rows = _collect_categories_capped(
             _apply_domain(df, domain)
-            .filter(F.col(column_a).isNotNull() & F.col(column_b).isNotNull())
             .groupBy(partition_column, column_a, column_b)
             .agg(F.count(F.lit(1)).alias("n")),
             f"({partition_column}, {column_a}, {column_b})",
@@ -1033,7 +1175,10 @@ def _cramers_phi(kwargs: Dict[str, Any]) -> CompiledJob:
         by_part: Dict[Any, List[Any]] = {}
         for r in rows:
             by_part.setdefault(r[partition_column], []).append(r)
-        return {part: finish(rs) for part, rs in by_part.items()}
+        return {
+            part: finish(rs, numeric_a, numeric_b)
+            for part, rs in by_part.items()
+        }
 
     return CompiledJob(run=run, grouped=grouped)
 

@@ -220,7 +220,30 @@ def _query_row_count_between(kwargs: Dict[str, Any]) -> CompiledJob:
         out["result"]["details"] = {"query": rendered}
         return out
 
-    return CompiledJob(run=run)
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # every partition's COUNT(*) over its rendered query, chunked
+        # UNION ALL — exact (no per-branch limit), one row per partition
+        by_part = _grouped_query_rows(
+            df, spark, domain, partition_column, query, kwargs,
+            count_only=True,
+        )
+        out: Dict[Any, Dict[str, Any]] = {}
+        for part, rows in by_part.items():
+            observed = int(rows[0]["__gx_n"]) if rows else 0
+            vout = validate_metric_value_between(
+                observed,
+                kwargs.get("min_value"),
+                kwargs.get("max_value"),
+                bool(kwargs.get("strict_min", False)),
+                bool(kwargs.get("strict_max", False)),
+            )
+            vout["result"]["details"] = {"query": query}
+            out[part] = vout
+        return out
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 QUERY_RESULT_COLLECT_CAP = 10_000
@@ -276,6 +299,127 @@ def _run_templated_query(
     return rows, rendered
 
 
+# --- grouped user-SQL (validate_by_partition scale hook) -----------------
+# Opaque SQL can't be restructured into one grouped aggregation, but it
+# CAN be batched: render the template once per partition (each against a
+# partition-filtered temp view), tag each rendered query with its
+# partition literal, UNION ALL a chunk of them, and submit ONE Spark job
+# per chunk.  Semantics are bit-identical to the per-partition run —
+# same SQL, same view shape — while the O(partitions) scheduling term
+# drops to O(partitions / chunk).  With a partition-pruned source each
+# branch scans only its own files, so a chunk's total I/O equals the
+# per-partition total; AQE schedules the branches concurrently inside
+# the job.
+
+QUERY_GROUPED_PARTITIONS_PER_JOB = 64
+QUERY_GROUPED_PARTITION_CAP = 1_000_000
+
+
+def _sql_literal(value: Any) -> str:
+    """Render a partition value as a Spark SQL literal that round-trips
+    through collect() to the same Python value."""
+    import datetime
+
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, datetime.datetime):
+        return f"TIMESTAMP'{value.isoformat(sep=' ')}'"
+    if isinstance(value, datetime.date):
+        return f"DATE'{value.isoformat()}'"
+    escaped = str(value).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{escaped}'"
+
+
+def _grouped_query_rows(
+    df: DataFrame,
+    spark,
+    domain: Optional[Column],
+    partition_column: str,
+    query: str,
+    kwargs: Dict[str, Any],
+    count_only: bool = False,
+    per_branch_limit: Optional[int] = None,
+) -> Dict[Any, List[Any]]:
+    """Run a user-SQL template against EVERY partition in
+    O(partitions / chunk) jobs; returns {partition_value: result rows}.
+
+    ``count_only`` wraps each branch in COUNT(*) (exact, one row per
+    partition, unbounded-scale).  Otherwise each branch is LIMIT-capped
+    at ``per_branch_limit`` (default ``QUERY_RESULT_COLLECT_CAP + 1``) so
+    a chunk's collect is bounded by chunk x cap rows; partitions that
+    hit the cap are dropped from the mapping, which routes them to the
+    per-partition fallback and its exact error message."""
+    scoped = _apply_domain(df, domain)
+    parts = [
+        r[0]
+        for r in scoped.select(partition_column)
+        .distinct()
+        .limit(QUERY_GROUPED_PARTITION_CAP + 1)
+        .collect()
+    ]
+    if len(parts) > QUERY_GROUPED_PARTITION_CAP:
+        raise ValueError(
+            f"partition cardinality of {partition_column} exceeds "
+            f"{QUERY_GROUPED_PARTITION_CAP}"
+        )
+    parts.sort(key=str)
+    cap = (
+        QUERY_RESULT_COLLECT_CAP + 1
+        if per_branch_limit is None
+        else per_branch_limit
+    )
+    tmpl = _query_template_kwargs(kwargs)
+    out: Dict[Any, List[Any]] = {}
+    pcol = f"`{partition_column}`"
+    for start in range(0, len(parts), QUERY_GROUPED_PARTITIONS_PER_JOB):
+        chunk = parts[start : start + QUERY_GROUPED_PARTITIONS_PER_JOB]
+        views: List[str] = []
+        branches: List[str] = []
+        try:
+            for value in chunk:
+                lit = _sql_literal(value)
+                view = _unique_view_name()
+                cond = (
+                    f"{pcol} IS NULL" if value is None else f"{pcol} <=> {lit}"
+                )
+                scoped.filter(cond).createOrReplaceTempView(view)
+                views.append(view)
+                rendered = query.format(
+                    batch=view, active_batch=view, **tmpl
+                )
+                if count_only:
+                    branches.append(
+                        f"SELECT {lit} AS __gx_part, COUNT(*) AS __gx_n "
+                        f"FROM ({rendered}) AS __gx_q"
+                    )
+                else:
+                    branches.append(
+                        f"SELECT {lit} AS __gx_part, __gx_q.* FROM ("
+                        f"SELECT * FROM ({rendered}) AS __gx_i LIMIT {cap}"
+                        f") AS __gx_q"
+                    )
+            rows = spark.sql("\nUNION ALL\n".join(branches)).collect()
+        finally:
+            for view in views:
+                spark.catalog.dropTempView(view)
+        by_part: Dict[Any, List[Any]] = {value: [] for value in chunk}
+        for r in rows:
+            tag = r["__gx_part"]
+            if tag in by_part:
+                by_part[tag].append(r)
+            # a tag that fails to round-trip to its partition value would
+            # leave that partition absent -> per-partition fallback
+        for value, prows in by_part.items():
+            if not count_only and len(prows) >= cap:
+                continue  # over cap -> per-partition fallback
+            out[value] = prows
+    return out
+
+
 @register_query_job("expect_query_results_to_return_no_rows")
 def _query_no_rows(kwargs: Dict[str, Any]) -> CompiledJob:
     """User-SQL violation check: ANY row the query returns is a violation
@@ -284,9 +428,12 @@ def _query_no_rows(kwargs: Dict[str, Any]) -> CompiledJob:
     query = kwargs["query"]
     max_rows = int(kwargs.get("max_unexpected_rows", 0))
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        rows, rendered = _run_templated_query(df, spark, domain, query, kwargs)
-        sample = [r.asDict() for r in rows[:20]]
+    def _vout(rows: List[Any], rendered: str) -> Dict[str, Any]:
+        sample = []
+        for r in rows[:20]:
+            d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            d.pop("__gx_part", None)
+            sample.append(d)
         return {
             "success": len(rows) <= max_rows,
             "result": {
@@ -297,7 +444,26 @@ def _query_no_rows(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        rows, rendered = _run_templated_query(df, spark, domain, query, kwargs)
+        return _vout(rows, rendered)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # chunked UNION ALL, LIMIT-capped per branch; over-cap partitions
+        # fall back per-partition and raise the exact single-run error
+        by_part = _grouped_query_rows(
+            df, spark, domain, partition_column, query, kwargs
+        )
+        return {
+            part: _vout(
+                [r for r in rows], query
+            )
+            for part, rows in by_part.items()
+        }
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 @register_query_job("expect_query_value_to_be_between")
@@ -325,7 +491,32 @@ def _query_value_between(kwargs: Dict[str, Any]) -> CompiledJob:
         out["result"]["details"] = {"query": rendered}
         return out
 
-    return CompiledJob(run=run)
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # one scalar per partition via chunked UNION ALL; partitions whose
+        # query returns != 1 row are omitted -> per-partition fallback
+        # raises the exact "expected exactly one scalar" error
+        by_part = _grouped_query_rows(
+            df, spark, domain, partition_column, query, kwargs,
+            per_branch_limit=2,
+        )
+        out: Dict[Any, Dict[str, Any]] = {}
+        for part, rows in by_part.items():
+            if len(rows) != 1 or len(rows[0]) < 2:
+                continue
+            vout = validate_metric_value_between(
+                rows[0][1],  # index 0 is the __gx_part tag
+                kwargs.get("min_value"),
+                kwargs.get("max_value"),
+                bool(kwargs.get("strict_min", False)),
+                bool(kwargs.get("strict_max", False)),
+            )
+            vout["result"]["details"] = {"query": query}
+            out[part] = vout
+        return out
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 @register_query_job("expect_queried_column_value_frequency_to_meet_threshold")
@@ -343,12 +534,11 @@ def _queried_value_frequency(kwargs: Dict[str, Any]) -> CompiledJob:
         "FROM {active_batch} GROUP BY {col}"
     )
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        rows, rendered = _run_templated_query(df, spark, domain, query, kwargs)
+    def _vout(rows: List[Any], rendered: str, offset: int = 0) -> Dict[str, Any]:
         frequency = 0.0
         for r in rows:
-            if r[0] == value:
-                frequency = float(r[1])
+            if r[offset] == value:
+                frequency = float(r[offset + 1])
                 break
         return {
             "success": frequency >= threshold,
@@ -358,7 +548,24 @@ def _queried_value_frequency(kwargs: Dict[str, Any]) -> CompiledJob:
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        rows, rendered = _run_templated_query(df, spark, domain, query, kwargs)
+        return _vout(rows, rendered)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        # per-partition (value, frequency) rows via chunked UNION ALL;
+        # column 0 is the __gx_part tag, so the lookup shifts by one
+        by_part = _grouped_query_rows(
+            df, spark, domain, partition_column, query, kwargs
+        )
+        return {
+            part: _vout(rows, query, offset=1)
+            for part, rows in by_part.items()
+        }
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 # --- referential integrity (north rule; the reference can only express

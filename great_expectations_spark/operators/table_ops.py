@@ -235,7 +235,12 @@ def _in_type_list(kwargs: Dict[str, Any]) -> CompiledSchemaCheck:
 
 @register_job("expect_table_row_count_to_equal_other_table")
 def _row_count_equal_other(kwargs: Dict[str, Any]) -> CompiledJob:
-    other = kwargs.get("other_table")  # DataFrame or table name
+    # DataFrame or table/view name; ``other_table_name`` is the reference's
+    # kwarg spelling (expectations/core/expect_table_row_count_to_equal_
+    # other_table.py — sqlalchemy-only there, native here)
+    other = kwargs.get("other_table", kwargs.get("other_table_name"))
+    if other is None:
+        raise ValueError("other_table (DataFrame or table name) is required")
 
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
         other_df = other if isinstance(other, DataFrame) else spark.table(other)

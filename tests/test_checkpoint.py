@@ -447,6 +447,110 @@ def test_grouped_job_expectations_job_count_constant(spark, transcripts):
     assert jobs_many < 15, jobs_many
 
 
+def test_grouped_user_sql_matches_per_partition(spark, transcripts):
+    """All four user-SQL query expectations ride the chunked-UNION-ALL
+    grouped hook; every partition's vout must match a dedicated
+    whole-validator run on that partition's slice."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    suite = (
+        ExpectationSuite("usersql")
+        .add(
+            "expect_query_row_count_to_be_between",
+            query=(
+                "SELECT conv_id FROM {batch} WHERE text IS NULL "
+                "GROUP BY conv_id"
+            ),
+            min_value=0,
+            max_value=10_000,
+        )
+        .add(
+            "expect_query_results_to_return_no_rows",
+            query=(
+                "SELECT conv_id, turn_idx FROM {batch} "
+                "WHERE role = 'operator'"
+            ),
+            max_unexpected_rows=100_000,
+        )
+        .add(
+            "expect_query_value_to_be_between",
+            query="SELECT AVG(LENGTH(text)) FROM {batch}",
+            min_value=0.0,
+            max_value=1e9,
+        )
+        .add(
+            "expect_queried_column_value_frequency_to_meet_threshold",
+            column="role",
+            value="assistant",
+            threshold=0.0,
+        )
+    )
+    grouped = validate_by_partition(transcripts, suite, "day")
+    assert len(grouped) == 30
+    v = SuiteValidator()
+    for day in sorted(grouped)[:4]:
+        full = v.validate(
+            transcripts.filter(F.col("day") == day), suite, "BASIC"
+        )
+        for gr, fr in zip(grouped[day].results, full.results):
+            et = gr.expectation_config["expectation_type"]
+            assert not gr.exception_info["raised_exception"], (
+                day, et, gr.exception_info
+            )
+            assert gr.success == fr.success, (day, et)
+            assert gr.result["observed_value"] == pytest.approx(
+                fr.result["observed_value"]
+            ), (day, et)
+            if "unexpected_count" in fr.result:
+                assert (
+                    gr.result["unexpected_count"]
+                    == fr.result["unexpected_count"]
+                ), (day, et)
+
+
+def test_grouped_user_sql_chunking_and_fallback(spark, transcripts, monkeypatch):
+    """Chunk size 4 over 30 partitions (8 union jobs) must produce the
+    same results; an over-cap partition is omitted from the grouped map
+    and the per-partition fallback raises the documented error."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.operators import query_ops
+
+    monkeypatch.setattr(query_ops, "QUERY_GROUPED_PARTITIONS_PER_JOB", 4)
+    suite = ExpectationSuite("usersql_chunk").add(
+        "expect_query_value_to_be_between",
+        query="SELECT COUNT(DISTINCT conv_id) FROM {batch}",
+        min_value=1,
+        max_value=10_000_000,
+    )
+    grouped = validate_by_partition(transcripts, suite, "day")
+    assert len(grouped) == 30
+    assert all(
+        g.results[0].success and not g.results[0].exception_info[
+            "raised_exception"
+        ]
+        for g in grouped.values()
+    )
+
+    # per-branch limit 2 means a 2-row result is "maybe over", omitted,
+    # and the fallback run raises the exact single-run error message
+    suite_bad = ExpectationSuite("usersql_bad").add(
+        "expect_query_value_to_be_between",
+        query=(
+            "SELECT LENGTH(text) FROM {batch} ORDER BY conv_id, turn_idx "
+            "LIMIT 3"
+        ),
+        min_value=0,
+        max_value=1e9,
+    )
+    grouped_bad = validate_by_partition(transcripts, suite_bad, "day")
+    r = next(iter(grouped_bad.values())).results[0]
+    assert r.exception_info["raised_exception"]
+    assert "exactly one scalar" in r.exception_info["exception_message"]
+
+
 def test_checkpoint_html_docs_action(spark, transcripts, tmp_path):
     """End-to-end: checkpoint run emits a navigable Data Docs SITE —
     home index → suite page (column-grouped expectation blocks + run
