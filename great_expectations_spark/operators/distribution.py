@@ -1244,19 +1244,196 @@ def _make_cdf(distribution: str, params: Any):
 EXACT_KS_COLLECT_CAP = 1_000_000
 
 
+EXACT_KS_BUCKETS = 128
+
+
+def _exact_ks_distributed(scoped: DataFrame, column: str, cdf) -> tuple:
+    """Exact one-sample KS statistic at ANY scale, no driver collect of
+    values.  Three jobs over the one-column projection:
+
+    1. count + equi-depth cut points (``percentile_approx`` sketch) in
+       one agg — the cuts only BALANCE the buckets, the statistic never
+       depends on their accuracy;
+    2. exact per-bucket counts (bucket = number of cuts < x, a pure
+       deterministic function of the value — no reliance on physical
+       partition ids, which range-repartition re-samples per job and AQE
+       may re-coalesce), prefix-summed into global rank offsets;
+    3. hash-partition by bucket, sort within partitions by (bucket, x),
+       stream Arrow batches through the CDF with a per-bucket running
+       rank: global i = offset[bucket] + rank-in-bucket.
+
+    The per-row formula max(|i/n - F(x_i)|, |(i-1)/n - F(x_i)|) over the
+    globally sorted sequence is exact including ties, and bit-identical
+    to the driver-side sorted-collect path (same float ops, same scalar
+    CDF per element via ``np.frompyfunc``).  Returns (statistic, n)."""
+    import numpy as np
+
+    vals = scoped.select(F.col(column).cast("double").alias("__x"))
+    probs = [i / EXACT_KS_BUCKETS for i in range(1, EXACT_KS_BUCKETS)]
+    row = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("__x", F.lit(probs), 10_000).alias("q"),
+    ).first()
+    n = int(row["n"])
+    if n == 0:
+        return 0.0, 0
+    cuts = sorted({float(c) for c in (row["q"] or [])})
+    bucket = (
+        F.size(F.filter(F.lit(cuts), lambda c: c < F.col("__x")))
+        if cuts
+        else F.lit(0)
+    )
+    tagged = vals.withColumn("__b", bucket)
+    counts = {
+        int(r["__b"]): int(r["cnt"])
+        for r in tagged.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: Dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    def compute(batches):
+        import pandas as pd
+
+        cdf_vec = np.frompyfunc(cdf, 1, 1)
+        carry: Dict[int, int] = {}
+        best = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf["__x"].to_numpy(dtype=float)
+            cum = (
+                pdf.groupby("__b", sort=False).cumcount().to_numpy()
+            )
+            vc = pdf["__b"].value_counts()
+            base = {
+                int(bi): offsets[int(bi)] + carry.get(int(bi), 0)
+                for bi in vc.index
+            }
+            offs = pdf["__b"].map(base).to_numpy(dtype=np.int64)
+            i = cum + offs + 1
+            fx = cdf_vec(x).astype(float)
+            d = np.maximum(
+                np.abs(i / n - fx), np.abs((i - 1) / n - fx)
+            ).max()
+            best = max(best, float(d))
+            for bi, cnt in vc.items():
+                carry[int(bi)] = carry.get(int(bi), 0) + int(cnt)
+        yield pd.DataFrame({"d": [best]})
+
+    out = (
+        tagged.repartition(F.col("__b"))
+        .sortWithinPartitions("__b", "__x")
+        .mapInPandas(compute, "d double")
+        .agg(F.max("d").alias("d"))
+        .first()
+    )
+    return float(out["d"] or 0.0), n
+
+
+def _exact_ks_grouped(
+    scoped: DataFrame, column: str, partition_column: str, cdf
+) -> Dict[Any, tuple]:
+    """Per-partition exact KS, all partitions in two jobs: hash-partition
+    by the partition column (each group lands whole on one executor),
+    sort within partitions by (group, value), stream Arrow batches with a
+    per-group running rank, reduce to one (group, sup) row per group.
+    Returns {partition_value: (statistic, n)}."""
+    import numpy as np
+
+    vals = scoped.select(
+        F.col(partition_column).alias("__g"),
+        F.col(column).cast("double").alias("__x"),
+    )
+    counts = {
+        r["__g"]: int(r["cnt"])
+        for r in vals.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(GROUPED_CATEGORICAL_COLLECT_CAP + 1)
+        .collect()
+    }
+    if len(counts) > GROUPED_CATEGORICAL_COLLECT_CAP:
+        raise ValueError(
+            f"partition cardinality of {partition_column} exceeds "
+            f"{GROUPED_CATEGORICAL_COLLECT_CAP}"
+        )
+
+    def compute(batches):
+        import pandas as pd
+
+        cdf_vec = np.frompyfunc(cdf, 1, 1)
+        carry: Dict[Any, int] = {}
+        best: Dict[Any, float] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf["__x"].to_numpy(dtype=float)
+            groups = pdf["__g"]
+            # stable within-batch rank per group, offset by the carry of
+            # rows already seen for that group in earlier batches
+            cum = groups.groupby(groups, sort=False).cumcount().to_numpy()
+            base = {g: carry.get(g, 0) for g in groups.unique()}
+            offs = groups.map(base).to_numpy(dtype=np.int64)
+            i = cum + offs + 1
+            fx = cdf_vec(x).astype(float)
+            gb = pd.DataFrame({"g": groups.to_numpy(), "i": i, "fx": fx})
+            for g, sub in gb.groupby("g", sort=False):
+                ng = counts[g]
+                d = float(
+                    np.maximum(
+                        np.abs(sub["i"].to_numpy() / ng - sub["fx"].to_numpy()),
+                        np.abs(
+                            (sub["i"].to_numpy() - 1) / ng
+                            - sub["fx"].to_numpy()
+                        ),
+                    ).max()
+                )
+                best[g] = max(best.get(g, 0.0), d)
+                carry[g] = carry.get(g, 0) + len(sub)
+        yield pd.DataFrame(
+            {"g": list(best.keys()), "d": list(best.values())}
+        )
+
+    out_schema = f"g {scoped.schema[partition_column].dataType.simpleString()}, d double"
+    rows = (
+        vals.repartition(F.col("__g"))
+        .sortWithinPartitions("__g", "__x")
+        .mapInPandas(compute, out_schema)
+        .groupBy("g")
+        .agg(F.max("d").alias("d"))
+        .collect()
+    )
+    return {r["g"]: (float(r["d"]), counts[r["g"]]) for r in rows}
+
+
 @register_dist(
     "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than"
 )
 def _parameterized_ks(kwargs: Dict[str, Any]) -> CompiledJob:
     """One-sample KS against a named parametric distribution
     (norm/uniform/expon/beta/gamma/chi2) — pandas-only in the reference
-    (``self_check/util.py:2071``).  Small columns (≤1e6 non-null) compute
-    the exact KS statistic from sorted values; larger columns use the
-    quantile-grid sup-distance (mergeable percentile sketch), keeping the
-    check one Spark agg at 10^12 rows."""
+    (``self_check/util.py:2071``).  ``method`` kwarg:
+
+    - ``auto`` (default): columns ≤1e6 non-null compute the exact KS
+      statistic from a sorted collect; larger columns use the
+      quantile-grid sup-distance (mergeable percentile sketch, one agg).
+    - ``exact``: distributed exact statistic at ANY scale via
+      range-partitioned global ranks (``_exact_ks_distributed``) — no
+      value ever reaches the driver; costs two shuffles of the
+      one-column projection.
+    - ``grid``: force the quantile-grid path (one combined agg)."""
     column = kwargs["column"]
     distribution = kwargs.get("distribution", "norm")
     p_threshold = float(kwargs.get("p_value", kwargs.get("p", 0.05)))
+    method = str(kwargs.get("method", "auto")).lower()
+    if method not in ("auto", "exact", "grid"):
+        raise ValueError(
+            f"method must be auto|exact|grid, got {method!r}"
+        )
     params = kwargs.get("params")
     if params is None:
         raise ValueError(
@@ -1267,6 +1444,25 @@ def _parameterized_ks(kwargs: Dict[str, Any]) -> CompiledJob:
     def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
         col = F.col(column)
         scoped = _apply_domain(df, domain).filter(col.isNotNull())
+        if method == "exact":
+            statistic, n = _exact_ks_distributed(scoped, column, cdf)
+            if n == 0:
+                return {"success": True, "result": {"observed_value": 1.0}}
+            return _finish(statistic, n)
+        if method == "grid":
+            grid_n = 200
+            probs = [i / grid_n for i in range(1, grid_n)]
+            row = scoped.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.percentile_approx(col, F.lit(probs), 10_000).alias("q"),
+            ).first()
+            n = int(row["n"])
+            if n == 0:
+                return {"success": True, "result": {"observed_value": 1.0}}
+            statistic = max(
+                abs(p - cdf(float(x))) for p, x in zip(probs, row["q"])
+            )
+            return _finish(statistic, n)
         n = scoped.count()
         if n == 0:
             return {"success": True, "result": {"observed_value": 1.0}}
@@ -1307,11 +1503,25 @@ def _parameterized_ks(kwargs: Dict[str, Any]) -> CompiledJob:
     def grouped(
         df: DataFrame, spark, domain, partition_column: str
     ) -> Dict[Any, Dict[str, Any]]:
-        """Every partition's KS vs the parametric CDF in ONE grouped agg
-        (count + per-partition approx quantile grid).  Grouped mode always
-        uses the quantile-grid sup-distance — the exact small-column path
-        would collect per-partition values, which does not bound driver
-        transfer at high partition counts."""
+        """Every partition's KS vs the parametric CDF.  Default (auto /
+        grid): ONE grouped agg (count + per-partition approx quantile
+        grid) — the sketch path bounds driver transfer at any partition
+        count.  ``method='exact'``: per-group distributed exact ranks
+        (``_exact_ks_grouped``), two jobs total, one scalar row per
+        partition on the driver."""
+        if method == "exact":
+            scoped_e = _apply_domain(df, domain).filter(
+                F.col(column).isNotNull()
+            )
+            stats = _exact_ks_grouped(scoped_e, column, partition_column, cdf)
+            return {
+                part: (
+                    _finish(statistic, n)
+                    if n
+                    else {"success": True, "result": {"observed_value": 1.0}}
+                )
+                for part, (statistic, n) in stats.items()
+            }
         col = F.col(column)
         scoped = _apply_domain(df, domain).filter(col.isNotNull())
         grid_n = 200

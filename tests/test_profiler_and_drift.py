@@ -177,3 +177,126 @@ def test_suggest_drift_suite_detects_planted_shift(spark):
     # the chi2 homogeneity test must flag the role mix
     chi = by_type["expect_column_two_sample_chisquare_p_to_be_greater_than"]
     assert not chi.success, chi.result
+
+
+def _ks_result(spark, df, **kw):
+    suite = ExpectationSuite("ks").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_"
+        "greater_than",
+        **kw,
+    )
+    res = SuiteValidator().validate(df, suite, "BASIC")
+    r = res.results[0]
+    assert not r.exception_info["raised_exception"], r.exception_info
+    return r
+
+
+def test_exact_distributed_ks_matches_sorted_collect(spark):
+    """method='exact' (bucketed global ranks, no driver collect) must be
+    bit-identical to the auto path's sorted-collect statistic — same
+    floats, same scalar CDF — including heavy ties."""
+    df = (
+        spark.range(20_000)
+        .select(
+            # lognormal-ish with heavy duplicates: floor to 2 decimals
+            (F.round(F.exp(F.sin(F.col("id") * 0.37) * 2.0), 2)).alias("v")
+        )
+        .repartition(7)
+    )
+    kw = dict(
+        column="v",
+        distribution="norm",
+        params={"mean": 2.0, "std_dev": 2.5},
+        p=0.0,
+    )
+    auto = _ks_result(spark, df, **kw)
+    exact = _ks_result(spark, df, method="exact", **kw)
+    assert (
+        exact.result["details"]["statistic"]
+        == auto.result["details"]["statistic"]
+    )
+    assert exact.result["observed_value"] == auto.result["observed_value"]
+
+
+def test_exact_distributed_ks_other_distributions(spark):
+    """Exact path agrees with the collect path for uniform and expon
+    CDFs (different closure shapes through np.frompyfunc)."""
+    df = spark.range(5_000).select(
+        ((F.col("id") * 37 % 1000) / 10.0).alias("v")
+    )
+    for dist, params in [
+        ("uniform", {"min": 0.0, "max": 100.0}),
+        ("expon", (0.0, 30.0)),
+    ]:
+        kw = dict(column="v", distribution=dist, params=params, p=0.0)
+        auto = _ks_result(spark, df, **kw)
+        exact = _ks_result(spark, df, method="exact", **kw)
+        assert (
+            exact.result["details"]["statistic"]
+            == auto.result["details"]["statistic"]
+        ), dist
+
+
+def test_exact_grouped_ks_matches_per_partition(spark):
+    """Grouped method='exact' (per-group distributed ranks, two jobs for
+    ALL partitions) must equal a dedicated whole-table exact run on each
+    partition slice."""
+    from great_expectations_spark.checkpoint.runner import (
+        validate_by_partition,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.sin(F.col("id") * 0.11) * 50 + 50).alias("v"),
+    )
+    suite = ExpectationSuite("ks").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_"
+        "greater_than",
+        column="v",
+        distribution="uniform",
+        params={"min": 0.0, "max": 100.0},
+        p=0.0,
+        method="exact",
+    )
+    grouped = validate_by_partition(df, suite, "g")
+    assert len(grouped) == 7
+    for g, result in grouped.items():
+        gr = result.results[0]
+        full = _ks_result(
+            spark,
+            df.filter(F.col("g") == g),
+            column="v",
+            distribution="uniform",
+            params={"min": 0.0, "max": 100.0},
+            p=0.0,
+            method="exact",
+        )
+        assert (
+            gr.result["details"]["statistic"]
+            == full.result["details"]["statistic"]
+        ), g
+        assert gr.result["observed_value"] == full.result["observed_value"]
+
+
+def test_exact_ks_empty_and_constant(spark):
+    """Degenerate shapes: empty input passes with observed 1.0; a
+    constant column's exact statistic equals the collect path's."""
+    empty = spark.range(10).filter("id < 0").select(
+        F.col("id").cast("double").alias("v")
+    )
+    r = _ks_result(
+        spark, empty, column="v", distribution="norm",
+        params={"mean": 0.0, "std_dev": 1.0}, method="exact",
+    )
+    assert r.success and r.result["observed_value"] == 1.0
+    const = spark.range(1_000).select(F.lit(5.0).alias("v"))
+    kw = dict(
+        column="v", distribution="norm",
+        params={"mean": 0.0, "std_dev": 1.0}, p=0.0,
+    )
+    auto = _ks_result(spark, const, **kw)
+    exact = _ks_result(spark, const, method="exact", **kw)
+    assert (
+        exact.result["details"]["statistic"]
+        == auto.result["details"]["statistic"]
+    )
