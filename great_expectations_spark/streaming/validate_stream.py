@@ -228,3 +228,96 @@ def streaming_sequence_gaps(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_distribution_drift(
+    stream_df: DataFrame,
+    column: str,
+    baseline: dict,
+    ts_column: str = "ts",
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    psi_threshold: Optional[float] = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Event-time windowed distribution drift of ``column`` against a
+    STATIC continuous partition object (``build_continuous_partition_
+    object``: {bins, weights, tail_weights}) — the streaming face of the
+    batch two-sample PSI check (§2.J).
+
+    One stateful aggregation per window: the baseline's bin edges are
+    plan-time literals, so per-bin counts are conditional sums (same
+    closed-last-bin convention as the batch ``_split_histograms``), with
+    below/above tail buckets so out-of-support drift — the loudest kind —
+    is scored, not dropped.  PSI is then a pure JVM array expression
+    (normalize → eps-clip → renormalize → Σ (a−e)·ln(a/e)) replicating
+    ``functions.stats.psi`` step for step, so streaming scores match the
+    batch metric to float precision.  No Python touches the hot path;
+    state per window is ~n_bins longs.
+
+    Returns columns: window_start, window_end, rows, scored_rows, psi,
+    drifted (null when ``psi_threshold`` is None).
+    """
+    import numpy as np
+
+    bins = [float(b) for b in baseline["bins"]]
+    if len(bins) < 2:
+        raise ValueError("baseline partition object needs >= 2 bin edges")
+    nb = len(bins) - 1
+    tails = baseline.get("tail_weights") or [0.0, 0.0]
+    e_raw = np.asarray(
+        [float(tails[0])] + [float(w) for w in baseline["weights"]]
+        + [float(tails[1])],
+        dtype=float,
+    )
+    # e-side of functions.stats.psi, precomputed driver-side
+    e_norm = e_raw / e_raw.sum() if e_raw.sum() else e_raw
+    e_clip = np.clip(e_norm, eps, None)
+    e_final = e_clip / e_clip.sum()
+
+    col = F.col(column)
+    conds = [col < F.lit(bins[0])]
+    for i in range(nb):
+        lo, hi = bins[i], bins[i + 1]
+        conds.append(
+            (col >= F.lit(lo))
+            & ((col <= F.lit(hi)) if i == nb - 1 else (col < F.lit(hi)))
+        )
+    conds.append(col > F.lit(bins[-1]))
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).alias(f"__gx_b{i}")
+        for i, c in enumerate(conds)
+    ] + [F.count(F.lit(1)).alias("rows")]
+    grouped = (
+        stream_df.withWatermark(ts_column, watermark)
+        .groupBy(F.window(F.col(ts_column), window_duration))
+        .agg(*aggs)
+    )
+    arr = F.array(
+        *[F.col(f"__gx_b{i}").cast("double") for i in range(len(conds))]
+    )
+    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    a_norm = F.transform(arr, lambda x: x / total)
+    a_clip = F.transform(a_norm, lambda x: F.greatest(x, F.lit(eps)))
+    a_sum = F.aggregate(a_clip, F.lit(0.0), lambda a, x: a + x)
+    a_final = F.transform(a_clip, lambda x: x / a_sum)
+    e_lit = F.array(*[F.lit(float(v)) for v in e_final])
+    terms = F.zip_with(
+        a_final, e_lit, lambda a, e: (a - e) * F.log(a / e)
+    )
+    psi_expr = F.when(
+        total > 0, F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+    )
+    out = grouped.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("rows"),
+        total.cast("long").alias("scored_rows"),
+        psi_expr.alias("psi"),
+    )
+    drifted = (
+        F.lit(None).cast("boolean")
+        if psi_threshold is None
+        else (F.col("psi") > F.lit(float(psi_threshold)))
+    )
+    return out.withColumn("drifted", drifted)

@@ -225,3 +225,81 @@ def test_multicolumn_sum_between(spark):
     )
     r = SuiteValidator().validate(df, suite).results[0]
     assert not r.success and r.result["unexpected_count"] == 1
+
+
+def test_streaming_windowed_distribution_drift(spark, tmp_path):
+    """Streaming PSI per event-time window vs a static baseline partition
+    object must match functions.stats.psi computed on batch per-window
+    histograms (same tail buckets, same eps pipeline)."""
+    from great_expectations_spark.functions import stats as gxstats
+    from great_expectations_spark.operators.distribution import (
+        build_continuous_partition_object,
+    )
+    from great_expectations_spark.streaming.validate_stream import (
+        windowed_distribution_drift,
+    )
+
+    # baseline: values 0..99 uniform; stream: first window matches the
+    # baseline, second window shifted up (incl. out-of-support values)
+    base_df = spark.range(1_000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    baseline = build_continuous_partition_object(base_df, "v", bins=10)
+
+    rows = []
+    for i in range(200):
+        rows.append((float(i % 100), f"2024-01-01 00:0{i % 5}:00"))
+    for i in range(200):
+        rows.append((float(i % 100) + 60.0, f"2024-01-01 00:1{i % 5}:00"))
+    src = str(tmp_path / "drift_src")
+    spark.createDataFrame(rows, "v double, ts_str string").select(
+        "v", F.to_timestamp("ts_str").alias("ts")
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("v double, ts timestamp").parquet(src)
+    agg = windowed_distribution_drift(
+        stream, "v", baseline, "ts", "10 minutes", psi_threshold=0.2
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("gx_drift")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM gx_drift ORDER BY window_start").collect()
+    assert len(out) == 2
+    first, second = out
+    assert first.rows == 200 and second.rows == 200
+
+    # batch replica: histogram each window with the same edge convention
+    batch = spark.createDataFrame(rows, "v double, ts_str string").select(
+        "v", F.to_timestamp("ts_str").alias("ts")
+    )
+    edges = baseline["bins"]
+    e_raw = (
+        [baseline["tail_weights"][0]]
+        + list(baseline["weights"])
+        + [baseline["tail_weights"][1]]
+    )
+    for row, lo_min in ((first, 0), (second, 10)):
+        window = batch.filter(
+            (F.minute("ts") >= lo_min) & (F.minute("ts") < lo_min + 10)
+        )
+        counts = [
+            window.filter(F.col("v") < edges[0]).count()
+        ]
+        for i in range(len(edges) - 1):
+            upper = (
+                (F.col("v") <= edges[i + 1])
+                if i == len(edges) - 2
+                else (F.col("v") < edges[i + 1])
+            )
+            counts.append(
+                window.filter((F.col("v") >= edges[i]) & upper).count()
+            )
+        counts.append(window.filter(F.col("v") > edges[-1]).count())
+        want = gxstats.psi(e_raw, counts)
+        assert row.psi == pytest.approx(want, rel=1e-9), (row, want)
+    assert not first.drifted and second.drifted
