@@ -727,6 +727,25 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs -> duplicate CLUSTERS: exact-Jaccard pairs feed the
+    large-star/small-star connected-components operator; output is one row
+    per cluster (component = min doc_id, size).  Oracle recomputes the
+    labels with a DuckDB recursive CTE over the identical pair set."""
+    df = _load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.7
+    )
+    return (
+        dedup.duplicate_clusters(pairs)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("size").cast("long").alias("size"),
+        )
+        .orderBy("component")
+    )
+
+
 def _embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: LSH signature buckets + exact-cosine
     refine.  Oracle replicates the FULL pipeline in DuckDB (literal
@@ -1189,7 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  dict(column_list=["l_partkey", "l_suppkey"])),
             ],
         ),
-        "map_suite_orders": lambda s, d: _map_counts_suite(
+        # orders + part folded into ONE entry (r4: frees a report slot for
+        # dedup_clusters_docs under the driver's 50-entry budget; every
+        # check keeps its own oracle row via the expectation key)
+        "map_suite_orders_part": lambda s, d: _map_counts_suite(
             s, d, "orders",
             [
                 ("not_in_set_status",
@@ -1202,8 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "expect_column_values_to_match_like_pattern",
                  dict(column="o_orderpriority", like_pattern="%URGENT%")),
             ],
-        ),
-        "map_suite_part": lambda s, d: _map_counts_suite(
+        ).unionAll(_map_counts_suite(
             s, d, "part",
             [
                 ("regex_pname",
@@ -1217,7 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  dict(column="p_brand", regex_list=["^Brand#1", "^Brand#2"],
                       match_on="any")),
             ],
-        ),
+        )).orderBy("expectation"),
         "map_suite_docs": lambda s, d: _map_counts_suite(
             s, d, "documents",
             [
@@ -1284,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_threshold_cosine": _ann_threshold,
         "minhash_pairs_docs": _minhash_pairs,
         "ngram_pairs_docs": _ngram_pairs,
+        "dedup_clusters_docs": _dedup_clusters,
         "embed_near_dup_pairs": _embed_near_dup,
         "simhash_pairs_docs": _simhash_pairs,
         "lsh_ann_topk": _lsh_ann,
@@ -1363,7 +1385,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem"
             ") ORDER BY expectation"
         ),
-        "map_suite_orders": (
+        "map_suite_orders_part": (
             "SELECT * FROM ("
             "SELECT 'not_in_set_status' AS expectation, count(*)::BIGINT AS "
             "element_count, count(*) FILTER (WHERE o_orderstatus IS NOT NULL "
@@ -1375,15 +1397,11 @@ def oracle_sql() -> dict[str, str]:
             "))::BIGINT FROM orders UNION ALL "
             "SELECT 'like_priority', count(*)::BIGINT, count(*) FILTER ("
             "WHERE o_orderpriority IS NOT NULL AND o_orderpriority NOT LIKE "
-            "'%URGENT%')::BIGINT FROM orders"
-            ") ORDER BY expectation"
-        ),
-        "map_suite_part": (
-            "SELECT * FROM ("
-            "SELECT 'regex_pname' AS expectation, count(*)::BIGINT AS "
-            "element_count, count(*) FILTER (WHERE p_name IS NOT NULL AND "
-            "NOT regexp_matches(p_name, '^[a-z]+ [a-z]+$'))::BIGINT AS "
-            "unexpected_count FROM part UNION ALL "
+            "'%URGENT%')::BIGINT FROM orders UNION ALL "
+            "SELECT 'regex_pname', count(*)::BIGINT, "
+            "count(*) FILTER (WHERE p_name IS NOT NULL AND "
+            "NOT regexp_matches(p_name, '^[a-z]+ [a-z]+$'))::BIGINT "
+            "FROM part UNION ALL "
             "SELECT 'not_match_regex_pname', count(*)::BIGINT, count(*) "
             "FILTER (WHERE p_name IS NOT NULL AND regexp_matches(p_name, "
             "'[0-9]'))::BIGINT FROM part UNION ALL "
@@ -1772,6 +1790,45 @@ ORDER BY id_a, id_b
 """
 
 
+def _dedup_clusters_sql(threshold: float) -> str:
+    """Ground truth for duplicate_clusters: the SAME exact-Jaccard pair
+    set as ngram_pairs_docs, labeled by a recursive CTE (min reachable id
+    per node — transitive closure is fine at oracle scale), grouped to
+    (component, size)."""
+    return rf"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents WHERE text IS NOT NULL
+), words AS (
+  SELECT doc_id, string_split(norm, ' ') AS w FROM base
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+    ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w)-1)]) END AS shingles
+  FROM words
+), sz AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+  FROM inv l JOIN inv r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {threshold}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+), labels AS (SELECT u AS id, min(lbl) AS component FROM reach GROUP BY u)
+SELECT component::BIGINT AS component, count(*)::BIGINT AS size
+FROM labels GROUP BY 1 ORDER BY component
+"""
+
+
 def _lang_id_sql() -> str:
     from great_expectations_spark.functions.text import LANG_STOPWORDS
 
@@ -1859,6 +1916,7 @@ def _dedup_ann_oracles() -> dict[str, str]:
             "id_a, id_b, round(inter::DOUBLE / (sa.n + sb.n - inter), 6) "
             "AS jaccard",
         ),
+        "dedup_clusters_docs": _dedup_clusters_sql(0.7),
         "embed_near_dup_pairs": _embed_near_dup_sql(),
         "lang_id_fast_docs": _lang_id_sql(),
         # planted truth: every held-out doc must classify correctly

@@ -790,3 +790,149 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate pairs -> duplicate clusters (connected components)
+# --------------------------------------------------------------------------
+#
+# Near-dup pipelines emit PAIRS (a~b, b~c); deduplication needs CLUSTERS
+# ({a,b,c} -> keep one).  Pair->cluster is connected components over the
+# similarity graph.  Reference scope: tmilitino/great_expectations has no
+# graph operator (its dedup surface stops at uniqueness expectations,
+# expectations/core/expect_column_values_to_be_unique.py) — this is part
+# of the beyond-reference LLM-pipeline family, like minhash/simhash above.
+#
+# Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+# "Connected Components in MapReduce and Beyond" — public paper), chosen
+# over label propagation because it converges in O(log^2 n) rounds on ANY
+# graph shape (label propagation needs diameter rounds: a 1M-long chain of
+# near-dup shards would need 1M jobs).  Each round is two shuffles on the
+# node key; neighborhood minima come from partition-key window aggregates
+# (sort-based, spillable) — NO collect_list, so a hot node with 10M
+# neighbors never materializes its neighborhood in one executor's heap.
+# Lineage is truncated every round with localCheckpoint (iterative plans
+# otherwise grow exponentially and re-execute from the source).
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round over an edge set.
+
+    large-star: for every node u, connect each STRICTLY LARGER neighbor to
+    min(N(u) ∪ {u}).  small-star: canonicalize edges to (hi, lo), connect
+    each lo-side neighbor (and u itself) to the group minimum.
+    """
+    # ---- large-star over the symmetric edge view
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    with_min = sym.withColumn(
+        "m", F.min(F.least(F.col("u"), F.col("v"))).over(w)
+    )
+    large = (
+        with_min.filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    # ---- small-star on (hi, lo) canonical edges
+    canon = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    canon = canon.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    rewired = canon.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    roots = canon.select("u", F.col("m").alias("v")).distinct()
+    return rewired.union(roots).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Component label (= minimum member id) for every node that appears
+    in ``pairs``.  Returns ``(id, component)``; singleton docs never enter
+    the pair graph, so callers treat absent ids as their own component.
+
+    Ids must be an orderable Spark type (long, string, ...).  Convergence
+    is detected with a two-value fingerprint of the edge set (count +
+    bit_xor of xxhash64) — one cheap agg per round, exact for our purpose
+    (a changed edge set changes the xor with probability 1 - 2^-64).
+    ``max_iterations`` is a safety valve only: star rounds converge in
+    O(log^2 n); 50 covers any graph this engine could ever shuffle.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    spark = pairs.sparkSession
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    edges = edges.localCheckpoint(eager=True)
+    fp = fingerprint(edges)
+    if fp[0] == 0:
+        id_type = dict(pairs.dtypes)[src]
+        return spark.createDataFrame([], "id long, component long").select(
+            F.col("id").cast(id_type).alias("id"),
+            F.col("component").cast(id_type).alias("component"),
+        )
+    for _ in range(max_iterations):
+        edges = _star_round(edges).localCheckpoint(eager=True)
+        nxt = fingerprint(edges)
+        if nxt == fp:
+            break
+        fp = nxt
+    # at convergence every edge is (member, component-min) star spoke and
+    # each root also appears as a spoke target; map roots to themselves
+    members = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    )
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.union(roots).distinct()
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-cluster summary over a candidate-pair graph: ``(component,
+    size)`` for every connected component with >= 2 members (the clusters
+    a dedup pass would collapse)."""
+    labels = connected_components(pairs, src, dst)
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    id_column: str,
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of each duplicate cluster: the
+    survivor is the cluster's MINIMUM id (deterministic, rerun-stable —
+    content-based tie-breaks belong upstream in the pair threshold).
+    Rows absent from the pair graph are singletons and survive untouched.
+    The label side is the distinct node set of the candidate pairs —
+    orders of magnitude smaller than the corpus — so AQE broadcasts it
+    when it fits."""
+    victims = (
+        connected_components(pairs, src, dst)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_column))
+    )
+    return df.join(victims, id_column, "left_anti")

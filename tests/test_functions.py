@@ -513,3 +513,105 @@ def test_simhash_arrow_jvm_agree_on_unicode_whitespace(spark):
     assert jvm == arrow
     # and the NBSP text must NOT hash like the plain-space text
     assert jvm["a"] != jvm["b"]
+
+
+# --------------------------------------------------------------------------
+# connected components / cluster dedup
+# --------------------------------------------------------------------------
+
+
+def _bfs_components(edges):
+    """Driver-side ground truth: min-id component label per node."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label, seen = {}, set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        root = min(comp)
+        for n in comp:
+            label[n] = root
+    return label
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """A 6-chain (worst case for label propagation), a clique, a 2-cycle
+    and duplicate/reversed edges must all resolve to min-id labels."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain
+        (10, 11), (11, 12), (10, 12),                # triangle
+        (20, 21), (21, 20), (20, 21),                # dup + reversed
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == _bfs_components(edges)
+
+
+def test_connected_components_random_graph_matches_bfs(spark):
+    """Differential: 300 random edges over 120 nodes vs driver BFS."""
+    import random
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == _bfs_components(edges)
+
+
+def test_connected_components_empty_and_self_loops(spark):
+    pairs = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+    empty = pairs.filter("id_a < 0")
+    out = dedup.connected_components(empty)
+    assert out.count() == 0 and out.columns == ["id", "component"]
+
+
+def test_connected_components_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_near_dedup_keeps_cluster_minimum_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (6, 7)], "id_a long, id_b long"
+    )
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(docs, "doc_id", pairs).collect()
+    )
+    # cluster {1,2,5} -> keep 1; cluster {6,7} -> keep 6; 0,3,4 singletons
+    assert survivors == [0, 1, 3, 4, 6]
+    clusters = {
+        r["component"]: r["size"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {1: 3, 6: 2}
