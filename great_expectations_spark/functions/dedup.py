@@ -830,10 +830,11 @@ def _star_round(edges: DataFrame) -> DataFrame:
     with_min = sym.withColumn(
         "m", F.min(F.least(F.col("u"), F.col("v"))).over(w)
     )
-    large = (
-        with_min.filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
+    # duplicate emits are harmless to the next window min and are swept by
+    # the ONE distinct at the end of the round (each distinct is a full
+    # shuffle; intermediate ones only re-dedupe what the final one would)
+    large = with_min.filter(F.col("v") > F.col("u")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
     )
     # ---- small-star on (hi, lo) canonical edges
     canon = large.select(
@@ -852,6 +853,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Component label (= minimum member id) for every node that appears
     in ``pairs``.  Returns ``(id, component)``; singleton docs never enter
@@ -863,6 +865,15 @@ def connected_components(
     (a changed edge set changes the xor with probability 1 - 2^-64).
     ``max_iterations`` is a safety valve only: star rounds converge in
     O(log^2 n); 50 covers any graph this engine could ever shuffle.
+
+    Hybrid execution: candidate-pair graphs are orders of magnitude
+    smaller than the corpus (only near-dup members carry edges), so when
+    the deduped edge count is at or below ``driver_threshold`` the labels
+    come from a driver-side union-find over ONE bounded collect (2M long
+    pairs ≈ 32 MB) — each distributed star round costs several shuffles
+    of fixed job overhead, which dominates wall time on small graphs.
+    Above the cap the alternating star rounds run fully distributed; pass
+    ``driver_threshold=0`` to force that path.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -887,6 +898,35 @@ def connected_components(
             F.col("id").cast(id_type).alias("id"),
             F.col("component").cast(id_type).alias("component"),
         )
+    if fp[0] <= driver_threshold:
+        # bounded by the count just measured — never an unguarded collect
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["u"], row["v"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(x, find(x)) for x in parent]
+        schema = T.StructType(
+            [
+                T.StructField("id", edges.schema["u"].dataType),
+                T.StructField("component", edges.schema["u"].dataType),
+            ]
+        )
+        return spark.createDataFrame(labels, schema)
     for _ in range(max_iterations):
         edges = _star_round(edges).localCheckpoint(eager=True)
         nxt = fingerprint(edges)

@@ -545,9 +545,11 @@ def _bfs_components(edges):
     return label
 
 
-def test_connected_components_chain_clique_singleton(spark):
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_chain_clique_singleton(spark, driver_threshold):
     """A 6-chain (worst case for label propagation), a clique, a 2-cycle
-    and duplicate/reversed edges must all resolve to min-id labels."""
+    and duplicate/reversed edges must all resolve to min-id labels —
+    identically on the driver union-find AND distributed star paths."""
     edges = [
         (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain
         (10, 11), (11, 12), (10, 12),                # triangle
@@ -556,13 +558,19 @@ def test_connected_components_chain_clique_singleton(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
         r["id"]: r["component"]
-        for r in dedup.connected_components(pairs).collect()
+        for r in dedup.connected_components(
+            pairs, driver_threshold=driver_threshold
+        ).collect()
     }
     assert got == _bfs_components(edges)
 
 
-def test_connected_components_random_graph_matches_bfs(spark):
-    """Differential: 300 random edges over 120 nodes vs driver BFS."""
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_random_graph_matches_bfs(
+    spark, driver_threshold
+):
+    """Differential: 300 random edges over 120 nodes vs driver BFS, on
+    both execution paths."""
     import random
 
     rng = random.Random(42)
@@ -573,7 +581,9 @@ def test_connected_components_random_graph_matches_bfs(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
         r["id"]: r["component"]
-        for r in dedup.connected_components(pairs).collect()
+        for r in dedup.connected_components(
+            pairs, driver_threshold=driver_threshold
+        ).collect()
     }
     assert got == _bfs_components(edges)
 
