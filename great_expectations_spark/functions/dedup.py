@@ -976,3 +976,46 @@ def near_dedup(
         .select(F.col("id").alias(id_column))
     )
     return df.join(victims, id_column, "left_anti")
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_column: str,
+    text_column: str = "text",
+    method: str = "minhash",
+    threshold: float = 0.7,
+    **pair_kwargs,
+) -> DataFrame:
+    """One-call corpus deduplication: candidate pairs (per ``method``) ->
+    connected components -> drop every non-canonical cluster member (the
+    survivor is the min id; see :func:`near_dedup`).  Returns the
+    surviving rows of ``df`` with its original schema.
+
+    Methods: ``exact`` (normalized-content hash groups — no pair graph,
+    one dropDuplicates), ``minhash`` (LSH banding + verify at
+    ``threshold``), ``ngram`` (exact inverted-index Jaccard at
+    ``threshold``), ``simhash`` (block-banding; ``threshold`` ignored —
+    pass ``max_hamming=`` instead).  ``pair_kwargs`` forward to the pair
+    generator (``bands=``, ``max_doc_frequency=``, ``max_hamming=``...).
+    """
+    if method == "exact":
+        return exact_dedup(df, text_column, order_by=id_column)
+    if method == "minhash":
+        pairs = minhash_candidate_pairs(
+            df, id_column, text_column,
+            verify_threshold=threshold, **pair_kwargs,
+        )
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, id_column, text_column, threshold=threshold, **pair_kwargs
+        )
+    elif method == "simhash":
+        pairs = simhash_candidate_pairs(
+            df, id_column, text_column, **pair_kwargs
+        )
+    else:
+        raise ValueError(
+            f"unknown dedup method {method!r}: "
+            "expected exact | minhash | ngram | simhash"
+        )
+    return near_dedup(df, id_column, pairs)

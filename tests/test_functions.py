@@ -625,3 +625,27 @@ def test_near_dedup_keeps_cluster_minimum_and_singletons(spark):
         for r in dedup.duplicate_clusters(pairs).collect()
     }
     assert clusters == {1: 3, 6: 2}
+
+
+def test_dedup_corpus_one_call(spark):
+    """dedup_corpus chains pairs -> components -> survivors; the ngram
+    method must keep exactly one doc per near-dup cluster (min id) and
+    every distinct doc."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight!"),
+        (5, "the quick brown fox jumps over the lazy dog  tonight"),
+        (3, "completely different text about spark execution plans"),
+        (4, "another unrelated document mentioning window functions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_corpus(
+            docs, "doc_id", "text", method="ngram", threshold=0.5
+        ).collect()
+    )
+    assert survivors == [1, 3, 4]
+    assert dedup.dedup_corpus(docs, "doc_id", method="exact").count() == 4
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        dedup.dedup_corpus(docs, "doc_id", method="bogus")
