@@ -321,3 +321,42 @@ def windowed_distribution_drift(
         else (F.col("psi") > F.lit(float(psi_threshold)))
     )
     return out.withColumn("drifted", drifted)
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    column: str = "text",
+    ts_column: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact-dedup a document STREAM: keep the first arrival of each
+    normalized content (same normalization as the batch
+    ``dedup.exact_dedup`` — trim/lower/collapse-whitespace, xxhash64), drop
+    later duplicates.  The streaming face of exact dedup for ingestion
+    pipelines: run it in front of ``writeStream`` so re-crawled documents
+    never reach the training corpus.
+
+    With ``ts_column`` the operator is ``dropDuplicatesWithinWatermark``:
+    duplicates are matched on the content hash ALONE (any event time), and
+    Spark evicts a hash from state once the watermark passes its first
+    arrival — re-crawls separated by more than ``watermark`` are treated
+    as fresh, the standard windowed-dedup contract.  Without it, plain
+    ``dropDuplicates`` state grows with distinct content — only for
+    finite backfills.
+
+    State per doc is the 8-byte content hash + bookkeeping, not the text,
+    so the state store scales to billions of documents where raw-text
+    keys would not.
+    """
+    from great_expectations_spark.functions.text import normalize_text
+
+    hashed = stream_df.withColumn(
+        "__gx_content_key", F.xxhash64(normalize_text(F.col(column)))
+    )
+    if ts_column is not None:
+        deduped = hashed.withWatermark(
+            ts_column, watermark
+        ).dropDuplicatesWithinWatermark(["__gx_content_key"])
+    else:
+        deduped = hashed.dropDuplicates(["__gx_content_key"])
+    return deduped.drop("__gx_content_key")

@@ -303,3 +303,47 @@ def test_streaming_windowed_distribution_drift(spark, tmp_path):
         want = gxstats.psi(e_raw, counts)
         assert row.psi == pytest.approx(want, rel=1e-9), (row, want)
     assert not first.drifted and second.drifted
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First arrival of each normalized content survives; later exact or
+    whitespace/case-variant duplicates are dropped; watermark-bounded
+    state path and unbounded path agree on an in-horizon corpus."""
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_exact_dedup,
+    )
+
+    rows = [
+        (1, "Hello  World", "2024-01-01 00:00:00"),
+        (2, "hello world", "2024-01-01 00:01:00"),     # normalized dup of 1
+        (3, "something else", "2024-01-01 00:02:00"),
+        (4, "Hello World ", "2024-01-01 00:03:00"),    # dup again
+        (5, "third document", "2024-01-01 00:04:00"),
+    ]
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, "doc_id long, text string, ts_str string").select(
+        "doc_id", "text", F.to_timestamp("ts_str").alias("ts")
+    ).coalesce(1).write.parquet(src)
+
+    for name, kwargs in (
+        ("gx_dedup_wm", dict(ts_column="ts", watermark="10 minutes")),
+        ("gx_dedup_all", {}),
+    ):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        out = streaming_exact_dedup(stream, "text", **kwargs)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        survivors = sorted(
+            r.doc_id for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        # within one batch Spark keeps the first row per key in batch order
+        assert survivors == [1, 3, 5], (name, survivors)
+        assert spark.table(name).columns == ["doc_id", "text", "ts"]
