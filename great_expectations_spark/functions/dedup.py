@@ -710,6 +710,52 @@ def simhash_candidate_pairs(
 # --- n-gram Jaccard (exact, for verification / small candidate sets) ------
 
 
+def _shingle_hashes_arrow(shingle_k: int):
+    """Arrow-batched distinct shingle hashes (array<long>): same
+    tokenization contract as ``word_shingles`` + ``shingle_hashes`` (Java
+    \\s whitespace, lower/trim, <k words -> whole-text shingle) with the
+    blake2b-8 hash of ``_shingles_and_signature_arrow``.  Hash VALUES
+    differ from the JVM xxhash64 path by design — every consumer joins
+    the hashes against themselves, so any 64-bit family gives identical
+    pair sets and intersection counts."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        def one(t):
+            if t is None:
+                return None
+            words = _normalize_py(t).split(" ")
+            if len(words) < shingle_k:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {
+                    " ".join(words[i : i + shingle_k])
+                    for i in range(len(words) - shingle_k + 1)
+                }
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            s.encode("utf-8"), digest_size=8
+                        ).digest(),
+                        "little",
+                    )
+                    for s in shingles
+                ),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            return np.unique(h).view(np.int64).tolist()
+
+        return texts.map(one)
+
+    return sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_column: str,
@@ -717,6 +763,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_frequency: Optional[int] = 10_000,
+    shingle_engine: str = "arrow",
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via shingle inverted index: explode
     shingles, join on shingle, count shared, compute |A∩B|/|A|+|B|-|A∩B|.
@@ -734,15 +781,29 @@ def ngram_jaccard_pairs(
     systematic underestimate of the unfiltered one.  Pass ``None`` to
     disable (exact semantics, small corpora only) — or route truly large
     corpora to ``minhash_candidate_pairs``.
+
+    ``shingle_engine``: "arrow" (default — ONE vectorized batch per
+    partition; same reasoning as the MinHash default: Catalyst interprets
+    higher-order array expressions, so the JVM shingle chain pays per-row
+    interpretation + first-execution JIT) or "jvm" (zero-Python
+    expression path).  Both produce identical pair sets and Jaccard
+    values — the 8-byte shingle hashes only ever join against themselves.
     """
-    base = _ensure_parallelism(df).select(
-        F.col(id_column).alias("__id"),
-        # 8-byte shingle hashes: the inverted-index shuffle carries longs,
-        # not multi-word strings (collisions negligible in 64-bit space
-        # and symmetric across both sides, so intersection counts match)
-        F.array_distinct(
+    # 8-byte shingle hashes: the inverted-index shuffle carries longs,
+    # not multi-word strings (collisions negligible in 64-bit space
+    # and symmetric across both sides, so intersection counts match)
+    if shingle_engine == "arrow":
+        sh_col = _shingle_hashes_arrow(k)(F.col(text_column))
+    elif shingle_engine == "jvm":
+        sh_col = F.array_distinct(
             shingle_hashes(word_shingles(F.col(text_column), k))
-        ).alias("__sh"),
+        )
+    else:
+        raise ValueError(
+            f"unknown shingle_engine {shingle_engine!r}: arrow | jvm"
+        )
+    base = _ensure_parallelism(df).select(
+        F.col(id_column).alias("__id"), sh_col.alias("__sh")
     ).filter(F.size("__sh") > 0)
     inverted = base.select(
         "__id", F.explode("__sh").alias("shingle")

@@ -649,3 +649,32 @@ def test_dedup_corpus_one_call(spark):
     assert dedup.dedup_corpus(docs, "doc_id", method="exact").count() == 4
     with pytest.raises(ValueError, match="unknown dedup method"):
         dedup.dedup_corpus(docs, "doc_id", method="bogus")
+
+
+def test_ngram_pairs_arrow_jvm_engines_agree(spark):
+    """The Arrow shingle path must produce the IDENTICAL pair set and
+    Jaccard values as the JVM expression path (hash family differs, but
+    hashes only join against themselves), including unicode whitespace
+    and short-text whole-doc shingles."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the Quick  brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox leaps over the lazy dog tonight"),
+        (4, "short text"),
+        (5, "short text"),
+        (6, "totally unrelated words in this one document here"),
+        (7, "foo bar baz qux quux corge grault garply waldo"),
+        (8, "foo bar baz qux quux corge grault garply waldo"),
+        (9, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for eng in ("arrow", "jvm"):
+        out[eng] = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.3,
+                shingle_engine=eng,
+            ).collect()
+        )
+    assert out["arrow"] == out["jvm"] and len(out["arrow"]) >= 3
