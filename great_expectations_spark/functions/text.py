@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -172,3 +173,107 @@ def text_profile(
         lang.alias("lang_pred"),
         fingerprint64(col).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_column: str = "text", id_columns: Optional[List[str]] = None
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1 — public paper), the
+    standard quality filters an LLM training pipeline runs after dedup:
+
+    * ``dup_line_frac`` — fraction of lines that are exact repeats of an
+      earlier line (boilerplate / scraped-menu detector);
+    * ``dup_line_char_frac`` — fraction of CHARACTERS inside those
+      repeated lines;
+    * ``top_bigram_char_frac`` / ``top_trigram_char_frac`` — fraction of
+      characters covered by occurrences of the single most frequent word
+      2-/3-gram (loop-y spam detector);
+    * ``dup_trigram_char_frac`` — fraction of characters inside word
+      trigrams that occur more than once;
+    * ``unigram_entropy`` — Shannon entropy (nats) of the word unigram
+      distribution (degenerate-text detector).
+
+    One Arrow batch per partition (`mapInPandas`-free pandas UDF returning
+    a struct) — same engine policy as MinHash/ngram shingles: these are
+    per-document token loops Catalyst can't vectorize.  Null/empty text
+    yields null stats.  Keeps all input columns (or only ``id_columns``
+    if given) and appends the struct fields as top-level columns.
+    """
+    from pyspark.sql import types as T
+
+    fields = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_char_frac",
+        "top_trigram_char_frac",
+        "dup_trigram_char_frac",
+        "unigram_entropy",
+    ]
+
+    @F.pandas_udf(
+        T.StructType([T.StructField(f, T.DoubleType()) for f in fields])
+    )
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        import math
+        from collections import Counter
+
+        def one(t):
+            if t is None or not t.strip():
+                return (None,) * 6
+            lines = [ln for ln in t.splitlines() if ln.strip()]
+            if lines:
+                seen, dup_lines, dup_chars = set(), 0, 0
+                for ln in lines:
+                    if ln in seen:
+                        dup_lines += 1
+                        dup_chars += len(ln)
+                    else:
+                        seen.add(ln)
+                total_line_chars = sum(len(ln) for ln in lines) or 1
+                dlf = dup_lines / len(lines)
+                dlcf = dup_chars / total_line_chars
+            else:
+                dlf = dlcf = 0.0
+            words = t.split()
+            n_chars = sum(len(w) for w in words) or 1
+            if not words:
+                return (dlf, dlcf, 0.0, 0.0, 0.0, 0.0)
+
+            def ngram_fracs(n):
+                if len(words) < n:
+                    return 0.0, 0.0
+                grams = [
+                    tuple(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                ]
+                counts = Counter(grams)
+                top_gram, top_cnt = counts.most_common(1)[0]
+                top_chars = top_cnt * sum(len(w) for w in top_gram)
+                dup_chars = sum(
+                    c * sum(len(w) for w in g)
+                    for g, c in counts.items()
+                    if c > 1
+                )
+                return top_chars / n_chars, dup_chars / n_chars
+
+            top2, _ = ngram_fracs(2)
+            top3, dup3 = ngram_fracs(3)
+            uni = Counter(words)
+            total = len(words)
+            ent = -sum(
+                (c / total) * math.log(c / total) for c in uni.values()
+            )
+            return (dlf, dlcf, min(top2, 1.0), min(top3, 1.0),
+                    min(dup3, 1.0), ent)
+
+        rows = [one(t) for t in texts]
+        # dtype=object keeps None as SQL null — a float64 frame would
+        # silently coerce it to NaN, which Spark stores as NaN, not null
+        return pd.DataFrame(rows, columns=fields, dtype=object)
+
+    cols = id_columns if id_columns else df.columns
+    out = df.select(
+        *cols, stats(F.col(text_column)).alias("__gx_rep")
+    )
+    return out.select(*cols, *[F.col(f"__gx_rep.{f}") for f in fields])

@@ -678,3 +678,51 @@ def test_ngram_pairs_arrow_jvm_engines_agree(spark):
             ).collect()
         )
     assert out["arrow"] == out["jvm"] and len(out["arrow"]) >= 3
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition signals vs hand-computed values."""
+    import math
+
+    doc1 = "spam spam spam spam"          # one word repeated
+    doc2 = "a b\na b\nc d"                # one duplicated line
+    doc3 = "the cat sat on the mat"       # no repetition
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, None), (5, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gxtext.repetition_stats(docs, "text").collect()
+    }
+    # doc1: words = [spam]*4, chars=16; bigram (spam,spam) x3 -> 3*8/16=1.0 capped
+    # trigram (spam,spam,spam) x2 -> top 2*12/16=1.0 capped; dup same
+    r1 = got[1]
+    assert r1["dup_line_frac"] == 0.0
+    assert r1["top_bigram_char_frac"] == 1.0
+    assert r1["top_trigram_char_frac"] == 1.0
+    assert r1["dup_trigram_char_frac"] == 1.0
+    assert r1["unigram_entropy"] == pytest.approx(0.0)
+    # doc2: 3 lines, 'a b' repeats once -> 1/3; chars 3+3+3 -> 3/9
+    r2 = got[2]
+    assert r2["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r2["dup_line_char_frac"] == pytest.approx(1 / 3)
+    # words a b a b c d: top bigram ('b','a')? counts: (a,b)x2,(b,a)x1,(b,c),(c,d)
+    # top = (a,b) x2 -> 2*2/6 chars... words chars = 6
+    assert r2["top_bigram_char_frac"] == pytest.approx(4 / 6)
+    # doc3: no dup lines, all bigrams unique -> top bigram occurs once
+    r3 = got[3]
+    assert r3["dup_line_frac"] == 0.0
+    assert r3["dup_trigram_char_frac"] == 0.0
+    words = doc3.split()
+    n_chars = sum(len(w) for w in words)
+    assert r3["top_bigram_char_frac"] == pytest.approx(
+        (len("the") + len("cat")) / n_chars
+    )
+    # entropy: 'the' x2, others x1 (6 words)
+    probs = [2 / 6] + [1 / 6] * 4
+    want = -sum(p * math.log(p) for p in probs)
+    assert r3["unigram_entropy"] == pytest.approx(want)
+    stat_keys = [k for k in got[4] if k not in ("doc_id", "text")]
+    assert all(got[4][k] is None for k in stat_keys)
+    assert all(got[5][k] is None for k in stat_keys)
