@@ -360,3 +360,80 @@ def streaming_exact_dedup(
     else:
         deduped = hashed.dropDuplicates(["__gx_content_key"])
     return deduped.drop("__gx_content_key")
+
+
+def windowed_categorical_drift(
+    stream_df: DataFrame,
+    column: str,
+    baseline: dict,
+    ts_column: str = "ts",
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    psi_threshold: Optional[float] = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Categorical twin of :func:`windowed_distribution_drift` — per
+    event-time window PSI of a category column (role mix, event types)
+    against a STATIC categorical partition object ({values, weights},
+    ``build_categorical_partition_object``).
+
+    Baseline categories become plan-time literals: per-category counts
+    are conditional sums inside the ONE watermarked window agg, and every
+    value OUTSIDE the baseline support lands in a dedicated "other"
+    bucket (baseline weight 0 -> eps) so novel categories — the loudest
+    categorical drift — raise the score instead of vanishing.  PSI is
+    the same JVM array expression pipeline as the continuous variant,
+    replicating ``functions.stats.psi`` to float precision.
+
+    Returns: window_start, window_end, rows, scored_rows, psi, drifted.
+    """
+    import numpy as np
+
+    values = [v for v in baseline["values"]]
+    if not values:
+        raise ValueError("categorical partition object needs >= 1 value")
+    e_raw = np.asarray(
+        [float(w) for w in baseline["weights"]] + [0.0], dtype=float
+    )  # trailing 0: the out-of-support "other" bucket
+    e_norm = e_raw / e_raw.sum() if e_raw.sum() else e_raw
+    e_clip = np.clip(e_norm, eps, None)
+    e_final = e_clip / e_clip.sum()
+
+    col = F.col(column)
+    conds = [col.isNotNull() & (col == F.lit(v)) for v in values]
+    conds.append(col.isNotNull() & ~col.isin(values))
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).alias(f"__gx_c{i}")
+        for i, c in enumerate(conds)
+    ] + [F.count(F.lit(1)).alias("rows")]
+    grouped = (
+        stream_df.withWatermark(ts_column, watermark)
+        .groupBy(F.window(F.col(ts_column), window_duration))
+        .agg(*aggs)
+    )
+    arr = F.array(
+        *[F.col(f"__gx_c{i}").cast("double") for i in range(len(conds))]
+    )
+    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    a_norm = F.transform(arr, lambda x: x / total)
+    a_clip = F.transform(a_norm, lambda x: F.greatest(x, F.lit(eps)))
+    a_sum = F.aggregate(a_clip, F.lit(0.0), lambda a, x: a + x)
+    a_final = F.transform(a_clip, lambda x: x / a_sum)
+    e_lit = F.array(*[F.lit(float(v)) for v in e_final])
+    terms = F.zip_with(a_final, e_lit, lambda a, e: (a - e) * F.log(a / e))
+    psi_expr = F.when(
+        total > 0, F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+    )
+    out = grouped.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("rows"),
+        total.cast("long").alias("scored_rows"),
+        psi_expr.alias("psi"),
+    )
+    drifted = (
+        F.lit(None).cast("boolean")
+        if psi_threshold is None
+        else (F.col("psi") > F.lit(float(psi_threshold)))
+    )
+    return out.withColumn("drifted", drifted)

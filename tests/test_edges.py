@@ -347,3 +347,68 @@ def test_streaming_exact_dedup(spark, tmp_path):
         # within one batch Spark keeps the first row per key in batch order
         assert survivors == [1, 3, 5], (name, survivors)
         assert spark.table(name).columns == ["doc_id", "text", "ts"]
+
+
+def test_streaming_windowed_categorical_drift(spark, tmp_path):
+    """Per-window categorical PSI vs functions.stats.psi on batch counts,
+    including an out-of-support category in the drifted window."""
+    from great_expectations_spark.functions import stats as gxstats
+    from great_expectations_spark.operators.distribution import (
+        build_categorical_partition_object,
+    )
+    from great_expectations_spark.streaming.validate_stream import (
+        windowed_categorical_drift,
+    )
+
+    base_df = spark.createDataFrame(
+        [("user",)] * 50 + [("assistant",)] * 45 + [("system",)] * 5,
+        "role string",
+    )
+    baseline = build_categorical_partition_object(base_df, "role")
+
+    rows = (
+        [("user", "2024-01-01 00:01:00")] * 10
+        + [("assistant", "2024-01-01 00:02:00")] * 9
+        + [("system", "2024-01-01 00:03:00")] * 1
+        + [("tool", "2024-01-01 00:11:00")] * 12     # novel category
+        + [("user", "2024-01-01 00:12:00")] * 8
+    )
+    src = str(tmp_path / "cat_src")
+    spark.createDataFrame(rows, "role string, ts_str string").select(
+        "role", F.to_timestamp("ts_str").alias("ts")
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("role string, ts timestamp").parquet(src)
+    agg = windowed_categorical_drift(
+        stream, "role", baseline, "ts", "10 minutes", psi_threshold=0.3
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("gx_cat_drift")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(
+        "SELECT * FROM gx_cat_drift ORDER BY window_start"
+    ).collect()
+    assert len(out) == 2
+    first, second = out
+
+    vals = list(baseline["values"])
+    e_raw = list(baseline["weights"]) + [0.0]
+    batch = spark.createDataFrame(rows, "role string, ts_str string").select(
+        "role", F.to_timestamp("ts_str").alias("ts")
+    )
+    for row, lo in ((first, 0), (second, 10)):
+        window = batch.filter(
+            (F.minute("ts") >= lo) & (F.minute("ts") < lo + 10)
+        )
+        counts = [
+            window.filter(F.col("role") == v).count() for v in vals
+        ] + [window.filter(~F.col("role").isin(vals)).count()]
+        want = gxstats.psi(e_raw, counts)
+        assert row.psi == pytest.approx(want, rel=1e-9), (row, want)
+    assert not first.drifted and second.drifted
+    assert second.rows == 20
