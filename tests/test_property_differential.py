@@ -308,3 +308,63 @@ def test_row_condition_scopes_the_domain(spark, data, cut):
     exp_null = sum(1 for r in domain if r[2] is None)
     assert res.results[0].result["unexpected_count"] == exp_null
     assert res.results[0].result["element_count"] == len(domain)
+
+
+# ---------------------------------------------------------------------
+# connected components: distributed star rounds vs pure-Python union-find
+# ---------------------------------------------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_connected_components_distributed_matches_union_find(spark, edges):
+    """The DISTRIBUTED star-round path (driver_threshold=0) must label any
+    random multigraph identically to a from-scratch union-find."""
+    from great_expectations_spark.functions import dedup
+
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs = pairs.filter("id_a <> id_a")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, driver_threshold=0
+        ).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    # relabel every node to its component MIN (union-by-min keeps root
+    # minimal already, but path order can vary — recompute per component)
+    comp = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    want = {x: min(members) for members in comp.values() for x in members}
+    assert got == want
