@@ -258,23 +258,15 @@ def windowed_distribution_drift(
     Returns columns: window_start, window_end, rows, scored_rows, psi,
     drifted (null when ``psi_threshold`` is None).
     """
-    import numpy as np
-
     bins = [float(b) for b in baseline["bins"]]
     if len(bins) < 2:
         raise ValueError("baseline partition object needs >= 2 bin edges")
     nb = len(bins) - 1
     tails = baseline.get("tail_weights") or [0.0, 0.0]
-    e_raw = np.asarray(
+    e_raw = (
         [float(tails[0])] + [float(w) for w in baseline["weights"]]
-        + [float(tails[1])],
-        dtype=float,
+        + [float(tails[1])]
     )
-    # e-side of functions.stats.psi, precomputed driver-side
-    e_norm = e_raw / e_raw.sum() if e_raw.sum() else e_raw
-    e_clip = np.clip(e_norm, eps, None)
-    e_final = e_clip / e_clip.sum()
-
     col = F.col(column)
     conds = [col < F.lit(bins[0])]
     for i in range(nb):
@@ -284,6 +276,34 @@ def windowed_distribution_drift(
             & ((col <= F.lit(hi)) if i == nb - 1 else (col < F.lit(hi)))
         )
     conds.append(col > F.lit(bins[-1]))
+    return _windowed_psi(
+        stream_df, conds, e_raw, ts_column, window_duration, watermark,
+        psi_threshold, eps,
+    )
+
+
+def _windowed_psi(
+    stream_df: DataFrame,
+    conds: List[Column],
+    e_raw: List[float],
+    ts_column: str,
+    window_duration: str,
+    watermark: str,
+    psi_threshold: Optional[float],
+    eps: float,
+) -> DataFrame:
+    """Shared engine for the windowed drift operators: bucket-membership
+    conditions -> conditional sums inside ONE watermarked window agg ->
+    PSI as a pure JVM array expression replicating ``functions.stats.psi``
+    (normalize -> eps-clip -> renormalize on both sides)."""
+    import numpy as np
+
+    e_arr = np.asarray(e_raw, dtype=float)
+    # e-side of functions.stats.psi, precomputed driver-side
+    e_norm = e_arr / e_arr.sum() if e_arr.sum() else e_arr
+    e_clip = np.clip(e_norm, eps, None)
+    e_final = e_clip / e_clip.sum()
+
     aggs = [
         F.sum(F.when(c, 1).otherwise(0)).alias(f"__gx_b{i}")
         for i, c in enumerate(conds)
@@ -387,53 +407,15 @@ def windowed_categorical_drift(
 
     Returns: window_start, window_end, rows, scored_rows, psi, drifted.
     """
-    import numpy as np
-
     values = [v for v in baseline["values"]]
     if not values:
         raise ValueError("categorical partition object needs >= 1 value")
-    e_raw = np.asarray(
-        [float(w) for w in baseline["weights"]] + [0.0], dtype=float
-    )  # trailing 0: the out-of-support "other" bucket
-    e_norm = e_raw / e_raw.sum() if e_raw.sum() else e_raw
-    e_clip = np.clip(e_norm, eps, None)
-    e_final = e_clip / e_clip.sum()
-
+    # trailing 0: the out-of-support "other" bucket
+    e_raw = [float(w) for w in baseline["weights"]] + [0.0]
     col = F.col(column)
     conds = [col.isNotNull() & (col == F.lit(v)) for v in values]
     conds.append(col.isNotNull() & ~col.isin(values))
-    aggs = [
-        F.sum(F.when(c, 1).otherwise(0)).alias(f"__gx_c{i}")
-        for i, c in enumerate(conds)
-    ] + [F.count(F.lit(1)).alias("rows")]
-    grouped = (
-        stream_df.withWatermark(ts_column, watermark)
-        .groupBy(F.window(F.col(ts_column), window_duration))
-        .agg(*aggs)
+    return _windowed_psi(
+        stream_df, conds, e_raw, ts_column, window_duration, watermark,
+        psi_threshold, eps,
     )
-    arr = F.array(
-        *[F.col(f"__gx_c{i}").cast("double") for i in range(len(conds))]
-    )
-    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
-    a_norm = F.transform(arr, lambda x: x / total)
-    a_clip = F.transform(a_norm, lambda x: F.greatest(x, F.lit(eps)))
-    a_sum = F.aggregate(a_clip, F.lit(0.0), lambda a, x: a + x)
-    a_final = F.transform(a_clip, lambda x: x / a_sum)
-    e_lit = F.array(*[F.lit(float(v)) for v in e_final])
-    terms = F.zip_with(a_final, e_lit, lambda a, e: (a - e) * F.log(a / e))
-    psi_expr = F.when(
-        total > 0, F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
-    )
-    out = grouped.select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
-        F.col("rows"),
-        total.cast("long").alias("scored_rows"),
-        psi_expr.alias("psi"),
-    )
-    drifted = (
-        F.lit(None).cast("boolean")
-        if psi_threshold is None
-        else (F.col("psi") > F.lit(float(psi_threshold)))
-    )
-    return out.withColumn("drifted", drifted)

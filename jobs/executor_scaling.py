@@ -109,6 +109,42 @@ def inner() -> None:
 
     spark = SparkSession.builder.appName("gx-executor-scaling").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if MODE == "cc":
+        # connected-components over the chain-heavy worst-case graph
+        # (jobs/cc_scaling.py geometry), distributed star rounds forced
+        from pyspark.sql import functions as F
+
+        from great_expectations_spark.functions import dedup
+
+        n = int(os.environ.get("SPARK_GRAFT_CC_CHAINS", "500000"))
+        L = int(os.environ.get("SPARK_GRAFT_CC_CHAIN_LEN", "10"))
+        chain = spark.range(n * L).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        ).filter((F.col("id_a") % L) != L - 1)
+        rnd = spark.range(n // 4).select(
+            F.abs(F.xxhash64("id") % (n * L)).alias("id_a"),
+            F.abs(F.xxhash64(F.col("id") + 7) % (n * L)).alias("id_b"),
+        )
+        pairs = chain.union(rnd).localCheckpoint(eager=True)
+        n_turns = pairs.count()
+        walls = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            nodes = dedup.connected_components(
+                pairs, driver_threshold=0
+            ).count()
+            walls.append(round(time.perf_counter() - t0, 3))
+        print(json.dumps({
+            "turns": n_turns,
+            "mode": MODE,
+            "nodes": nodes,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "success": True,
+            "walls": walls,
+            "best": min(walls),
+        }))
+        spark.stop()
+        return
     df = spark.read.parquet(DATASET)
     n_turns = df.count()  # materialize FS cache / executor registration
     suite = default_suite()
