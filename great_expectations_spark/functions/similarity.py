@@ -284,3 +284,221 @@ def ivf_topk(
     return brute_force_topk(
         candidates, list(q), k, id_column, embedding_column
     )
+
+
+# --- IVF-PQ: product-quantized residual codes + JVM ADC scan ---------------
+# Reference surface: the ANN "scale path" family (SURVEY §2 beyond-reference
+# LLM-pipeline ops).  Design follows Jégou et al., "Product Quantization
+# for Nearest Neighbor Search" (TPAMI 2011) / the FAISS IVFPQ index,
+# re-expressed Spark-first:
+#   * coarse quantizer = distributed MLlib k-means (ivf_index geometry),
+#     run in the L2-NORMALIZED space so inner product == cosine;
+#   * per-subspace codebooks trained driver-side on a BOUNDED residual
+#     sample (the codebooks need cluster shape, not every point — m × 256
+#     × dsub floats, kilobytes);
+#   * encoding is one vectorized pandas_udf (Arrow batches, pure numpy);
+#   * the SEARCH scan is 100% JVM: approx_cos(x) = q̂·c(x) + Σ_j LUT[j,
+#     code_j(x)] where the (m × 256) lookup table depends only on the
+#     query, flattened into ONE array literal and indexed with
+#     element_at inside an aggregate(zip_with(...)) expression — no
+#     Python, no UDF, whole-stage codegen keeps the scan vectorized;
+#   * exact re-rank of the refine_factor·k best ADC candidates via a
+#     bare-id semi-join back to the full vectors.
+# At 10^12 rows the encoded table is written partitioned by
+# __ivf_cluster (probes become partition pruning) and the scan reads
+# ONLY (id, cluster, 2·m-byte code) — with dim=64/m=8 that is a 16×
+# column-pruned read vs the float32 vectors; the re-rank join touches
+# refine_factor·k rows of the wide table.
+
+
+def _kmeans_np(
+    x: np.ndarray, k: int, seed: int, n_iter: int = 20
+) -> np.ndarray:
+    """Tiny driver-side Lloyd's k-means (numpy): used per PQ subspace on a
+    bounded residual sample.  Deterministic under seed; empty clusters are
+    re-seeded from the farthest points."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    k_eff = min(k, n)
+    cents = x[rng.choice(n, size=k_eff, replace=False)].astype(np.float64)
+    if k_eff < k:  # degenerate tiny sample: pad with repeats
+        cents = np.vstack([cents, cents[rng.integers(0, k_eff, k - k_eff)]])
+    for _ in range(n_iter):
+        # (n, k) squared L2 via ||x||² - 2x·c + ||c||²  (rank by -2x·c+||c||²)
+        d = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
+        assign = d.argmin(axis=1)
+        far = d[np.arange(n), assign].argsort()[::-1]
+        spill = 0
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                cents[j] = x[sel].mean(axis=0)
+            else:
+                cents[j] = x[far[spill % n]]
+                spill += 1
+    return cents.astype(np.float32)
+
+
+def ivfpq_index(
+    df: DataFrame,
+    n_clusters: int = 64,
+    m: int = 8,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    seed: int = 42,
+    train_fraction: Optional[float] = None,
+    train_limit: int = 50_000,
+):
+    """Build an IVF-PQ index over ``embedding_column``.
+
+    Returns ``(encoded, centroids, codebooks)``:
+
+    * ``encoded`` — the input plus ``__ivf_cluster`` (int) and
+      ``__pq_code`` (``array<smallint>``, length ``m``, values 0..255);
+    * ``centroids`` — (n_clusters × dim) float32, the coarse quantizer in
+      the normalized space (driver-side, tiny);
+    * ``codebooks`` — (m × 256 × dim/m) float32 residual codebooks.
+
+    ``dim`` must be divisible by ``m``.  All geometry lives in the
+    L2-normalized space so the ADC score approximates COSINE similarity
+    exactly as ``q̂ · (centroid + decode(code))``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    dim = int(
+        df.select(F.size(F.col(embedding_column)).alias("d")).first()["d"]
+    )
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(embedding_column).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    unit = F.transform(
+        F.col(embedding_column).cast("array<double>"),
+        lambda v: v / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm),
+    )
+    base = df.withColumn("__unit", unit).withColumn(
+        "__features", array_to_vector(F.col("__unit"))
+    )
+    train = base if train_fraction is None else base.sample(
+        fraction=train_fraction, seed=seed
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__features",
+        predictionCol="__ivf_cluster",
+    ).fit(train)
+    assigned = model.transform(base).drop("__features")
+    centroids = np.vstack(
+        [np.asarray(c) for c in model.clusterCenters()]
+    ).astype(np.float32)
+
+    # bounded residual sample for the codebooks (driver-side, capped)
+    samp = (
+        assigned.select("__unit", "__ivf_cluster")
+        .limit(train_limit)
+        .toPandas()
+    )
+    vecs = np.vstack(samp["__unit"].to_numpy()).astype(np.float32)
+    resid = vecs - centroids[samp["__ivf_cluster"].to_numpy()]
+    dsub = dim // m
+    codebooks = np.stack(
+        [
+            _kmeans_np(
+                resid[:, j * dsub : (j + 1) * dsub], 256, seed + 1 + j
+            )
+            for j in range(m)
+        ]
+    )  # (m, 256, dsub)
+
+    cb_bc = codebooks  # closed over; kilobytes, Arrow ships it per task
+    cents_bc = centroids
+
+    @pandas_udf("array<smallint>")
+    def _encode(unit_s, cluster_s):
+        import pandas as pd
+
+        v = np.vstack(unit_s.to_numpy()).astype(np.float32)
+        r = v - cents_bc[cluster_s.to_numpy()]
+        codes = np.empty((v.shape[0], m), dtype=np.int16)
+        for j in range(m):
+            sub = r[:, j * dsub : (j + 1) * dsub]
+            cb = cb_bc[j]  # (256, dsub)
+            d = (
+                -2.0 * (sub @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    encoded = assigned.withColumn(
+        "__pq_code", _encode(F.col("__unit"), F.col("__ivf_cluster"))
+    ).drop("__unit")
+    return encoded, centroids, codebooks
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` best inverted lists, score
+    candidates with the JVM-only ADC expression (no Python in the scan),
+    keep ``refine_factor * k`` best by approximate score, exact-cosine
+    re-rank those via a bare-id join back to the full vectors.
+
+    Output schema matches ``brute_force_topk``: (id_column, cos_sim) —
+    with ``n_probe = n_clusters`` and ``refine_factor`` large enough the
+    result EQUALS brute force (the re-rank is exact on candidates)."""
+    m, n_codes, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qhat = (q / (qn if qn else 1.0)).astype(np.float32)
+
+    cterm = centroids @ qhat  # (n_clusters,)
+    probes = [int(i) for i in np.argsort(-cterm)[:n_probe]]
+    # (m, 256) LUT — query-dependent, cluster-independent
+    lut = np.stack(
+        [codebooks[j] @ qhat[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    lut_flat = [float(x) for x in lut.reshape(-1)]
+    cterm_lst = [float(x) for x in cterm]
+
+    adc = (
+        F.element_at(F.lit(cterm_lst), F.col("__ivf_cluster") + 1)
+        + F.aggregate(
+            F.zip_with(
+                F.col("__pq_code").cast("array<int>"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(
+                    F.lit(lut_flat), j * n_codes + c + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    ).alias("approx_score")
+
+    cand = (
+        encoded.filter(F.col("__ivf_cluster").isin(probes))
+        .select(F.col(id_column), adc)
+        .orderBy(F.col("approx_score").desc(), F.col(id_column))
+        .limit(max(k * refine_factor, k))
+    )
+    # exact re-rank: bare-id broadcast semi-join back to the wide vectors
+    refined = encoded.join(
+        F.broadcast(cand.select(id_column)), on=id_column, how="inner"
+    )
+    return brute_force_topk(refined, list(q), k, id_column, embedding_column)

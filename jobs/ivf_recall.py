@@ -9,6 +9,9 @@ Env:
   SPARK_GRAFT_CPUS     local[N] (default 32)
   IVF_QUERIES          number of query vectors (default 20)
   IVF_CLUSTERS         coarse-quantizer k (default 64)
+  IVF_PQ_M             also measure IVF-PQ with m subspaces (0 = skip;
+                       e.g. 8 -> 8 one-byte codes per vector)
+  IVF_PQ_REFINE        PQ re-rank candidate factor (default 4)
   IVF_SCALE            replicate the table this many times with
                        deterministic perturbations (default 1 — real data
                        only; 10 gives the 10x scale point without
@@ -28,6 +31,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_QUERIES = int(os.environ.get("IVF_QUERIES", "20"))
 N_CLUSTERS = int(os.environ.get("IVF_CLUSTERS", "64"))
 SCALE = int(os.environ.get("IVF_SCALE", "1"))
+PQ_M = int(os.environ.get("IVF_PQ_M", "0"))
+PQ_REFINE = int(os.environ.get("IVF_PQ_REFINE", "4"))
 K = 10
 PROBES = [1, 2, 4, 8, 16]
 
@@ -109,6 +114,27 @@ def main() -> None:
             total += len(t)
         recalls[n_probe] = round(hits / total, 4)
 
+    pq_recalls = {}
+    if PQ_M:
+        encoded, pq_cents, codebooks = similarity.ivfpq_index(
+            emb, n_clusters=N_CLUSTERS, m=PQ_M
+        )
+        encoded = encoded.persist()
+        encoded.count()
+        for n_probe in PROBES:
+            hits = total = 0
+            for q, t in zip(queries, truth):
+                got = {
+                    r["vec_id"]
+                    for r in similarity.ivfpq_topk(
+                        encoded, pq_cents, codebooks, q, K,
+                        n_probe=n_probe, refine_factor=PQ_REFINE,
+                    ).collect()
+                }
+                hits += len(got & t)
+                total += len(t)
+            pq_recalls[n_probe] = round(hits / total, 4)
+
     result = {
         "metric": "ivf recall@10 vs brute force",
         "sf_dir": SF_DIR,
@@ -121,12 +147,19 @@ def main() -> None:
             p: round(p / N_CLUSTERS, 4) for p in PROBES
         },
     }
+    if PQ_M:
+        result["pq_m"] = PQ_M
+        result["pq_refine_factor"] = PQ_REFINE
+        result["pq_recall_at_10_by_n_probe"] = pq_recalls
     print(json.dumps(result))
     print()
     print(f"| n_probe | scan fraction | recall@10 (n={n_vectors}) |")
     print("|---|---|---|")
     for p in PROBES:
-        print(f"| {p} | {p}/{N_CLUSTERS} = {p/N_CLUSTERS:.3f} | {recalls[p]:.4f} |")
+        row = f"| {p} | {p}/{N_CLUSTERS} = {p/N_CLUSTERS:.3f} | {recalls[p]:.4f} |"
+        if PQ_M:
+            row += f" {pq_recalls[p]:.4f} (pq m={PQ_M}) |"
+        print(row)
     spark.stop()
 
 

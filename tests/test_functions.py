@@ -376,6 +376,93 @@ def test_ivf_ann(spark):
     assert near["vec_id"] == 42
 
 
+def test_ivfpq_adc_identity_and_exactness(spark):
+    """IVF-PQ: (a) the JVM ADC expression computes EXACTLY
+    q̂·(centroid + decode(code)) — pinned against a from-scratch numpy
+    reconstruction of the same codes; (b) with full probes and a refine
+    set covering the table, the re-ranked result EQUALS brute force;
+    (c) encoding is deterministic under seed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((240, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    encoded, centroids, codebooks = similarity.ivfpq_index(
+        emb, n_clusters=6, m=4, seed=5
+    )
+    assert centroids.shape == (6, 16)
+    assert codebooks.shape == (4, 256, 4)
+    pdf = encoded.select("vec_id", "__ivf_cluster", "__pq_code").toPandas()
+    assert pdf["__pq_code"].map(len).eq(4).all()
+
+    # (c) determinism
+    encoded2, cents2, cbs2 = similarity.ivfpq_index(
+        emb, n_clusters=6, m=4, seed=5
+    )
+    assert np.array_equal(cents2, centroids)
+    assert np.array_equal(cbs2, codebooks)
+    pdf2 = encoded2.select("vec_id", "__pq_code").toPandas()
+    merged = pdf.merge(pdf2, on="vec_id", suffixes=("", "_b"))
+    assert all(
+        list(a) == list(b)
+        for a, b in zip(merged["__pq_code"], merged["__pq_code_b"])
+    )
+
+    # (a) ADC identity: JVM score == numpy q̂·(centroid + decoded residual)
+    query = [float(x) for x in vecs[17]]
+    q = np.asarray(query)
+    qhat = q / np.linalg.norm(q)
+    m, n_codes, dsub = codebooks.shape
+    lut = np.stack(
+        [codebooks[j] @ qhat[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    cterm = centroids @ qhat
+    lut_flat = [float(x) for x in lut.reshape(-1)]
+    adc = (
+        F.element_at(F.lit([float(x) for x in cterm]),
+                     F.col("__ivf_cluster") + 1)
+        + F.aggregate(
+            F.zip_with(
+                F.col("__pq_code").cast("array<int>"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(
+                    F.lit(lut_flat), j * n_codes + c + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    ).alias("score")
+    got = {
+        r["vec_id"]: r["score"]
+        for r in encoded.select("vec_id", adc).collect()
+    }
+    for _, row in pdf.iterrows():
+        decoded = centroids[row["__ivf_cluster"]].astype(np.float64).copy()
+        for j, c in enumerate(row["__pq_code"]):
+            decoded[j * dsub : (j + 1) * dsub] += codebooks[j][c]
+        expect = float(qhat @ decoded)
+        assert abs(got[row["vec_id"]] - expect) < 1e-5, row["vec_id"]
+
+    # (b) full probes + refine covering all rows == exact brute force
+    exact = similarity.brute_force_topk(emb, query, 5).collect()
+    full = similarity.ivfpq_topk(
+        encoded, centroids, codebooks, query,
+        k=5, n_probe=6, refine_factor=48,
+    ).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    assert [r["cos_sim"] for r in full] == [r["cos_sim"] for r in exact]
+
+    # probe-limited, modest refine: self-match still #1
+    near = similarity.ivfpq_topk(
+        encoded, centroids, codebooks, query, k=1, n_probe=2,
+        refine_factor=4,
+    ).first()
+    assert near["vec_id"] == 17
+
+
 # --- Cavnar–Trenkle language ID ------------------------------------------
 
 
