@@ -502,3 +502,65 @@ def ivfpq_topk(
         F.broadcast(cand.select(id_column)), on=id_column, how="inner"
     )
     return brute_force_topk(refined, list(q), k, id_column, embedding_column)
+
+
+def ivfpq_write(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF-PQ index: the encoded table goes to
+    ``<path>/codes`` PARTITIONED BY ``__ivf_cluster`` — so a probe-limited
+    search becomes literal partition pruning (the scan's PartitionFilters
+    carry the ``IN (probes)`` predicate and untouched inverted lists are
+    never opened) — and the quantizer (centroids + codebooks, kilobytes)
+    goes to ``<path>/quantizer.json`` through Spark's Hadoop FileSystem
+    API, so ``file://``/``hdfs://``/``s3a://``/``gs://`` all work with no
+    extra SDK.  One table serves both phases: the ADC scan reads only
+    (id, cluster, code) via parquet column pruning; the exact re-rank
+    join reads the embedding column for ``refine_factor·k`` rows only."""
+    import json
+
+    encoded.write.mode(mode).partitionBy("__ivf_cluster").parquet(
+        f"{path}/codes"
+    )
+    spark = encoded.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/quantizer.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    payload = json.dumps(
+        {
+            "centroids": [[float(x) for x in row] for row in centroids],
+            "codebooks": [
+                [[float(x) for x in code] for code in book]
+                for book in codebooks
+            ],
+        }
+    )
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def ivfpq_load(spark, path: str):
+    """Load an index written by :func:`ivfpq_write`; returns
+    ``(encoded, centroids, codebooks)`` ready for :func:`ivfpq_topk`."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/quantizer.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        payload = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    q = json.loads(payload)
+    centroids = np.asarray(q["centroids"], dtype=np.float32)
+    codebooks = np.asarray(q["codebooks"], dtype=np.float32)
+    encoded = spark.read.parquet(f"{path}/codes")
+    return encoded, centroids, codebooks

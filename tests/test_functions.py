@@ -463,6 +463,50 @@ def test_ivfpq_adc_identity_and_exactness(spark):
     assert near["vec_id"] == 17
 
 
+def test_ivfpq_write_load_partition_pruning(spark, tmp_path):
+    """Persisted IVF-PQ index: (a) load-back search equals the in-memory
+    index exactly; (b) the probe scan PARTITION-PRUNES — the parquet
+    read's PartitionFilters carry the IN(probes) predicate, so untouched
+    inverted lists are never opened."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 8))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    encoded, cents, cbs = similarity.ivfpq_index(
+        emb, n_clusters=5, m=2, seed=9
+    )
+    query = [float(x) for x in vecs[3]]
+    mem = similarity.ivfpq_topk(
+        encoded, cents, cbs, query, k=5, n_probe=3, refine_factor=8
+    ).collect()
+
+    root = str(tmp_path / "ivfpq")
+    similarity.ivfpq_write(encoded, cents, cbs, root)
+    enc2, cents2, cbs2 = similarity.ivfpq_load(spark, root)
+    assert np.allclose(cents2, cents) and np.allclose(cbs2, cbs)
+    disk = similarity.ivfpq_topk(
+        enc2, cents2, cbs2, query, k=5, n_probe=3, refine_factor=8
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in disk] == [
+        (r["vec_id"], r["cos_sim"]) for r in mem
+    ]
+
+    # partition pruning: the ADC scan's parquet read prunes by cluster
+    from pyspark.sql import functions as F
+
+    qhat = np.asarray(query) / np.linalg.norm(query)
+    probes = [int(i) for i in np.argsort(-(cents2 @ qhat))[:3]]
+    scan = enc2.filter(F.col("__ivf_cluster").isin(probes)).select(
+        "vec_id", "__pq_code"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "__ivf_cluster" in pf  # predicate reached the partition level
+
+
 # --- Cavnar–Trenkle language ID ------------------------------------------
 
 
