@@ -526,38 +526,7 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicate_stats(df, "text")
 
 
-def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _load(spark, sf_dir, "documents")
-    toks = gxtext.token_count(F.col("text"))
-    return df.agg(
-        F.sum(toks).alias("total_tokens"),
-        F.max(toks).alias("max_tokens"),
-        F.min(toks).alias("min_tokens"),
-    )
 
-
-def _stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _load(spark, sf_dir, "documents")
-    return df.agg(
-        F.sum(gxtext.stopword_count(F.col("text"), "en")).alias("en_stopwords"),
-        F.round(F.avg(gxtext.punct_ratio(F.col("text"))), 6).alias(
-            "avg_punct_ratio"
-        ),
-    )
-
-
-def _lang_id_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # argmax-over-stopword-hits heuristic (the JVM-only fast path; the
-    # public language_id name now dispatches to Cavnar-Trenkle, oracled
-    # by lang_id_ct_planted); oracle replicates the argmax (incl. the
-    # struct-comparison tie-break) in SQL
-    df = _load(spark, sf_dir, "documents")
-    return (
-        df.select(gxtext.language_id_fast(F.col("text")).alias("lang_pred"))
-        .groupBy("lang_pred")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang_pred")
-    )
 
 
 def _lang_id_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,12 +564,157 @@ def _lang_id_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+_TEXT_STATS_LANGS = ["de", "en", "es", "fr", "und"]
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated text-analysis suite over documents (functions/text.py):
+    token counts, stopword/punct signals, quality score, and the JVM
+    stopword-argmax language mix — ONE bundled ``df.agg`` (single scan,
+    zero shuffles, conditional sums for the per-language counts), stacked
+    to (metric, value) rows so every metric keeps its own oracle row.
+    Folds the former token_stats / stopword_stats / quality /
+    lang_id_fast entries into one report slot under the driver's
+    50-entry budget."""
     df = _load(spark, sf_dir, "documents")
-    return df.agg(
-        F.round(F.avg(gxtext.quality_score(F.col("text"))), 4).alias(
-            "avg_quality"
+    text = F.col("text")
+    toks = gxtext.token_count(text)
+    lang_pred = gxtext.language_id_fast(text)
+    aggs = [
+        F.sum(toks).cast("double").alias("total_tokens"),
+        F.max(toks).cast("double").alias("max_tokens"),
+        F.min(toks).cast("double").alias("min_tokens"),
+        F.sum(gxtext.stopword_count(text, "en")).cast("double").alias(
+            "en_stopwords"
+        ),
+        F.round(F.avg(gxtext.punct_ratio(text)), 6).alias("avg_punct_ratio"),
+        F.round(F.avg(gxtext.quality_score(text)), 4).alias("avg_quality"),
+    ] + [
+        F.sum(F.when(lang_pred == lang, 1).otherwise(0))
+        .cast("double")
+        .alias(f"lang_{lang}")
+        for lang in _TEXT_STATS_LANGS
+    ]
+    wide = df.agg(*aggs)
+    names = [
+        "total_tokens",
+        "max_tokens",
+        "min_tokens",
+        "en_stopwords",
+        "avg_punct_ratio",
+        "avg_quality",
+    ] + [f"lang_{lang}" for lang in _TEXT_STATS_LANGS]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) AS (metric, value)"
+    ).orderBy("metric")
+
+
+def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (functions/curation.py —
+    GPT-3 appendix-C 13-gram overlap rule): the benchmark is a
+    deterministic slice of the corpus itself (doc_id % 25 == 0), so
+    those documents — and any near-copies sharing a 13-gram — must flag
+    contaminated.  Production path under oracle: hashed gram keys
+    (xxhash64), benchmark side broadcast, per-doc match counts from the
+    matched rows only.  The DuckDB replica joins on the gram STRINGS;
+    agreement additionally witnesses hash-collision-freeness at this
+    scale."""
+    from great_expectations_spark.functions import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    stats = curation.contamination_stats(docs, bench, n=13)
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+        F.sum("n_matched").alias("total_matched"),
+        F.max("n_matched").alias("max_matched"),
+    )
+
+
+# Planted PII fixture: built identically in Spark (createDataFrame) and
+# the DuckDB oracle (VALUES).  Covers every pattern kind, the Luhn gate
+# (one valid + one checksum-broken card per shape), boundary-adjacent
+# non-matches, and a null row.  No apostrophes (SQL literal safety).
+_PII_PLANTED_ROWS = [
+    (1, "contact john.doe+spam@example.co.uk or jane_x@sub.example.org today"),
+    (2, "valid card 4111 1111 1111 1111 and luhn-bad 4111-1111-1111-1112"),
+    (3, "host 10.0.0.1 gateway 192.168.255.254 ssn 123-45-6789"),
+    (4, "call (415) 555-1234 or 1-212-555-0000 now"),
+    (5, "mc 5500 0055 5555 5559 visa 4012888888881881 amex 378282246310005"),
+    (6, "no pii at all, just plain numbers 123 456 and a date 2024-01-01"),
+    (7, None),
+]
+
+
+def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/curation.py): per-kind match
+    totals over the planted fixture — credit cards Luhn-gated by a pure
+    SQL aggregate fold, zero UDFs — plus an md5 fingerprint of every
+    redacted text under stable id order, so a single mis-redacted
+    character anywhere flips the row.  The oracle recomputes counts,
+    the Luhn fold, and the full redaction chain in DuckDB SQL."""
+    from great_expectations_spark.functions import curation
+
+    df = spark.createDataFrame(_PII_PLANTED_ROWS, "id int, text string")
+    counts = curation.pii_counts(F.col("text"))
+    agg_counts = [
+        F.sum(c).cast("bigint").alias(f"n_{kind}")
+        for kind, c in counts.items()
+    ]
+    red = F.coalesce(curation.redact_pii(F.col("text")), F.lit(""))
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("id").alias("i"), red.alias("r"))
+                    )
+                ),
+                lambda s: s["r"],
+            ),
         )
+    ).alias("redact_fp")
+    return df.agg(*agg_counts, fp)
+
+
+_MIX_WEIGHTS = [
+    ("src0", 0.4),
+    ("src1", 0.2),
+    ("src2", 0.2),
+    ("src3", 0.1),
+    ("src4", 0.1),
+]
+
+
+def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (functions/curation.py): documents
+    subsampled per ``source`` to fixed target weights with maximum
+    retention — keep decisions are md5-threshold (engine-portable, same
+    construction as the md5-parity sampler), so the kept SET is
+    byte-identical across engines; kept counts + doc_id sums per source
+    pin membership, and the DuckDB replica recomputes the rate math
+    (T = min(n_g / w_g)) in SQL."""
+    from great_expectations_spark.functions import curation
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = curation.mix_sample(
+        docs,
+        "source",
+        dict(_MIX_WEIGHTS),
+        key_columns=["doc_id"],
+        seed="mix",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("doc_id").alias("key_sum"),
+        )
+        .orderBy("source")
     )
 
 
@@ -1297,11 +1411,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_mix_event_type": _drift_mix,
         # --- dedup / text / similarity ---
         "dedup_exact_docs": _dedup_exact,
-        "token_stats_docs": _token_stats,
-        "stopword_stats_docs": _stopword_stats,
-        "quality_docs": _quality,
-        "lang_id_fast_docs": _lang_id_fast,
+        # token/stopword/quality/lang_id_fast folded into ONE stacked
+        # (metric, value) entry — frees 3 report slots for the curation
+        # family below
+        "text_stats_docs": _text_stats,
         "lang_id_ct_planted": _lang_id_ct,
+        # --- corpus curation (decontamination / PII / mixture) ---
+        "decontam_docs": _decontam,
+        "pii_planted": _pii_planted,
+        "mix_sample_docs": _mix_sample,
         "ann_threshold_cosine": _ann_threshold,
         "minhash_pairs_docs": _minhash_pairs,
         "ngram_pairs_docs": _ngram_pairs,
@@ -1317,19 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     norm = (
         "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-    )
-    tok = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
-    )
-    sw = (
-        "len(regexp_extract_all(text, "
-        "'(?i)\\b(the|and|of|to|is|in|that|it)\\b'))"
-    )
-    punct = (
-        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-        "len(regexp_extract_all(text, "
-        "'[.,;:!?''\"()\\[\\]{}-]'))::DOUBLE / length(text) END"
     )
     hist_edges = HIST_BINS
     hb = ", ".join(str(b) for b in hist_edges)
@@ -1741,16 +1846,6 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS "
             "n_duplicate_rows FROM g"
         ),
-        "token_stats_docs": (
-            f"SELECT sum({tok})::BIGINT AS total_tokens, "
-            f"max({tok})::INT AS max_tokens, min({tok})::INT AS min_tokens "
-            "FROM documents"
-        ),
-        "stopword_stats_docs": (
-            f"SELECT sum({sw})::BIGINT AS en_stopwords, "
-            f"round(avg({punct}), 6) AS avg_punct_ratio FROM documents"
-        ),
-        "quality_docs": None,  # placeholder replaced below
         "ann_threshold_cosine": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, round(list_cosine_similarity("
@@ -1759,7 +1854,7 @@ def oracle_sql() -> dict[str, str]:
             "e.embedding::DOUBLE[], q.embedding::DOUBLE[]) >= 0.2 "
             "ORDER BY e.vec_id"
         ),
-    } | _quality_oracle() | _dedup_ann_oracles()
+    } | _curation_oracles() | _dedup_ann_oracles()
 
 
 def _exact_jaccard_pairs_sql(threshold: float, select: str) -> str:
@@ -1829,32 +1924,6 @@ FROM labels GROUP BY 1 ORDER BY component
 """
 
 
-def _lang_id_sql() -> str:
-    from great_expectations_spark.functions.text import LANG_STOPWORDS
-
-    counts = ", ".join(
-        "len(regexp_extract_all(text, '(?i)\\b("
-        + "|".join(words)
-        + ")\\b')) AS c_" + lang
-        for lang, words in LANG_STOPWORDS.items()
-    )
-    # Spark's greatest() over (score, lang) structs breaks score ties by
-    # the lexicographically greatest language code: fr > es > en > de
-    tie_order = sorted(LANG_STOPWORDS, reverse=True)
-    pick = " ".join(
-        f"WHEN c_{lang} = best THEN '{lang}'" for lang in tie_order[:-1]
-    )
-    return (
-        f"WITH c AS (SELECT text, {counts} FROM documents), "
-        "b AS (SELECT *, greatest("
-        + ", ".join(f"c_{lang}" for lang in LANG_STOPWORDS)
-        + ") AS best FROM c) "
-        "SELECT CASE WHEN text IS NULL OR best = 0 THEN 'und' "
-        + pick
-        + f" ELSE '{tie_order[-1]}' END AS lang_pred, "
-        "count(*)::BIGINT AS n FROM b GROUP BY 1 ORDER BY 1"
-    )
-
 
 def _lsh_ann_sql() -> str:
     """Full DuckDB replica of lsh_topk: the same seeded hyperplanes as
@@ -1918,7 +1987,6 @@ def _dedup_ann_oracles() -> dict[str, str]:
         ),
         "dedup_clusters_docs": _dedup_clusters_sql(0.7),
         "embed_near_dup_pairs": _embed_near_dup_sql(),
-        "lang_id_fast_docs": _lang_id_sql(),
         # planted truth: every held-out doc must classify correctly
         # (2 docs x 20 languages; fixture is held out from profile seeds)
         "lang_id_ct_planted": (
@@ -1946,7 +2014,13 @@ def _dedup_ann_oracles() -> dict[str, str]:
     }
 
 
-def _quality_oracle() -> dict[str, str]:
+def _text_stats_sql() -> str:
+    """DuckDB replica of the consolidated text-stats entry: same token /
+    stopword / punct / quality expressions as the retired per-metric
+    oracles, the stopword-argmax language CASE from _lang_id_sql, all
+    stacked to the same (metric, value DOUBLE) long format."""
+    from great_expectations_spark.functions.text import LANG_STOPWORDS
+
     tok = (
         "CASE WHEN length(trim(text)) = 0 THEN 0 "
         "ELSE len(string_split_regex(trim(text), '\\s+')) END"
@@ -1967,8 +2041,141 @@ def _quality_oracle() -> dict[str, str]:
         f"least(CASE WHEN ({tok}) = 0 THEN 0.0 ELSE ({sw})::DOUBLE / ({tok}) "
         "END * 4.0, 1.0) * 0.3, 6) END"
     )
+    lang_counts = ", ".join(
+        "len(regexp_extract_all(text, '(?i)\\b("
+        + "|".join(words)
+        + ")\\b')) AS c_" + lang
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    tie_order = sorted(LANG_STOPWORDS, reverse=True)
+    pick = " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in tie_order[:-1]
+    )
+    lang_case = (
+        "CASE WHEN text IS NULL OR best = 0 THEN 'und' "
+        + pick
+        + f" ELSE '{tie_order[-1]}' END"
+    )
+    scalars = [
+        ("total_tokens", f"sum({tok})::DOUBLE"),
+        ("max_tokens", f"max({tok})::DOUBLE"),
+        ("min_tokens", f"min({tok})::DOUBLE"),
+        ("en_stopwords", f"sum({sw})::DOUBLE"),
+        ("avg_punct_ratio", f"round(avg({punct}), 6)::DOUBLE"),
+        ("avg_quality", f"round(avg({quality}), 4)::DOUBLE"),
+    ]
+    parts = [
+        f"SELECT '{name}' AS metric, {expr} AS value FROM documents"
+        for name, expr in scalars
+    ] + [
+        f"SELECT 'lang_{lang}', "
+        f"(count(*) FILTER (WHERE lp = '{lang}'))::DOUBLE FROM l"
+        for lang in ["de", "en", "es", "fr", "und"]
+    ]
+    return (
+        f"WITH c AS (SELECT text, {lang_counts} FROM documents), "
+        "b AS (SELECT *, greatest("
+        + ", ".join(f"c_{lang}" for lang in LANG_STOPWORDS)
+        + ") AS best FROM c), "
+        f"l AS (SELECT {lang_case} AS lp FROM b) "
+        "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY metric"
+    )
+
+
+def _decontam_sql(n: int = 13, bench_mod: int = 25) -> str:
+    """DuckDB replica of the decontamination entry over gram STRINGS
+    (the Spark side joins on xxhash64 keys; agreement also witnesses
+    collision-freeness).  Same normalization (lower + whitespace
+    collapse), same <n-words ⇒ no-grams rule, distinct grams per doc."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return (
+        "WITH w AS (SELECT doc_id, CASE WHEN text IS NULL THEN [] "
+        f"ELSE string_split({norm}, ' ') END AS ws FROM documents), "
+        f"g AS (SELECT doc_id, CASE WHEN len(ws) < {n} THEN []::VARCHAR[] "
+        "ELSE list_distinct(list_transform("
+        f"generate_series(1, len(ws) - {n - 1}), "
+        f"i -> array_to_string(ws[i:i+{n - 1}], ' '))) END AS grams FROM w), "
+        "bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g "
+        f"WHERE doc_id % {bench_mod} = 0), "
+        "dg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+        "m AS (SELECT doc_id, count(*) AS n_matched FROM dg "
+        "JOIN bg USING (gram) GROUP BY doc_id) "
+        "SELECT count(*)::BIGINT AS n_docs, "
+        "(count(*) FILTER (WHERE coalesce(n_matched, 0) >= 1))::BIGINT "
+        "AS n_contaminated, "
+        "coalesce(sum(n_matched), 0)::BIGINT AS total_matched, "
+        "coalesce(max(n_matched), 0)::BIGINT AS max_matched "
+        "FROM g LEFT JOIN m USING (doc_id)"
+    )
+
+
+def _pii_sql() -> str:
+    """DuckDB replica of the planted-PII entry: identical VALUES rows,
+    the same RE2/Java-common regexes, the Luhn fold as a list_transform
+    lambda, and the full redaction chain (global regexp_replace in
+    PII_PATTERNS order) fingerprinted under ORDER BY id."""
+    from great_expectations_spark.functions.curation import PII_PATTERNS
+
+    values = ", ".join(
+        f"({i}, NULL)" if t is None else f"({i}, '{t}')"
+        for i, t in _PII_PLANTED_ROWS
+    )
+    luhn = (
+        "length(d) > 0 AND list_sum(list_transform("
+        "generate_series(1, length(d)), i -> "
+        "CASE WHEN (length(d) - i) % 2 = 1 "
+        "THEN [0,2,4,6,8,1,3,5,7,9][ascii(substring(d, i, 1)) - 47] "
+        "ELSE ascii(substring(d, i, 1)) - 48 END)) % 10 = 0"
+    )
+    count_exprs = []
+    for kind, pat in PII_PATTERNS.items():
+        if kind == "credit_card":
+            expr = (
+                f"sum(len(list_filter(list_transform(regexp_extract_all("
+                f"text, '{pat}'), m -> regexp_replace(m, '[^0-9]', '', 'g')),"
+                f" d -> {luhn})))"
+            )
+        else:
+            expr = f"sum(len(regexp_extract_all(text, '{pat}')))"
+        count_exprs.append(f"{expr}::BIGINT AS n_{kind}")
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[PII:{kind}]', 'g')"
+    return (
+        f"WITH t(id, text) AS (VALUES {values}) "
+        "SELECT " + ", ".join(count_exprs) + ", "
+        f"md5(string_agg(coalesce({red}, ''), '|' ORDER BY id)) "
+        "AS redact_fp FROM t"
+    )
+
+
+def _mix_sample_sql() -> str:
+    """DuckDB replica of the mixture-resampling entry: the same
+    max-retention rate math (T = min(n_g / w_g), rate = w_g·T / n_g) and
+    the same md5-threshold keep rule, so membership is byte-identical."""
+    weights = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+    u = (
+        "('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 8))::UBIGINT"
+        " / 4294967296.0"
+    )
+    return (
+        f"WITH w(source, wt) AS (VALUES {weights}), "
+        "c AS (SELECT source, count(*)::DOUBLE AS n FROM documents "
+        "JOIN w USING (source) GROUP BY source), "
+        "t AS (SELECT min(n / wt) AS tot FROM c JOIN w USING (source)), "
+        "r AS (SELECT source, least(1.0, wt * tot / n) AS rate "
+        "FROM c JOIN w USING (source), t) "
+        "SELECT d.source, count(*)::BIGINT AS kept, "
+        "sum(doc_id)::BIGINT AS key_sum "
+        f"FROM documents d JOIN r USING (source) WHERE {u} < rate "
+        "GROUP BY d.source ORDER BY d.source"
+    )
+
+
+def _curation_oracles() -> dict[str, str]:
     return {
-        "quality_docs": (
-            f"SELECT round(avg({quality}), 4) AS avg_quality FROM documents"
-        )
+        "text_stats_docs": _text_stats_sql(),
+        "decontam_docs": _decontam_sql(),
+        "pii_planted": _pii_sql(),
+        "mix_sample_docs": _mix_sample_sql(),
     }

@@ -1,0 +1,399 @@
+"""Training-corpus curation operators: benchmark decontamination,
+PII detection / redaction, and deterministic mixture resampling.
+
+These are the three curation steps a large-scale LLM training-data
+pipeline runs between dedup and tokenization:
+
+* **Decontamination** — drop training documents that share long word
+  n-grams with an evaluation benchmark (the GPT-3 appendix-C /
+  PaLM-style 13-gram overlap rule; public papers: Brown et al. 2020
+  §4 "Measuring and Preventing Memorization", Chowdhery et al. 2022).
+* **PII scrubbing** — detect and redact e-mail addresses, phone
+  numbers, IPs, SSN-shaped ids and (Luhn-validated) payment-card
+  numbers before text enters a training corpus.
+* **Mixture resampling** — deterministically subsample per-domain so
+  the output corpus matches target domain weights (the "data mixture"
+  step; e.g. The Pile / DoReMi-style fixed mixture weights).
+
+Engine policy (same as the rest of ``functions/``): every hot-path
+expression is JVM-side (``pyspark.sql.functions`` regexp / array /
+aggregate expressions inside whole-stage codegen) — **zero Python in
+the per-row path**, including the Luhn checksum, which is a pure SQL
+``aggregate(sequence(...))`` fold.  At 10^12-row scale:
+
+* the benchmark n-gram side of decontamination is DISTINCT'd and
+  explicitly broadcast (benchmarks are ≤10^6 grams — megabytes);
+  the document side never shuffles for the join, and the per-doc
+  match count groupBy moves only matched grams (a vanishing fraction);
+* PII detection/redaction is a single projection — no shuffle at all;
+* mixture resampling is one tiny group-count agg + a broadcast-map
+  filter — one scan, no repartition, byte-identical keep/drop
+  decisions on any cluster size (md5-threshold hashing, the same
+  trick as ``sources/splitters.py`` md5-parity sampling).
+
+There is no reference-repo analog for these (Great Expectations
+validates, it does not curate) — closest surfaces are the reference's
+hash samplers (``execution_engine/split_and_sample/sparkdf_data_sampler.py:142``)
+which the mixture sampler generalizes to weighted per-group rates.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from great_expectations_spark.functions.text import normalize_text
+
+__all__ = [
+    "word_ngrams",
+    "benchmark_ngrams",
+    "contamination_stats",
+    "decontaminate",
+    "PII_PATTERNS",
+    "luhn_valid",
+    "pii_counts",
+    "pii_stats",
+    "redact_pii",
+    "mixture_rates",
+    "mix_sample",
+]
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of normalized word ``n``-grams (space-joined strings).
+
+    Normalization = lowercase + whitespace collapse (``normalize_text``),
+    the standard pre-matching canonical form.  Documents with fewer than
+    ``n`` words (or null text) yield an EMPTY array — a too-short
+    document cannot be contaminated under an n-gram rule.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = F.split(normalize_text(col), " ")
+    n_words = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_words - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(col.isNull() | (n_words < n), F.array().cast("array<string>")).otherwise(grams)
+
+
+def benchmark_ngrams(
+    bench_df: DataFrame,
+    *,
+    text_column: str = "text",
+    n: int = 13,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Distinct n-grams of the benchmark/eval set, as a 1-column frame.
+
+    ``hash_grams=True`` (production default) keys on ``xxhash64`` of the
+    gram — an 8-byte broadcast key instead of a ~100-byte string; the
+    string form exists so oracles can compare cross-engine.
+    Output column: ``gram`` (bigint or string).
+    """
+    grams = bench_df.select(
+        F.explode(word_ngrams(F.col(text_column), n)).alias("gram")
+    )
+    if hash_grams:
+        grams = grams.select(F.xxhash64("gram").alias("gram"))
+    return grams.distinct()
+
+
+def contamination_stats(
+    docs_df: DataFrame,
+    bench_df: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_column: str = "text",
+    bench_text_column: str = "text",
+    n: int = 13,
+    min_matches: int = 1,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document contamination stats against a benchmark.
+
+    Returns ``(doc_id, n_grams, n_matched, contaminated)`` — the number
+    of DISTINCT n-grams in the document, how many of those appear
+    anywhere in the benchmark, and whether ``n_matched >= min_matches``.
+
+    Plan shape (the one you want at 100 TB):
+
+    1. benchmark → distinct grams, **explicitly broadcast** (small side);
+    2. documents → one projection computing the distinct-gram array
+       (``n_grams`` = its size rides the same projection), exploded;
+    3. broadcast INNER hash join — the 100 TB side never shuffles;
+    4. ``groupBy(doc_id).count()`` over ONLY the matched rows (tiny,
+       map-side combinable);
+    5. match counts (small) broadcast-joined back onto the id+size
+       frame from step 2.
+
+    Every step is JVM expressions; no UDFs.
+    """
+    grams_arr = F.array_distinct(word_ngrams(F.col(text_column), n))
+    base = docs_df.select(
+        F.col(doc_id).alias("doc_id"),
+        grams_arr.alias("__grams"),
+    ).select(
+        "doc_id",
+        F.size("__grams").alias("n_grams"),
+        F.col("__grams"),
+    )
+    exploded = base.select(
+        "doc_id", F.explode("__grams").alias("gram")
+    )
+    if hash_grams:
+        exploded = exploded.select(
+            "doc_id", F.xxhash64("gram").alias("gram")
+        )
+    bench = benchmark_ngrams(
+        bench_df, text_column=bench_text_column, n=n, hash_grams=hash_grams
+    )
+    matched = (
+        exploded.join(F.broadcast(bench), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        base.select("doc_id", "n_grams")
+        .join(F.broadcast(matched), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) >= F.lit(min_matches)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    docs_df: DataFrame,
+    bench_df: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_column: str = "text",
+    bench_text_column: str = "text",
+    n: int = 13,
+    min_matches: int = 1,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Drop documents contaminated by the benchmark; keeps all input
+    columns.  The contaminated-id set is tiny (it is bounded by the
+    benchmark's reach), so the anti-join broadcasts it."""
+    stats = contamination_stats(
+        docs_df,
+        bench_df,
+        doc_id=doc_id,
+        text_column=text_column,
+        bench_text_column=bench_text_column,
+        n=n,
+        min_matches=min_matches,
+        hash_grams=hash_grams,
+    )
+    bad = stats.filter(F.col("contaminated")).select(
+        F.col("doc_id").alias(doc_id)
+    )
+    return docs_df.join(F.broadcast(bad), doc_id, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns are written to the COMMON subset of Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences, \b and {m,n}
+# only.  Order matters for redaction: longer/more-specific first so a
+# card number is not half-eaten by the phone pattern.
+PII_PATTERNS: Dict[str, str] = {
+    "credit_card": r"\b(?:[0-9][ -]?){12,18}[0-9]\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # leading \b sits inside the alternation: it cannot assert before a
+    # literal "(" (non-word on both sides), so the parenthesized-area-code
+    # branch anchors on the digits instead
+    "phone": (
+        r"(?:\+?1[-. ])?(?:\([0-9]{3}\)[ ]?|\b[0-9]{3}[-. ])"
+        r"[0-9]{3}[-. ][0-9]{4}\b"
+    ),
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+def _luhn_pred_col(d: Column) -> Column:
+    """Luhn predicate over a digit-string Column — pure SQL
+    ``aggregate`` fold (whole-stage codegen; no UDF).  Doubles every
+    second digit from the right; the >9 fold-down rides a 10-element
+    LUT indexed by the digit (``element_at`` is 1-based, so index =
+    digit + 1 = ascii - 47).  Empty string → false."""
+    lut = F.array(*[F.lit(v) for v in (0, 2, 4, 6, 8, 1, 3, 5, 7, 9)])
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(d)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.pmod(F.length(d) - i, F.lit(2)) == 1,
+            F.element_at(lut, F.ascii(d.substr(i, F.lit(1))) - 47),
+        ).otherwise(F.ascii(d.substr(i, F.lit(1))) - 48),
+    )
+    return (F.length(d) > 0) & (F.pmod(total, F.lit(10)) == 0)
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum validity of a digit string (null/empty → false)."""
+    return F.when(
+        digits.isNull(), F.lit(False)
+    ).otherwise(_luhn_pred_col(digits))
+
+
+def pii_counts(col: Column, kinds: Optional[List[str]] = None) -> Dict[str, Column]:
+    """Per-kind PII match-count Columns for ``col`` (JVM ``regexp_count``).
+    ``credit_card`` counts only Luhn-VALID card-shaped matches."""
+    kinds = list(kinds) if kinds else list(PII_PATTERNS)
+    out: Dict[str, Column] = {}
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}; have {sorted(PII_PATTERNS)}")
+        if kind == "credit_card":
+            matches = F.regexp_extract_all(
+                col, F.lit(PII_PATTERNS[kind]), F.lit(0)
+            )
+            digits = F.transform(
+                matches, lambda m: F.regexp_replace(m, "[^0-9]", "")
+            )
+            out[kind] = F.size(F.filter(digits, _luhn_pred_col))
+        else:
+            out[kind] = F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+    return out
+
+
+def pii_stats(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    kinds: Optional[List[str]] = None,
+    keep_columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Per-row PII counts + ``any_pii`` flag.  One projection, no
+    shuffle; every count is a codegen'd regexp expression."""
+    counts = pii_counts(F.col(text_column), kinds)
+    keep = keep_columns if keep_columns is not None else df.columns
+    count_cols = [c.alias(f"pii_{k}") for k, c in counts.items()]
+    any_expr = None
+    for k in counts:
+        term = F.col(f"pii_{k}") > 0
+        any_expr = term if any_expr is None else (any_expr | term)
+    return df.select(*keep, *count_cols).select(
+        "*", F.coalesce(any_expr, F.lit(False)).alias("any_pii")
+    )
+
+
+def redact_pii(
+    col: Column,
+    kinds: Optional[List[str]] = None,
+    token: str = "[PII:{kind}]",
+) -> Column:
+    """Replace every PII match with ``token`` (``{kind}`` interpolated),
+    applying patterns in ``PII_PATTERNS`` order (card before phone so a
+    16-digit number is swallowed whole).  Chained JVM
+    ``regexp_replace`` — still one projection.
+
+    Note: ``credit_card`` redaction is shape-based (no Luhn gate) —
+    redaction errs on the safe side, detection counts err on precision.
+    """
+    kinds = list(kinds) if kinds else list(PII_PATTERNS)
+    out = col
+    for kind in PII_PATTERNS:  # fixed canonical order
+        if kind not in kinds:
+            continue
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], token.format(kind=kind)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling (domain reweighting)
+# ---------------------------------------------------------------------------
+
+
+def mixture_rates(
+    counts: Dict[str, int], target_weights: Dict[str, float]
+) -> Tuple[Dict[str, float], int]:
+    """Per-group keep rates achieving ``target_weights`` with maximum
+    retention (pure driver math).
+
+    Given group sizes ``c_g`` and weights ``w_g`` (normalized here), the
+    largest total ``T`` with ``w_g * T <= c_g`` for every g is
+    ``T = min_g(c_g / w_g)``; keep rate is ``w_g * T / c_g``.  Groups
+    with weight 0 (or absent from ``target_weights``) are dropped.
+    Returns ``(rates, expected_total)``.
+    """
+    total_w = sum(w for w in target_weights.values() if w > 0)
+    if total_w <= 0:
+        raise ValueError("target_weights must contain a positive weight")
+    norm = {g: w / total_w for g, w in target_weights.items() if w > 0}
+    missing = [g for g in norm if counts.get(g, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"target_weights reference empty/absent groups: {missing}"
+        )
+    t = min(counts[g] / w for g, w in norm.items())
+    rates = {g: min(1.0, w * t / counts[g]) for g, w in norm.items()}
+    return rates, int(t)
+
+
+def mix_sample(
+    df: DataFrame,
+    group_column: str,
+    target_weights: Dict[str, float],
+    *,
+    key_columns: Optional[List[str]] = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministically subsample ``df`` so group proportions match
+    ``target_weights`` (maximum-retention solution).
+
+    Keep decision: ``u(row) < rate(group)`` where ``u`` is the first 8
+    hex chars of ``md5(key || seed)`` scaled to [0,1) — the same
+    engine-portable construction as the md5-parity sampler
+    (``sources/splitters.py``), so membership is byte-identical on any
+    engine/cluster and oracle-checkable in SQL.  ``key_columns``
+    defaults to all non-group columns' concat; pass the stable unique
+    id for production use.
+
+    One tiny ``groupBy(group).count()`` agg (driver-collected — group
+    count is the number of DOMAINS, not rows), then a single filtered
+    scan.  No shuffle of the data itself.
+    """
+    key_columns = key_columns or [
+        c for c in df.columns if c != group_column
+    ]
+    counts = {
+        r[group_column]: r["n"]
+        for r in df.groupBy(group_column)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates, _ = mixture_rates(counts, target_weights)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_columns])
+    u = F.conv(F.substring(F.md5(F.concat(key, F.lit(seed))), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(2**32))
+    rate_expr = None
+    for g, r in rates.items():
+        cond = F.col(group_column) == F.lit(g)
+        rate_expr = (
+            F.when(cond, F.lit(r))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(r))
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0.0))
+    return df.filter(u < rate_expr)

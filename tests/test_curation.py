@@ -1,0 +1,237 @@
+"""Tests for functions/curation.py — decontamination, PII, mixture
+resampling.  Every oracle here is an independent pure-Python
+recomputation (no Spark expressions reused)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.functions import curation as cur
+
+
+# ---------------------------------------------------------------------------
+# word_ngrams / decontamination
+# ---------------------------------------------------------------------------
+
+
+def _py_ngrams(text, n):
+    if text is None:
+        return []
+    words = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    words = [w for w in words if w != ""]
+    if len(words) < n:
+        return []
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def test_word_ngrams_matches_python(spark):
+    rows = [
+        (1, "Alpha BETA gamma  delta"),
+        (2, "one two"),
+        (3, ""),
+        (4, None),
+        (5, "  padded   spacing   everywhere  "),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", cur.word_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_ngrams(t, 3), f"id={i}"
+
+
+@pytest.mark.parametrize("hash_grams", [True, False])
+def test_contamination_stats_vs_python(spark, hash_grams):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "THE QUICK BROWN fox jumps over something else entirely"),
+        (4, "tiny"),
+        (5, None),
+    ]
+    bench = [
+        ("the quick brown fox jumps over the lazy dog tail",),
+        ("five dozen liquor jugs",),
+    ]
+    n = 4
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"], r["contaminated"])
+        for r in cur.contamination_stats(
+            ddf, bdf, n=n, hash_grams=hash_grams
+        ).collect()
+    }
+    bench_grams = set()
+    for (t,) in bench:
+        bench_grams.update(_py_ngrams(t, n))
+    for doc_id, t in docs:
+        grams = set(_py_ngrams(t, n))
+        matched = len(grams & bench_grams)
+        assert got[doc_id] == (len(grams), matched, matched >= 1), doc_id
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    docs = [
+        (1, "a b c d e f g"),
+        (2, "h i j k l m n"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame([("x a b c d e y",)], "text string")
+    kept = cur.decontaminate(ddf, bdf, n=5)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # min_matches above the overlap keeps everything
+    kept2 = cur.decontaminate(ddf, bdf, n=5, min_matches=4)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 2]
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    ddf = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bdf = spark.createDataFrame([("a b c d e",)], "text string")
+    plan = cur.contamination_stats(ddf, bdf, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def _py_luhn(d):
+    if not d:
+        return False
+    total = 0
+    for pos, ch in enumerate(reversed(d)):
+        v = int(ch)
+        if pos % 2 == 1:
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return total % 10 == 0
+
+
+def test_luhn_matches_python(spark):
+    cases = [
+        "4111111111111111",  # valid visa test
+        "4111111111111112",
+        "5500005555555559",  # valid mc test
+        "1234567812345670",  # valid (check digit 0)
+        "1234567812345678",
+        "79927398713",  # classic luhn example, valid
+        "79927398710",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "d string")
+    got = {
+        r["d"]: r["ok"]
+        for r in df.select("d", cur.luhn_valid(F.col("d")).alias("ok")).collect()
+    }
+    for c in cases:
+        assert got[c] == _py_luhn(c), c
+
+
+def test_pii_stats_counts(spark):
+    rows = [
+        (1, "mail john.doe+x@example.co.uk and jane@sub.example.org"),
+        (2, "cards: 4111 1111 1111 1111 (valid) 4111-1111-1111-1112 (luhn-bad)"),
+        (3, "host 10.0.0.1 and 255.255.255.255, ssn 123-45-6789"),
+        (4, "call (415) 555-1234 or 212-555-0000 x99"),
+        (5, "clean text, no identifiers at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in cur.pii_stats(df, keep_columns=["id"]).collect()
+    }
+    assert got[1]["pii_email"] == 2 and got[1]["any_pii"]
+    # luhn gate: only the valid card counts
+    assert got[2]["pii_credit_card"] == 1
+    assert got[3]["pii_ipv4"] == 2 and got[3]["pii_ssn"] == 1
+    assert got[4]["pii_phone"] == 2
+    assert not got[5]["any_pii"]
+    assert not got[6]["any_pii"] and got[6]["pii_email"] is None
+
+
+def test_redact_pii_all_kinds(spark):
+    text = (
+        "email a@b.io card 4111 1111 1111 1111 ip 1.2.3.4 "
+        "ssn 123-45-6789 phone 415-555-1234"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    out = df.select(cur.redact_pii(F.col("text")).alias("r")).first()["r"]
+    assert "a@b.io" not in out and "[PII:email]" in out
+    assert "4111" not in out and "[PII:credit_card]" in out
+    assert "1.2.3.4" not in out and "[PII:ipv4]" in out
+    assert "123-45-6789" not in out and "[PII:ssn]" in out
+    assert "555-1234" not in out and "[PII:phone]" in out
+
+
+def test_redact_pii_kind_subset_and_unknown_kind(spark):
+    df = spark.createDataFrame([("a@b.io 1.2.3.4",)], "text string")
+    out = df.select(
+        cur.redact_pii(F.col("text"), kinds=["ipv4"]).alias("r")
+    ).first()["r"]
+    assert out == "a@b.io [PII:ipv4]"
+    with pytest.raises(ValueError):
+        cur.pii_counts(F.col("text"), kinds=["nope"])
+
+
+# ---------------------------------------------------------------------------
+# mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_rates_math():
+    rates, total = cur.mixture_rates(
+        {"web": 7000, "code": 2000, "wiki": 1000},
+        {"web": 0.5, "code": 0.25, "wiki": 0.25},
+    )
+    assert total == 4000
+    assert rates["wiki"] == 1.0
+    assert math.isclose(rates["web"], 2000 / 7000)
+    assert math.isclose(rates["code"], 1000 / 2000)
+    with pytest.raises(ValueError):
+        cur.mixture_rates({"a": 10}, {"a": 0.5, "b": 0.5})
+    with pytest.raises(ValueError):
+        cur.mixture_rates({"a": 10}, {"a": 0.0})
+
+
+def test_mix_sample_deterministic_and_python_replica(spark):
+    rows = [(i, "web" if i % 10 < 7 else ("code" if i % 10 < 9 else "wiki"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    weights = {"web": 0.5, "code": 0.3, "wiki": 0.2}
+    out = cur.mix_sample(df, "source", weights, key_columns=["id"], seed="s1")
+    kept = sorted(r["id"] for r in out.collect())
+    # python replica: identical md5-threshold decisions
+    counts = {"web": 2100, "code": 600, "wiki": 300}
+    rates, _ = cur.mixture_rates(counts, weights)
+    expect = []
+    for i, src in rows:
+        u = int(hashlib.md5(f"{i}s1".encode()).hexdigest()[:8], 16) / 2**32
+        if u < rates[src]:
+            expect.append(i)
+    assert kept == sorted(expect)
+    # stable across runs
+    again = sorted(r["id"] for r in
+                   cur.mix_sample(df, "source", weights,
+                                  key_columns=["id"], seed="s1").collect())
+    assert again == kept
+
+
+def test_mix_sample_drops_zero_weight_groups(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "id long, source string",
+    )
+    out = cur.mix_sample(df, "source", {"a": 1.0}, key_columns=["id"])
+    srcs = {r["source"] for r in out.collect()}
+    assert srcs == {"a"}
