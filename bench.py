@@ -92,7 +92,7 @@ def main() -> None:
         default_suite,
         generate_transcripts,
     )
-    from great_expectations_spark.functions import dedup, similarity
+    from great_expectations_spark.functions import curation, dedup, similarity
     from great_expectations_spark.functions import text as gxtext
     from great_expectations_spark.plans.planner import SuiteValidator
 
@@ -334,6 +334,25 @@ def main() -> None:
             .collect(),
         ),
         ("dedup_minhash_warm", run_minhash),
+        (
+            # benchmark 13-gram decontamination: broadcast bench grams,
+            # doc side never shuffles for the join (functions/curation.py)
+            "decontam_13gram",
+            lambda: curation.contamination_stats(
+                documents, documents.filter(F.col("doc_id") % 25 == 0), n=13
+            )
+            .agg(F.sum(F.col("contaminated").cast("int")))
+            .collect(),
+        ),
+        (
+            # PII redaction chain: 5 regexp_replace passes, one projection
+            "pii_redact",
+            lambda: documents.select(
+                curation.redact_pii(F.col("text")).alias("r")
+            )
+            .agg(F.sum(F.length("r")))
+            .collect(),
+        ),
         (
             "dedup_simhash",
             lambda: dedup.simhash_candidate_pairs(

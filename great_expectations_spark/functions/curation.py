@@ -85,6 +85,36 @@ def word_ngrams(col: Column, n: int) -> Column:
     return F.when(col.isNull() | (n_words < n), F.array().cast("array<string>")).otherwise(grams)
 
 
+def _gram_keys(col: Column, n: int, hashed: bool) -> Column:
+    """DISTINCT n-gram join keys for ``col``: 8-byte chained-hash longs
+    (``hashed=True``, the production path) or the gram strings.
+
+    The hashed key is ``fold(xxhash64)`` over per-word ``xxhash64``
+    values — each word hashed ONCE, then k-1 long-pair hashes per gram
+    instead of building a ~100-byte gram string per position (measured
+    ~3× cheaper; also immune to separator ambiguity).  ANSI-safe (no
+    long arithmetic).  ``array_distinct`` runs here, on the 8-byte keys,
+    not on strings."""
+    if hashed:
+        words = F.split(normalize_text(col), " ")
+        word_hashes = F.transform(words, lambda w: F.xxhash64(w))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.aggregate(
+                F.slice(word_hashes, i, n),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ),
+        )
+        empty = F.array().cast("array<bigint>")
+        grams = F.when(
+            col.isNull() | (F.size(words) < n), empty
+        ).otherwise(grams)
+    else:
+        grams = word_ngrams(col, n)
+    return F.array_distinct(grams)
+
+
 def benchmark_ngrams(
     bench_df: DataFrame,
     *,
@@ -94,17 +124,16 @@ def benchmark_ngrams(
 ) -> DataFrame:
     """Distinct n-grams of the benchmark/eval set, as a 1-column frame.
 
-    ``hash_grams=True`` (production default) keys on ``xxhash64`` of the
-    gram — an 8-byte broadcast key instead of a ~100-byte string; the
-    string form exists so oracles can compare cross-engine.
-    Output column: ``gram`` (bigint or string).
+    ``hash_grams=True`` (production default) keys on the chained-hash
+    long (see :func:`_gram_keys`) — an 8-byte broadcast key instead of a
+    ~100-byte string; the string form exists so oracles can compare
+    cross-engine.  Output column: ``gram`` (bigint or string).
     """
-    grams = bench_df.select(
-        F.explode(word_ngrams(F.col(text_column), n)).alias("gram")
-    )
-    if hash_grams:
-        grams = grams.select(F.xxhash64("gram").alias("gram"))
-    return grams.distinct()
+    return bench_df.select(
+        F.explode(_gram_keys(F.col(text_column), n, hash_grams)).alias(
+            "gram"
+        )
+    ).distinct()
 
 
 def contamination_stats(
@@ -124,53 +153,42 @@ def contamination_stats(
     of DISTINCT n-grams in the document, how many of those appear
     anywhere in the benchmark, and whether ``n_matched >= min_matches``.
 
-    Plan shape (the one you want at 100 TB):
+    Plan shape (the one you want at 100 TB) — ONE pass over the corpus:
 
-    1. benchmark → distinct grams, **explicitly broadcast** (small side);
-    2. documents → one projection computing the distinct-gram array
-       (``n_grams`` = its size rides the same projection), exploded;
-    3. broadcast INNER hash join — the 100 TB side never shuffles;
-    4. ``groupBy(doc_id).count()`` over ONLY the matched rows (tiny,
-       map-side combinable);
-    5. match counts (small) broadcast-joined back onto the id+size
-       frame from step 2.
+    1. benchmark → distinct gram keys, **explicitly broadcast** (small);
+    2. documents → one projection computing the distinct 8-byte gram
+       keys (chained hash, see :func:`_gram_keys`), ``explode_outer``
+       (gram-less docs keep a null row, so step 4 covers every doc);
+    3. broadcast LEFT hash join against the benchmark marker — the
+       100 TB side never shuffles for the join;
+    4. one ``groupBy(doc_id)`` counting grams and matched grams
+       together — map-side combine reduces each partition to ≤1 row
+       per doc before the only shuffle.
 
-    Every step is JVM expressions; no UDFs.
+    Every step is JVM expressions; no UDFs, no second scan.
     """
-    grams_arr = F.array_distinct(word_ngrams(F.col(text_column), n))
-    base = docs_df.select(
+    exploded = docs_df.select(
         F.col(doc_id).alias("doc_id"),
-        grams_arr.alias("__grams"),
-    ).select(
-        "doc_id",
-        F.size("__grams").alias("n_grams"),
-        F.col("__grams"),
+        F.explode_outer(
+            _gram_keys(F.col(text_column), n, hash_grams)
+        ).alias("gram"),
     )
-    exploded = base.select(
-        "doc_id", F.explode("__grams").alias("gram")
-    )
-    if hash_grams:
-        exploded = exploded.select(
-            "doc_id", F.xxhash64("gram").alias("gram")
-        )
     bench = benchmark_ngrams(
         bench_df, text_column=bench_text_column, n=n, hash_grams=hash_grams
-    )
-    matched = (
-        exploded.join(F.broadcast(bench), "gram", "inner")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
+    ).withColumn("__hit", F.lit(1))
+    n_matched = F.coalesce(F.sum("__hit"), F.lit(0))
     return (
-        base.select("doc_id", "n_grams")
-        .join(F.broadcast(matched), "doc_id", "left")
+        exploded.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            n_matched.alias("n_matched"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-            (F.coalesce(F.col("n_matched"), F.lit(0)) >= F.lit(min_matches)).alias(
-                "contaminated"
-            ),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            (F.col("n_matched") >= F.lit(min_matches)).alias("contaminated"),
         )
     )
 

@@ -564,3 +564,98 @@ def ivfpq_load(spark, path: str):
     codebooks = np.asarray(q["codebooks"], dtype=np.float32)
     encoded = spark.read.parquet(f"{path}/codes")
     return encoded, centroids, codebooks
+
+
+# --- SemDeDup: semantic (embedding-space) deduplication --------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    n_clusters: int = 64,
+    seed: int = 42,
+    train_fraction: Optional[float] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): k-means partition the embedding
+    space (the :func:`ivf_index` coarse quantizer), compute pairwise
+    cosine WITHIN each cluster only, keep pairs ``>= threshold``.
+
+    This is the lower-threshold regime (~0.90-0.97) where
+    :func:`embedding_near_dup_pairs`'s sign-LSH bucketing loses recall
+    (semantic dups disagree on many hyperplane bits); k-means cells
+    capture semantic neighborhoods instead.  Cross-cluster dups are
+    deliberately missed — the paper's own semantics, and what bounds the
+    quadratic term: expected within-cluster cost is ~n²/k vs n² for
+    brute force, and each cluster's self-join co-locates on one shuffle
+    key.  The self-join moves ONLY (cluster, id); embeddings re-attach
+    to the (small) candidate set by bare-id joins afterwards.
+
+    ``n_clusters`` tunes the recall/cost trade: more clusters = cheaper
+    + lower recall.  At 10^12 rows, write ``ivf_index``'s assignment
+    partitioned by cluster first and run per-partition.
+    """
+    if n_clusters <= 1:
+        # exact mode: MLlib KMeans needs k >= 2, and one cluster is just
+        # the brute-force all-pairs graph
+        assigned = df.withColumn("__ivf_cluster", F.lit(0))
+    else:
+        assigned, _ = ivf_index(
+            df, n_clusters, id_column, embedding_column, seed, train_fraction
+        )
+    base = assigned.select(
+        F.col(id_column).alias("__id"),
+        F.col(embedding_column).alias("__emb"),
+        F.col("__ivf_cluster").alias("__c"),
+    ).persist()
+    keyed = base.select("__id", "__c")
+    l, r = keyed.alias("l"), keyed.alias("r")
+    candidates = l.join(
+        r,
+        (F.col("l.__c") == F.col("r.__c"))
+        & (F.col("l.__id") < F.col("r.__id")),
+    ).select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    ea = base.select(F.col("__id").alias("id_a"), F.col("__emb").alias("__ea"))
+    eb = base.select(F.col("__id").alias("id_b"), F.col("__emb").alias("__eb"))
+    return (
+        candidates.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    seed: int = 42,
+    train_fraction: Optional[float] = None,
+) -> DataFrame:
+    """One-call semantic dedup: :func:`semantic_dedup_pairs` ->
+    connected components -> keep one row per semantic cluster.  The
+    survivor is the cluster's MIN id (deterministic, rerun-stable; the
+    paper keeps a centroid-distance-ranked representative — a scoring
+    delta, not a structural one, and min-id keeps resume semantics
+    exact)."""
+    from great_expectations_spark.functions.dedup import near_dedup
+
+    pairs = semantic_dedup_pairs(
+        df,
+        threshold=threshold,
+        id_column=id_column,
+        embedding_column=embedding_column,
+        n_clusters=n_clusters,
+        seed=seed,
+        train_fraction=train_fraction,
+    )
+    return near_dedup(df, id_column, pairs)

@@ -235,3 +235,89 @@ def test_mix_sample_drops_zero_weight_groups(spark):
     out = cur.mix_sample(df, "source", {"a": 1.0}, key_columns=["id"])
     srcs = {r["source"] for r in out.collect()}
     assert srcs == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (functions/similarity.py) — semantic embedding dedup
+# ---------------------------------------------------------------------------
+
+
+def _planted_vectors():
+    """3 well-separated direction groups; within each group a base vector
+    plus near-copies (tiny perturbation => cosine ~0.999) and one
+    moderate neighbor below the dedup threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = {
+        0: np.array([10.0, 0, 0, 0] + [0] * 4),
+        10: np.array([0, 10.0, 0, 0] + [0] * 4),
+        20: np.array([0, 0, 10.0, 0] + [0] * 4),
+    }
+    rows = []
+    for gid, v in base.items():
+        rows.append((gid, [float(x) for x in v]))
+        for j in (1, 2):  # near-dups of the base
+            rows.append(
+                (gid + j, [float(x) for x in v + rng.normal(0, 0.05, 8)])
+            )
+        # far member of the same half-space, NOT a near-dup
+        w = v + rng.normal(0, 6.0, 8)
+        rows.append((gid + 5, [float(x) for x in w]))
+    return rows
+
+
+def test_semantic_dedup_pairs_match_bruteforce_at_one_cluster(spark):
+    """n_clusters=1 degrades to exact all-pairs: pair set must equal the
+    brute-force cosine threshold graph."""
+    import itertools
+
+    import numpy as np
+
+    from great_expectations_spark.functions import similarity as sim
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sim.semantic_dedup_pairs(
+            df, threshold=0.98, n_clusters=1
+        ).collect()
+    }
+    vecs = {i: np.array(v) for i, v in rows}
+    expect = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+        if cos >= 0.98:
+            expect.add((a, b))
+    assert got == expect and len(expect) >= 3
+
+
+def test_semantic_dedup_survivors(spark):
+    from great_expectations_spark.functions import similarity as sim
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in sim.semantic_dedup(
+            df, threshold=0.98, n_clusters=3
+        ).collect()
+    )
+    # each group's near-dup triple collapses to the min id; the far
+    # members (x5) and any unclustered rows survive
+    assert set(kept) >= {0, 5, 10, 15, 20, 25}
+    for gone in (1, 2, 11, 12, 21, 22):
+        assert gone not in kept
+
+
+def test_semantic_dedup_pairs_precision(spark):
+    """Every emitted pair must satisfy the threshold (precision 1.0
+    regardless of clustering)."""
+    from great_expectations_spark.functions import similarity as sim
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for r in sim.semantic_dedup_pairs(df, threshold=0.98, n_clusters=4).collect():
+        assert r["cos_sim"] >= 0.98
