@@ -442,6 +442,28 @@ def _dateutil_parseable(kwargs: Dict[str, Any]) -> CompiledMap:
     return out
 
 
+# --------------------------------------------------------------------------
+# PII absence (beyond reference — the transcript-curation gate a
+# 10^12-turn pipeline runs before text enters a training corpus; detection
+# machinery in functions/curation.py: Java-regex∩RE2 patterns, payment
+# cards gated by a pure-SQL Luhn fold — zero UDFs, rides the bundled agg)
+# --------------------------------------------------------------------------
+
+
+@register_map("expect_column_values_to_not_contain_pii")
+def _not_contain_pii(kwargs: Dict[str, Any]) -> CompiledMap:
+    from great_expectations_spark.functions.curation import pii_counts
+
+    counts = pii_counts(F.col(kwargs["column"]), kwargs.get("kinds"))
+    any_pii = None
+    for c in counts.values():
+        term = F.coalesce(c, F.lit(0)) > 0
+        any_pii = term if any_pii is None else (any_pii | term)
+    out = _column_map(kwargs["column"], expected=~any_pii)
+    out.required_column_types = (T.StringType,)
+    return out
+
+
 def compile_map_expectation(
     expectation_type: str, kwargs: Dict[str, Any]
 ) -> CompiledMap:

@@ -321,3 +321,45 @@ def test_semantic_dedup_pairs_precision(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     for r in sim.semantic_dedup_pairs(df, threshold=0.98, n_clusters=4).collect():
         assert r["cos_sim"] >= 0.98
+
+
+# ---------------------------------------------------------------------------
+# expect_column_values_to_not_contain_pii (operators/map_conditions.py)
+# ---------------------------------------------------------------------------
+
+
+def test_expect_not_contain_pii_suite(spark):
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    rows = [
+        (1, "mail me at a@b.io"),
+        (2, "totally clean"),
+        (3, "card 4111 1111 1111 1111 here"),
+        (4, "luhn-invalid 4111 1111 1111 1112 stays clean"),
+        (5, None),  # null leaves the denominator, never unexpected
+        (6, "ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    suite = ExpectationSuite("pii").add(
+        "expect_column_values_to_not_contain_pii", column="text", mostly=0.9
+    )
+    res = SuiteValidator().validate(df, suite, result_format="SUMMARY")
+    r = res.results[0]
+    assert r.result["element_count"] == 6
+    assert r.result["missing_count"] == 1
+    assert r.result["unexpected_count"] == 3  # ids 1, 3, 6
+    assert not r.success  # 3/5 violations > 10%
+    sample = set(r.result["partial_unexpected_list"])
+    assert sample == {rows[0][1], rows[2][1], rows[5][1]}
+
+    # kind subset: only card scanning => one violation, mostly=0.5 passes
+    suite2 = ExpectationSuite("pii2").add(
+        "expect_column_values_to_not_contain_pii",
+        column="text",
+        kinds=["credit_card"],
+        mostly=0.5,
+    )
+    res2 = SuiteValidator().validate(df, suite2, result_format="BASIC")
+    assert res2.results[0].result["unexpected_count"] == 1
+    assert res2.results[0].success
