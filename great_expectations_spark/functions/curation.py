@@ -58,6 +58,8 @@ __all__ = [
     "redact_pii",
     "mixture_rates",
     "mix_sample",
+    "train_quality_classifier",
+    "quality_classifier_score",
 ]
 
 
@@ -415,3 +417,125 @@ def mix_sample(
         )
     rate_expr = rate_expr.otherwise(F.lit(0.0))
     return df.filter(u < rate_expr)
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier (hashed bag-of-words linear model)
+# ---------------------------------------------------------------------------
+
+
+def _word_feature_ids(col: Column, n_features: int) -> Column:
+    """Normalized-word feature ids in [1, n_features] (1-based for
+    ``element_at``): ``pmod(xxhash64(word), n) + 1``.  Pure JVM."""
+    words = F.split(normalize_text(col), " ")
+    ids = F.transform(
+        words, lambda w: (F.pmod(F.xxhash64(w), F.lit(n_features)) + 1)
+    )
+    return F.when(
+        col.isNull() | (F.length(F.trim(col)) == 0),
+        F.array().cast("array<bigint>"),
+    ).otherwise(ids)
+
+
+def train_quality_classifier(
+    labeled_df: DataFrame,
+    *,
+    text_column: str = "text",
+    label_column: str = "label",
+    n_features: int = 1 << 15,
+    max_rows: int = 100_000,
+    epochs: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    seed: int = 42,
+) -> Dict[str, object]:
+    """Train a hashed bag-of-words logistic quality classifier (the
+    GPT-3-style "quality filter": a linear model scoring documents
+    against a small labeled reference set — Brown et al. 2020 appendix A
+    describe exactly this shape; fastText's supervised mode is the same
+    model family).
+
+    Labels are 0/1 (1 = keep-quality).  Training is DRIVER-side numpy
+    full-batch gradient descent — the labeled set is small by
+    construction (``max_rows`` cap enforced with ``limit(cap+1)`` so an
+    over-cap frame errors instead of silently truncating); what must
+    scale is SCORING, which :func:`quality_classifier_score` does as a
+    pure JVM expression.  Featurization of the training sample runs
+    through the SAME Spark expression as scoring
+    (:func:`_word_feature_ids`), so train/score hash parity is
+    structural, not replicated.
+
+    Returns a plain-dict model ``{weights: list[float], bias: float,
+    n_features: int}`` (JSON-serializable; persist however you like).
+    """
+    import numpy as np
+
+    rows = (
+        labeled_df.select(
+            F.col(label_column).cast("int").alias("y"),
+            _word_feature_ids(F.col(text_column), n_features).alias("ids"),
+        )
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"labeled_df exceeds max_rows={max_rows}; sample it first "
+            "(the classifier trains on a bounded reference set)"
+        )
+    if not rows:
+        raise ValueError("labeled_df is empty")
+    n = len(rows)
+    # mean-pooled sparse features -> dense is wasteful; accumulate per-row
+    y = np.array([r["y"] for r in rows], dtype=np.float64)
+    feats = [np.array(r["ids"], dtype=np.int64) - 1 for r in rows]
+    w = np.zeros(n_features, dtype=np.float64)
+    b = 0.0
+    rng = np.random.default_rng(seed)  # reserved for future minibatching
+    del rng
+    for _ in range(epochs):
+        # forward: mean pooling over each row's feature ids
+        z = np.fromiter(
+            (
+                (w[f].sum() / len(f) if len(f) else 0.0) + b
+                for f in feats
+            ),
+            dtype=np.float64,
+            count=n,
+        )
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y  # dL/dz per row
+        gw = np.zeros_like(w)
+        for gi, f in zip(g, feats):
+            if len(f):
+                np.add.at(gw, f, gi / len(f))
+        w -= lr * (gw / n + l2 * w)
+        b -= lr * float(g.mean())
+    return {
+        "weights": [float(v) for v in w],
+        "bias": float(b),
+        "n_features": int(n_features),
+    }
+
+
+def quality_classifier_score(col: Column, model: Dict[str, object]) -> Column:
+    """P(keep-quality) for ``col`` under a trained model — 100% JVM:
+    the weight vector ships as ONE array literal (data, not code — the
+    same pattern as the IVF-PQ ADC lookup table), indexed with
+    ``element_at`` inside an ``aggregate`` fold over the document's
+    hashed word ids, mean-pooled, sigmoid'd.  No UDF, no shuffle; at
+    10^12 rows this is a single projection whose weight array is
+    broadcast once per task."""
+    n_features = int(model["n_features"])
+    weights = F.lit(list(model["weights"]))
+    ids = _word_feature_ids(col, n_features)
+    total = F.aggregate(
+        ids,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(weights, i.cast("int")),
+    )
+    z = (
+        F.when(F.size(ids) > 0, total / F.size(ids)).otherwise(F.lit(0.0))
+        + F.lit(float(model["bias"]))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -363,3 +363,87 @@ def test_expect_not_contain_pii_suite(spark):
     res2 = SuiteValidator().validate(df, suite2, result_format="BASIC")
     assert res2.results[0].result["unexpected_count"] == 1
     assert res2.results[0].success
+
+
+# ---------------------------------------------------------------------------
+# quality classifier (hashed bag-of-words logistic model)
+# ---------------------------------------------------------------------------
+
+
+def _quality_corpus():
+    """Two vocab-disjoint classes + held-out docs mixing the vocab."""
+    good_words = ["research", "theory", "evidence", "method", "analysis",
+                  "result", "conclusion", "citation"]
+    bad_words = ["click", "free", "winner", "prize", "buy", "casino",
+                 "offer", "now"]
+    import itertools
+    train = []
+    for i, (a, b, c) in enumerate(itertools.islice(
+            itertools.permutations(good_words, 3), 40)):
+        train.append((f"{a} {b} {c} {a}", 1))
+    for i, (a, b, c) in enumerate(itertools.islice(
+            itertools.permutations(bad_words, 3), 40)):
+        train.append((f"{a} {b} {c} {b}", 0))
+    heldout = [
+        ("evidence analysis citation method", 1),
+        ("casino prize click free", 0),
+        ("result conclusion theory research evidence", 1),
+        ("buy now winner offer click", 0),
+    ]
+    return train, heldout
+
+
+def test_quality_classifier_train_and_score(spark):
+    train, heldout = _quality_corpus()
+    tdf = spark.createDataFrame(train, "text string, label int")
+    model = cur.train_quality_classifier(tdf, epochs=300)
+    hdf = spark.createDataFrame(heldout, "text string, label int")
+    scored = hdf.select(
+        "label", cur.quality_classifier_score(F.col("text"), model).alias("p")
+    ).collect()
+    for r in scored:
+        assert (r["p"] >= 0.5) == (r["label"] == 1), (r["label"], r["p"])
+    # training accuracy should be essentially perfect on disjoint vocab
+    tr = tdf.select(
+        "label", cur.quality_classifier_score(F.col("text"), model).alias("p")
+    ).collect()
+    acc = sum(((r["p"] >= 0.5) == (r["label"] == 1)) for r in tr) / len(tr)
+    assert acc == 1.0
+
+
+def test_quality_classifier_score_is_jvm_only(spark):
+    train, _ = _quality_corpus()
+    tdf = spark.createDataFrame(train, "text string, label int")
+    model = cur.train_quality_classifier(tdf, epochs=10)
+    plan = (
+        tdf.select(cur.quality_classifier_score(F.col("text"), model))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_null_and_empty_score_bias_only(spark):
+    import math
+
+    train, _ = _quality_corpus()
+    tdf = spark.createDataFrame(train, "text string, label int")
+    model = cur.train_quality_classifier(tdf, epochs=10)
+    df = spark.createDataFrame([(None,), ("",), ("   ",)], "text string")
+    got = [
+        r["p"]
+        for r in df.select(
+            cur.quality_classifier_score(F.col("text"), model).alias("p")
+        ).collect()
+    ]
+    expect = 1.0 / (1.0 + math.exp(-model["bias"]))
+    for p in got:
+        assert abs(p - expect) < 1e-12
+
+
+def test_quality_classifier_caps_and_errors(spark):
+    tdf = spark.createDataFrame([("a", 1)] * 5, "text string, label int")
+    with pytest.raises(ValueError):
+        cur.train_quality_classifier(tdf, max_rows=4)
+    empty = spark.createDataFrame([], "text string, label int")
+    with pytest.raises(ValueError):
+        cur.train_quality_classifier(empty)
