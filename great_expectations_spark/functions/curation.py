@@ -539,3 +539,126 @@ def quality_classifier_score(col: Column, model: Dict[str, object]) -> Column:
         + F.lit(float(model["bias"]))
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(
+    df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    dedup_method: Optional[str] = None,
+    dedup_threshold: float = 0.7,
+    dedup_kwargs: Optional[Dict[str, object]] = None,
+    benchmark_df: Optional[DataFrame] = None,
+    decontam_n: int = 13,
+    decontam_min_matches: int = 1,
+    drop_pii_kinds: Optional[List[str]] = None,
+    redact_kinds: Optional[List[str]] = None,
+    quality_model: Optional[Dict[str, object]] = None,
+    quality_threshold: float = 0.5,
+    mixture_column: Optional[str] = None,
+    mixture_weights: Optional[Dict[str, float]] = None,
+    seed: str = "",
+    with_report: bool = False,
+) -> Tuple[DataFrame, List[Dict[str, object]]]:
+    """One-call training-corpus curation, staged in the canonical
+    pipeline order: **dedup → decontaminate → drop-PII → redact-PII →
+    quality filter → mixture resample**.  Every stage is optional (None
+    ⇒ skipped) and lazily composed — with ``with_report=False`` the
+    whole pipeline is ONE logical plan and Spark runs it in however few
+    jobs the actions demand; ``with_report=True`` counts rows after
+    each stage (one job per enabled stage) and returns the attrition
+    table ``[{stage, rows, retained}]``.
+
+    * ``dedup_method``: ``exact | minhash | ngram | simhash``
+      (``functions.dedup.dedup_corpus``) or ``semantic``
+      (``similarity.semantic_dedup`` — pass ``embedding_column=`` etc.
+      through ``dedup_kwargs``).
+    * ``benchmark_df``: eval set for n-gram decontamination.
+    * ``drop_pii_kinds`` / ``redact_kinds``: remove rows containing
+      these PII kinds / rewrite the text column with redaction tokens.
+    * ``quality_model``: a :func:`train_quality_classifier` model;
+      rows scoring below ``quality_threshold`` drop.
+    * ``mixture_column`` + ``mixture_weights``: deterministic
+      :func:`mix_sample` to target domain proportions.
+    """
+    report: List[Dict[str, object]] = []
+    first: List[Optional[int]] = [None]
+
+    def record(stage: str, d: DataFrame) -> None:
+        if not with_report:
+            return
+        n = d.count()
+        if first[0] is None:
+            first[0] = max(n, 1)
+        report.append(
+            {"stage": stage, "rows": n, "retained": round(n / first[0], 6)}
+        )
+
+    out = df
+    record("input", out)
+    if dedup_method:
+        kw = dict(dedup_kwargs or {})
+        if dedup_method == "semantic":
+            from great_expectations_spark.functions.similarity import (
+                semantic_dedup,
+            )
+
+            out = semantic_dedup(out, id_column=id_column, **kw)
+        else:
+            from great_expectations_spark.functions.dedup import dedup_corpus
+
+            out = dedup_corpus(
+                out,
+                id_column,
+                text_column,
+                method=dedup_method,
+                threshold=dedup_threshold,
+                **kw,
+            )
+        record(f"dedup[{dedup_method}]", out)
+    if benchmark_df is not None:
+        out = decontaminate(
+            out,
+            benchmark_df,
+            doc_id=id_column,
+            text_column=text_column,
+            n=decontam_n,
+            min_matches=decontam_min_matches,
+        )
+        record("decontaminate", out)
+    if drop_pii_kinds:
+        any_pii = None
+        for c in pii_counts(F.col(text_column), drop_pii_kinds).values():
+            term = F.coalesce(c, F.lit(0)) > 0
+            any_pii = term if any_pii is None else (any_pii | term)
+        out = out.filter(~any_pii)
+        record("drop_pii", out)
+    if redact_kinds:
+        out = out.withColumn(
+            text_column, redact_pii(F.col(text_column), redact_kinds)
+        )
+        record("redact_pii", out)
+    if quality_model is not None:
+        out = out.filter(
+            quality_classifier_score(F.col(text_column), quality_model)
+            >= F.lit(quality_threshold)
+        )
+        record("quality_filter", out)
+    if mixture_weights:
+        if not mixture_column:
+            raise ValueError("mixture_weights requires mixture_column")
+        out = mix_sample(
+            out,
+            mixture_column,
+            mixture_weights,
+            key_columns=[id_column],
+            seed=seed,
+        )
+        record("mixture", out)
+    return out, report

@@ -447,3 +447,83 @@ def test_quality_classifier_caps_and_errors(spark):
     empty = spark.createDataFrame([], "text string, label int")
     with pytest.raises(ValueError):
         cur.train_quality_classifier(empty)
+
+
+# ---------------------------------------------------------------------------
+# curate_corpus end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_all_stages(spark):
+    # 0/1 exact dups; 2 contaminated by bench; 3 has PII to drop;
+    # 4 has an email to redact... but email is in drop set here, so use
+    # separate kinds: drop credit cards, redact emails.
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "web"),
+        (1, "alpha beta gamma delta epsilon", "web"),        # exact dup of 0
+        (2, "one two three four five six seven eight", "web"),  # contaminated
+        (3, "card 4111 1111 1111 1111 in text pad pad pad", "web"),
+        (4, "write to me at a@b.io please thanks friend", "code"),
+        (5, "clean useful content about research methods", "code"),
+        (6, "more clean text with analysis and evidence", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [("zz one two three four five six seven eight zz",)], "text string"
+    )
+    out, report = cur.curate_corpus(
+        df,
+        dedup_method="exact",
+        benchmark_df=bench,
+        decontam_n=8,
+        drop_pii_kinds=["credit_card"],
+        redact_kinds=["email"],
+        with_report=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {0, 4, 5, 6}  # 1 deduped, 2 decontaminated, 3 dropped
+    assert got[4] == "write to me at [PII:email] please thanks friend"
+    stages = [r["stage"] for r in report]
+    assert stages == [
+        "input", "dedup[exact]", "decontaminate", "drop_pii", "redact_pii",
+    ]
+    assert [r["rows"] for r in report] == [7, 6, 5, 4, 4]
+    assert report[-1]["retained"] == round(4 / 7, 6)
+
+
+def test_curate_corpus_quality_and_mixture(spark):
+    train, _ = _quality_corpus()
+    tdf = spark.createDataFrame(train, "text string, label int")
+    model = cur.train_quality_classifier(tdf, epochs=200)
+    rows = [(i, "research evidence analysis method", "a") for i in range(20)]
+    rows += [(100 + i, "click free casino winner prize", "b") for i in range(20)]
+    rows += [(200 + i, "research theory citation result", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, report = cur.curate_corpus(
+        df,
+        quality_model=model,
+        quality_threshold=0.5,
+        mixture_column="source",
+        mixture_weights={"a": 0.5, "b": 0.5},
+        with_report=True,
+    )
+    kept = out.collect()
+    # quality filter kills the 20 spam docs; mixture balances a vs b
+    assert all(r["doc_id"] < 100 or r["doc_id"] >= 200 for r in kept)
+    n_a = sum(r["source"] == "a" for r in kept)
+    n_b = sum(r["source"] == "b" for r in kept)
+    assert n_a == 20 and 5 <= n_b <= 20  # b rate = 20/20 target => ~min(20, 20)
+    assert [r["stage"] for r in report] == ["input", "quality_filter", "mixture"]
+
+
+def test_curate_corpus_no_report_is_lazy(spark):
+    df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    out, report = cur.curate_corpus(df, redact_kinds=["email"])
+    assert report == []
+    assert out.count() == 1
+
+
+def test_curate_corpus_mixture_requires_column(spark):
+    df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        cur.curate_corpus(df, mixture_weights={"s": 1.0})
