@@ -169,6 +169,9 @@ def contamination_stats(
 
     Every step is JVM expressions; no UDFs, no second scan.
     """
+    from great_expectations_spark.functions.dedup import _ensure_parallelism
+
+    docs_df = _ensure_parallelism(docs_df)
     exploded = docs_df.select(
         F.col(doc_id).alias("doc_id"),
         F.explode_outer(

@@ -1080,3 +1080,100 @@ def dedup_corpus(
             "expected exact | minhash | ngram | simhash"
         )
     return near_dedup(df, id_column, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level dedup (transcript tables: conv_id / turn_idx / text)
+# ---------------------------------------------------------------------------
+
+
+def assemble_conversations(
+    df: DataFrame,
+    conv_column: str = "conv_id",
+    order_column: str = "turn_idx",
+    text_column: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """One document row per conversation: turn texts concatenated under
+    the STABLE (order, md5-hex-of-text) sort — the same deterministic
+    tie-break the north rule's per-turn text-equality invariant uses
+    (hex digits order identically under any collation), so assembly is
+    byte-identical across engines, partitionings and reruns.
+
+    One groupBy shuffle; ``collect_list`` is bounded by conversation
+    length (groups are per conversation, never the whole table).
+    Output: ``(conv_column, text, n_turns)`` — feed it to any
+    document-level op (``minhash_candidate_pairs``,
+    ``contamination_stats``, ``text_profile``...) to run that op at
+    conversation granularity.
+    """
+    t = F.coalesce(F.col(text_column), F.lit(""))
+    return df.groupBy(conv_column).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(order_column).alias("i"),
+                            F.md5(t).alias("h"),
+                            t.alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def conversation_dedup(
+    df: DataFrame,
+    conv_column: str = "conv_id",
+    order_column: str = "turn_idx",
+    text_column: str = "text",
+    method: str = "exact",
+    threshold: float = 0.7,
+    **pair_kwargs,
+) -> DataFrame:
+    """Drop duplicate CONVERSATIONS from a transcript table, keeping all
+    turns of each surviving conversation (survivor = min conv id per
+    duplicate cluster, deterministic).
+
+    ``method='exact'``: conversations with identical ordered turn text
+    collapse — the fingerprint is ``xxhash64`` of the assembled document,
+    so the only wide operation is the per-conversation groupBy.
+    Other methods (``minhash | ngram | simhash``) treat each assembled
+    conversation as a document and reuse the document-level candidate
+    machinery (LSH banding etc.) — near-duplicate transcripts (same
+    dialogue, minor edits) collapse too.
+
+    Returns the original rows filtered to surviving conversations; the
+    victim-id side of the anti-join is bounded by the duplicate count.
+    """
+    assembled = assemble_conversations(
+        df, conv_column, order_column, text_column
+    )
+    if method == "exact":
+        survivors = (
+            assembled.select(
+                F.col(conv_column),
+                F.xxhash64(normalize_text(F.col("text"))).alias("__fp"),
+            )
+            .groupBy("__fp")
+            .agg(F.min(conv_column).alias(conv_column))
+            .select(conv_column)
+        )
+        return df.join(survivors, conv_column, "left_semi")
+    deduped = dedup_corpus(
+        assembled,
+        conv_column,
+        "text",
+        method=method,
+        threshold=threshold,
+        **pair_kwargs,
+    )
+    return df.join(
+        deduped.select(conv_column), conv_column, "left_semi"
+    )

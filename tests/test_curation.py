@@ -527,3 +527,63 @@ def test_curate_corpus_mixture_requires_column(spark):
     df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError):
         cur.curate_corpus(df, mixture_weights={"s": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# conversation-level dedup (functions/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_conversations_stable_order(spark):
+    from great_expectations_spark.functions import dedup as dd
+
+    rows = [
+        ("c1", 2, "third"), ("c1", 0, "first"), ("c1", 1, "second"),
+        ("c2", 0, "only"),
+        ("c3", 0, None),  # null turn text -> empty string in assembly
+        # tie on turn_idx: md5-hex tie-break orders "a" < "b" by hash hex
+        ("c4", 0, "b"), ("c4", 0, "a"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["conv_id"]: (r["text"], r["n_turns"])
+           for r in dd.assemble_conversations(df).collect()}
+    assert got["c1"] == ("first\nsecond\nthird", 3)
+    assert got["c2"] == ("only", 1)
+    assert got["c3"] == ("", 1)
+    import hashlib
+    order = sorted(["a", "b"], key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert got["c4"] == ("\n".join(order), 2)
+    # shuffled input produces identical assembly
+    got2 = {r["conv_id"]: r["text"]
+            for r in dd.assemble_conversations(
+                df.orderBy(F.rand(7))).collect()}
+    assert got2 == {k: v[0] for k, v in got.items()}
+
+
+def test_conversation_dedup_exact_and_near(spark):
+    from great_expectations_spark.functions import dedup as dd
+
+    def turns(cid, texts):
+        return [(cid, i, t) for i, t in enumerate(texts)]
+
+    base = ["hello there how are you today friend",
+            "i am fine thanks for asking about it",
+            "great talk to you later then goodbye now"]
+    rows = (
+        turns("a1", base)
+        + turns("a2", base)                      # exact dup of a1
+        + turns("a3", base[:2] + ["great talk to you later then goodbye ok"])
+        + turns("b1", ["completely different content in here",
+                       "nothing shared with the others at all"])
+    )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    exact = dd.conversation_dedup(df, method="exact")
+    kept = {r["conv_id"] for r in exact.select("conv_id").distinct().collect()}
+    assert kept == {"a1", "a3", "b1"}  # a2 collapses into a1 (min id)
+    assert exact.filter(F.col("conv_id") == "a1").count() == 3  # turns intact
+
+    near = dd.conversation_dedup(
+        df, method="minhash", threshold=0.5, num_hashes=64, shingle_k=3
+    )
+    kept_near = {r["conv_id"] for r in near.select("conv_id").distinct().collect()}
+    assert kept_near == {"a1", "b1"}  # a3 is a near-dup, collapses too
