@@ -371,6 +371,88 @@ def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated multimodal entry (round-4 slot consolidation):
+    the REAL netpbm decode + 4x4 block-mean image features AND the
+    video frame-sample plan, stacked to one
+    ``(doc_id, kind, idx, val)`` frame — identical code paths to the
+    former image_pipeline_docs / frame_sample_plan_docs entries, one
+    report slot."""
+    img = _image_pipeline(spark, sf_dir)
+    frames = _frame_sample_plan(spark, sf_dir)
+    return (
+        img.select(
+            "doc_id",
+            F.lit("img_feat").alias("kind"),
+            F.col("fi").alias("idx"),
+            F.col("val"),
+        )
+        .unionByName(
+            img.select(
+                "doc_id",
+                F.lit("img_bytes").alias("kind"),
+                F.lit(-1).cast("long").alias("idx"),
+                F.col("n_bytes").cast("double").alias("val"),
+            ).distinct()
+        )
+        .unionByName(
+            frames.select(
+                "doc_id",
+                F.lit("frame").alias("kind"),
+                F.col("frame_ts_ms").alias("idx"),
+                F.lit(None).cast("double").alias("val"),
+            )
+        )
+    )
+
+
+def _conv_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level dedup (functions/dedup.py
+    assemble_conversations + conversation_dedup) on the events table
+    read as transcripts (user_id=conv_id, event_id=turn_idx,
+    props=text): every conv_id % 5 == 0 conversation is re-keyed
+    (+1_000_000) and unioned in as a planted exact duplicate; the
+    survivor set must be exactly the original conversations (min id
+    per duplicate cluster).  Assembly uses the deterministic
+    (turn_idx, md5-hex-of-text) tie-break, so the DuckDB replica's
+    string_agg ORDER BY is byte-identical."""
+    from great_expectations_spark.functions.dedup import (
+        conversation_dedup,
+    )
+
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    )
+    t = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("props").alias("text"),
+    )
+    dup = t.filter(F.col("conv_id") % 5 == 0).withColumn(
+        "conv_id", F.col("conv_id") + 1_000_000
+    )
+    kept = conversation_dedup(t.unionByName(dup), method="exact")
+    return kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+def _pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/packing.py pack_concat_chunks):
+    per-document block spans in the concatenated token stream, bucketed
+    by the documents.source column so the canonical (source, doc_id)
+    stream order is fully SQL-replicable — the distributed two-phase
+    prefix sum must agree with DuckDB's single window cumsum."""
+    from great_expectations_spark.functions.packing import (
+        pack_concat_chunks,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_concat_chunks(
+        docs, block_size=256, bucket_column="source"
+    )
+
+
 def _compound_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _load(spark, sf_dir, "lineitem")
     suite = ExpectationSuite("q").add(
@@ -404,39 +486,26 @@ def _increasing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _contiguous_linenumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH contiguity strategies in one stacked entry (round-4 slot
+    consolidation): strategy='window' (per-group lag, one shuffle) and
+    the skew-immune strategy='join' (operators/window_ops.py
+    _sequence_contiguous_join: self/pred markers + ONE two-phase
+    pair-keyed aggregation, no per-group sort — the
+    hot-conversation-proof plan the north rule asks for).  Each
+    strategy keeps its own independent DuckDB replica row."""
     df = _load(spark, sf_dir, "lineitem")
-    suite = ExpectationSuite("q").add(
-        "expect_sequence_to_be_contiguous",
-        group_column="l_orderkey",
-        index_column="l_linenumber",
-        first_index=1,
-    )
-    res = SuiteValidator().validate(df, suite, result_format="BASIC")
-    return spark.createDataFrame(
-        [(res.results[0].result["unexpected_count"],)], "gap_rows bigint"
-    )
-
-
-def _contiguous_linenumber_join(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Skew-immune strategy='join' variant of the contiguity check
-    (operators/window_ops.py _sequence_contiguous_join): self/pred
-    markers + ONE two-phase pair-keyed aggregation, no per-group sort,
-    no join — the hot-conversation-proof plan the north rule asks for.
-    Must count the same gaps as the window strategy."""
-    df = _load(spark, sf_dir, "lineitem")
-    suite = ExpectationSuite("q").add(
-        "expect_sequence_to_be_contiguous",
-        group_column="l_orderkey",
-        index_column="l_linenumber",
-        first_index=1,
-        strategy="join",
-    )
-    res = SuiteValidator().validate(df, suite, result_format="BASIC")
-    return spark.createDataFrame(
-        [(res.results[0].result["unexpected_count"],)], "gap_rows bigint"
-    )
+    rows = []
+    for strat in ("window", "join"):
+        suite = ExpectationSuite("q").add(
+            "expect_sequence_to_be_contiguous",
+            group_column="l_orderkey",
+            index_column="l_linenumber",
+            first_index=1,
+            strategy=strat,
+        )
+        res = SuiteValidator().validate(df, suite, result_format="BASIC")
+        rows.append((strat, res.results[0].result["unexpected_count"]))
+    return spark.createDataFrame(rows, "strategy string, gap_rows bigint")
 
 
 def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,14 +1441,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window / uniqueness (two-phase groupBy path) ---
         "unique_orderkey": _unique_dup_rows,
         "window_samples_events": _window_samples_events,
-        "image_pipeline_docs": _image_pipeline,
+        # image pipeline + frame-sample plan stacked into one slot
+        "multimodal_docs": _multimodal_docs,
         "grouped_kl_by_day": _grouped_kl_by_day,
-        "frame_sample_plan_docs": _frame_sample_plan,
         "streaming_stateful_gaps": _streaming_stateful_gaps,
         "compound_unique_lineitem": _compound_unique,
         "increasing_events": _increasing_events,
+        # window + join strategies stacked into one slot
         "contiguous_linenumber": _contiguous_linenumber,
-        "contiguous_linenumber_join": _contiguous_linenumber_join,
         # --- aggregates (single bundled agg) ---
         "agg_stats_quantity": _agg_stats,
         "quantiles_extendedprice": _quantiles,
@@ -1411,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_mix_event_type": _drift_mix,
         # --- dedup / text / similarity ---
         "dedup_exact_docs": _dedup_exact,
+        "conv_dedup_events": _conv_dedup_events,
+        "pack_chunks_docs": _pack_chunks_docs,
         # token/stopword/quality/lang_id_fast folded into ONE stacked
         # (metric, value) entry — frees 3 report slots for the curation
         # family below
@@ -1557,22 +1628,31 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT user_id FROM events WHERE user_id IS NOT NULL "
             "  GROUP BY user_id HAVING count(*) > 1)"
         ),
-        "image_pipeline_docs": (
+        "multimodal_docs": (
             # analytic replica of the REAL decode+feature path: the P5
             # bytes are 13 header bytes + 24*32 pixels where
             # pixel(y,x) = (doc_id*7919 + y*32 + x) % 256; 4x4 block
             # means over exact 6x8 blocks, /255, rounded — integer sums
-            # are exact in double on both engines
+            # are exact in double on both engines.  Stacked with one
+            # img_bytes row per doc (the real parser's byte count) and
+            # the frame-sample plan (F.sequence is stop-INCLUSIVE ->
+            # generate_series)
             "WITH px AS ("
             "  SELECT d.doc_id, y.y, x.x,"
             "         (d.doc_id * 7919 + y.y * 32 + x.x) % 256 AS v"
             "  FROM (SELECT doc_id FROM documents) d"
             "  CROSS JOIN (SELECT unnest(range(24)) AS y) y"
             "  CROSS JOIN (SELECT unnest(range(32)) AS x) x"
-            ") SELECT doc_id, 781::BIGINT AS n_bytes,"
-            "         ((y // 6) * 4 + (x // 8))::BIGINT AS fi,"
+            ") SELECT doc_id, 'img_feat' AS kind,"
+            "         ((y // 6) * 4 + (x // 8))::BIGINT AS idx,"
             "         round(avg(v) / 255.0, 7) AS val"
-            "  FROM px GROUP BY doc_id, y // 6, x // 8"
+            "  FROM px GROUP BY doc_id, y // 6, x // 8 "
+            "UNION ALL SELECT doc_id, 'img_bytes', -1::BIGINT, "
+            "  781.0::DOUBLE FROM documents "
+            "UNION ALL SELECT doc_id, 'frame',"
+            "  unnest(generate_series(0,"
+            "    greatest((doc_id % 7) * 1000 + 500 - 1, 0),"
+            "    1000))::BIGINT, NULL::DOUBLE FROM documents"
         ),
         "grouped_kl_by_day": (
             # per-day binned KL vs the fixed expected weights; the wide
@@ -1593,14 +1673,6 @@ def oracle_sql() -> dict[str, str]:
             "  + (CASE WHEN b2 > 0 THEN (b2::DOUBLE/total) * ln((b2::DOUBLE/total) / 0.2) ELSE 0 END)"
             "  + (CASE WHEN b3 > 0 THEN (b3::DOUBLE/total) * ln((b3::DOUBLE/total) / 0.2) ELSE 0 END)"
             "  , 6) AS kl FROM h"
-        ),
-        "frame_sample_plan_docs": (
-            # F.sequence(0, stop, step) is stop-INCLUSIVE -> generate_series
-            "SELECT doc_id,"
-            " unnest(generate_series(0,"
-            "   greatest((doc_id % 7) * 1000 + 500 - 1, 0),"
-            "   1000))::BIGINT AS frame_ts_ms "
-            "FROM documents"
         ),
         "streaming_stateful_gaps": (
             # watermark = largest contiguous prefix from 1 (i == rn over
@@ -1640,16 +1712,19 @@ def oracle_sql() -> dict[str, str]:
             "unexpected_count FROM w"
         ),
         "contiguous_linenumber": (
+            # independent replicas per strategy: window = per-group lag
+            # formulation, join = DISTINCT-present anti-exists
+            # formulation — both tag their strategy row
             "WITH w AS (SELECT l_linenumber AS ln, lag(l_linenumber) OVER ("
             "PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev FROM "
-            "lineitem WHERE l_linenumber IS NOT NULL) SELECT count(*) FILTER "
-            "(WHERE ln > 1 AND (prev IS NULL OR prev < ln - 1))::BIGINT AS "
-            "gap_rows FROM w"
-        ),
-        "contiguous_linenumber_join": (
-            "WITH present AS (SELECT DISTINCT l_orderkey AS g, "
+            "lineitem WHERE l_linenumber IS NOT NULL), "
+            "present AS (SELECT DISTINCT l_orderkey AS g, "
             "l_linenumber AS i FROM lineitem WHERE l_linenumber IS NOT "
-            "NULL) SELECT count(*)::BIGINT AS gap_rows FROM present a "
+            "NULL) "
+            "SELECT 'window' AS strategy, count(*) FILTER "
+            "(WHERE ln > 1 AND (prev IS NULL OR prev < ln - 1))::BIGINT AS "
+            "gap_rows FROM w "
+            "UNION ALL SELECT 'join', count(*)::BIGINT FROM present a "
             "WHERE a.i > 1 AND NOT EXISTS (SELECT 1 FROM present b "
             "WHERE b.g = a.g AND b.i = a.i - 1)"
         ),
@@ -1845,6 +1920,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, "
             "coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS "
             "n_duplicate_rows FROM g"
+        ),
+        "conv_dedup_events": (
+            # assemble under the (turn_idx, md5-hex) tie-break, group by
+            # the NORMALIZED assembled text (the Spark side groups by
+            # xxhash64 of the same normalization — agreement also
+            # witnesses collision-freeness), survivor = min conv id
+            "WITH t AS (SELECT user_id AS conv_id, event_id AS turn_idx,"
+            "  props AS text FROM events WHERE event_id IS NOT NULL), "
+            "uni AS (SELECT * FROM t UNION ALL "
+            "  SELECT conv_id + 1000000, turn_idx, text FROM t "
+            "  WHERE conv_id % 5 = 0), "
+            "asm AS (SELECT conv_id,"
+            "  string_agg(coalesce(text, ''), chr(10) "
+            "    ORDER BY turn_idx, md5(coalesce(text, ''))) AS doc,"
+            "  count(*)::BIGINT AS n_turns FROM uni GROUP BY conv_id), "
+            "surv AS (SELECT min(conv_id) AS conv_id FROM asm GROUP BY "
+            "  regexp_replace(lower(trim(doc)), '\\s+', ' ', 'g')) "
+            "SELECT a.conv_id, a.n_turns FROM asm a "
+            "JOIN surv USING (conv_id)"
+        ),
+        "pack_chunks_docs": (
+            # single-window cumsum replica of the distributed two-phase
+            # prefix sum; canonical stream order (source, doc_id)
+            "WITH t AS (SELECT doc_id, source,"
+            "  (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0"
+            "   ELSE len(string_split_regex(trim(text), '\\s+')) "
+            "   END)::BIGINT AS n FROM documents), "
+            "o AS (SELECT doc_id, n, coalesce(sum(n) OVER ("
+            "  ORDER BY source, doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "  AND 1 PRECEDING), 0)::BIGINT AS off FROM t) "
+            "SELECT doc_id, n AS n_tokens, off AS tok_offset,"
+            "  CASE WHEN n > 0 THEN off // 256 END AS first_block,"
+            "  CASE WHEN n > 0 THEN (off + n - 1) // 256 END AS last_block,"
+            "  (CASE WHEN n > 0 THEN (off + n - 1) // 256 - off // 256 + 1 "
+            "   ELSE 0 END)::BIGINT AS n_blocks FROM o"
         ),
         "ann_threshold_cosine": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
