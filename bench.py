@@ -93,6 +93,7 @@ def main() -> None:
         generate_transcripts,
     )
     from great_expectations_spark.functions import curation, dedup, similarity
+    from great_expectations_spark.functions import packing
     from great_expectations_spark.functions import text as gxtext
     from great_expectations_spark.plans.planner import SuiteValidator
 
@@ -352,6 +353,29 @@ def main() -> None:
             )
             .agg(F.sum(F.length("r")))
             .collect(),
+        ),
+        (
+            # sequence packing: distributed two-phase prefix sum over
+            # hash buckets (functions/packing.py) — count materializes
+            # the per-doc block spans
+            "pack_chunks",
+            lambda: packing.pack_concat_chunks(
+                documents, block_size=2048, num_buckets=64
+            ).count(),
+        ),
+        (
+            # conversation-level exact dedup on events-as-transcripts:
+            # stable-order assembly groupBy + fingerprint groupBy +
+            # left-semi survivor join (functions/dedup.py)
+            "conv_dedup_exact",
+            lambda: dedup.conversation_dedup(
+                events.select(
+                    F.col("user_id").alias("conv_id"),
+                    F.col("event_id").alias("turn_idx"),
+                    F.col("props").alias("text"),
+                ),
+                method="exact",
+            ).count(),
         ),
         (
             "dedup_simhash",

@@ -40,12 +40,13 @@ from typing import Iterator, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from great_expectations_spark.functions.text import token_count
+from great_expectations_spark.functions.text import WORD_SPLIT, token_count
 
 __all__ = [
     "pack_concat_chunks",
     "pack_greedy",
     "pack_stats",
+    "materialize_blocks",
 ]
 
 
@@ -274,6 +275,75 @@ def pack_greedy(
 
     return arranged.mapInPandas(_pack, schema=out_schema).withColumnRenamed(
         "__id", id_column
+    )
+
+
+def materialize_blocks(
+    df: DataFrame,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    block_size: int = 2048,
+    bucket_column: Optional[str] = None,
+    num_buckets: int = 64,
+    tokenizer=None,
+) -> DataFrame:
+    """Turn the :func:`pack_concat_chunks` slice plan into the actual
+    fixed-size training blocks: ``(block_id, tokens array<string>,
+    n_tokens)`` where every block except the stream's last has exactly
+    ``block_size`` tokens, in canonical stream order.
+
+    All JVM expressions: the document is tokenized once
+    (``tokenizer(col)`` must return an array column consistent with
+    :func:`~great_expectations_spark.functions.text.token_count`;
+    default whitespace split), each (doc, block) plan row slices its
+    piece with ``F.slice``, and blocks assemble via a groupBy whose
+    per-group state is bounded by ``block_size`` tokens — block groups
+    cannot be skewed by construction.  Costs one join shuffle (plan
+    rows x token arrays, keyed by doc id) plus the groupBy(block_id)
+    shuffle, each carrying every token exactly once.
+    """
+    plan = pack_concat_chunks(
+        df,
+        id_column=id_column,
+        text_column=text_column,
+        block_size=block_size,
+        bucket_column=bucket_column,
+        num_buckets=num_buckets,
+        explode=True,
+    )
+    tok = tokenizer or (lambda c: F.split(F.trim(c), WORD_SPLIT))
+    docs = df.select(
+        F.col(id_column).alias("__id"), tok(F.col(text_column)).alias("__toks")
+    )
+    pieces = plan.join(
+        docs, plan[id_column] == docs["__id"]
+    ).select(
+        "block_id",
+        "block_tok_start",
+        F.slice(
+            "__toks",
+            F.col("doc_tok_start") + 1,
+            F.col("doc_tok_end") - F.col("doc_tok_start"),
+        ).alias("__piece"),
+    )
+    return (
+        pieces.groupBy("block_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("block_tok_start").alias("s"),
+                                F.col("__piece").alias("p"),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
     )
 
 

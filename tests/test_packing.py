@@ -134,6 +134,31 @@ def test_chunk_rejects_bad_block_size(sized):
         )
 
 
+def test_materialize_blocks_content_exact(spark):
+    import re
+
+    rows = [
+        (i, "src_%d" % (i % 2), " ".join("w%d_%d" % (i, j) for j in range(n)))
+        for i, n in enumerate([5, 0, 17, 3, 40, 1, 26])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        pk.materialize_blocks(
+            df, block_size=16, bucket_column="source"
+        ).collect(),
+        key=lambda r: r["block_id"],
+    )
+    stream = []
+    for _i, _s, t in sorted(rows, key=lambda r: (r[1], r[0])):
+        if t.strip():
+            stream.extend(re.split(r"\s+", t.strip()))
+    flat = [t for r in got for t in r["tokens"]]
+    assert flat == stream
+    assert all(r["n_tokens"] == 16 for r in got[:-1])
+    assert got[-1]["n_tokens"] == len(stream) - 16 * (len(got) - 1)
+    assert [r["block_id"] for r in got] == list(range(len(got)))
+
+
 def _greedy_invariants(assign, capacity, n_docs):
     per = (
         assign.groupBy("pack_id")
