@@ -84,7 +84,13 @@ def word_ngrams(col: Column, n: int) -> Column:
         F.sequence(F.lit(1), n_words - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
-    return F.when(col.isNull() | (n_words < n), F.array().cast("array<string>")).otherwise(grams)
+    # blank text normalizes to '' whose split is [''] (size 1) — an
+    # empty document has ZERO words, not one
+    blank = F.length(normalize_text(col)) == 0
+    return F.when(
+        col.isNull() | blank | (n_words < n),
+        F.array().cast("array<string>"),
+    ).otherwise(grams)
 
 
 def _gram_keys(col: Column, n: int, hashed: bool) -> Column:
@@ -110,7 +116,10 @@ def _gram_keys(col: Column, n: int, hashed: bool) -> Column:
         )
         empty = F.array().cast("array<bigint>")
         grams = F.when(
-            col.isNull() | (F.size(words) < n), empty
+            col.isNull()
+            | (F.length(normalize_text(col)) == 0)
+            | (F.size(words) < n),
+            empty,
         ).otherwise(grams)
     else:
         grams = word_ngrams(col, n)
@@ -399,6 +408,13 @@ def mix_sample(
     key_columns = key_columns or [
         c for c in df.columns if c != group_column
     ]
+    if not key_columns:
+        raise ValueError(
+            "mix_sample needs at least one non-group column (or explicit "
+            "key_columns) to derive per-row membership — with none, every "
+            "row of a group would share one md5 draw and the group would "
+            "be kept or dropped wholesale"
+        )
     counts = {
         r[group_column]: r["n"]
         for r in df.groupBy(group_column)
@@ -450,7 +466,6 @@ def train_quality_classifier(
     epochs: int = 200,
     lr: float = 0.5,
     l2: float = 1e-4,
-    seed: int = 42,
 ) -> Dict[str, object]:
     """Train a hashed bag-of-words logistic quality classifier (the
     GPT-3-style "quality filter": a linear model scoring documents
@@ -492,10 +507,9 @@ def train_quality_classifier(
     # mean-pooled sparse features -> dense is wasteful; accumulate per-row
     y = np.array([r["y"] for r in rows], dtype=np.float64)
     feats = [np.array(r["ids"], dtype=np.int64) - 1 for r in rows]
+    # full-batch GD from zero init: training is fully deterministic
     w = np.zeros(n_features, dtype=np.float64)
     b = 0.0
-    rng = np.random.default_rng(seed)  # reserved for future minibatching
-    del rng
     for _ in range(epochs):
         # forward: mean pooling over each row's feature ids
         z = np.fromiter(

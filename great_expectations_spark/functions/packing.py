@@ -129,8 +129,14 @@ def pack_concat_chunks(
     local = slim.withColumn(
         "__local", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
+    # null-safe join: a NULL bucket (possible with a caller
+    # bucket_column) is a real group — an equi-join would orphan it
     packed = (
-        local.join(F.broadcast(bases), "__bucket", "left")
+        local.join(
+            F.broadcast(bases.withColumnRenamed("__bucket", "__bb")),
+            local["__bucket"].eqNullSafe(F.col("__bb")),
+            "left",
+        )
         .withColumn("tok_offset", F.col("__base") + F.col("__local"))
         .select(
             F.col("__id").alias(id_column),
@@ -235,13 +241,21 @@ def pack_greedy(
 
         pid = TaskContext.get().partitionId()
         next_pack = 0
-        # open bins: list of [pack_id, remaining]; first-fit scan
+        # open bins: list of [pack_id, remaining]; first-fit scan.
+        # Bin state resets at bucket boundaries (a partition holds
+        # whole buckets, sorted by bucket) so packing is a pure
+        # function of each bucket's own contents.
         open_bins: list = []
+        cur_bucket = object()
         for pdf in batches:
             ids = pdf["__id"]
             sizes = pdf["n_tokens"]
+            buckets = pdf["__bucket"]
             pack_ids, oversize = [], []
-            for size in sizes:
+            for size, bucket in zip(sizes, buckets):
+                if bucket != cur_bucket:
+                    cur_bucket = bucket
+                    open_bins = []
                 size = int(size) if size == size else 0  # NaN -> 0
                 if size > capacity:
                     pack_ids.append((pid << 40) | next_pack)
@@ -292,29 +306,45 @@ def materialize_blocks(
     n_tokens)`` where every block except the stream's last has exactly
     ``block_size`` tokens, in canonical stream order.
 
-    All JVM expressions: the document is tokenized once
-    (``tokenizer(col)`` must return an array column consistent with
-    :func:`~great_expectations_spark.functions.text.token_count`;
-    default whitespace split), each (doc, block) plan row slices its
+    All JVM expressions: the document is tokenized once (``tokenizer``
+    maps a string column to an array column; default whitespace split,
+    empty/null text -> empty array), the slice plan is computed from
+    THAT tokenizer's own array sizes (so a custom tokenizer can never
+    disagree with the plan), each (doc, block) plan row slices its
     piece with ``F.slice``, and blocks assemble via a groupBy whose
     per-group state is bounded by ``block_size`` tokens — block groups
     cannot be skewed by construction.  Costs one join shuffle (plan
     rows x token arrays, keyed by doc id) plus the groupBy(block_id)
     shuffle, each carrying every token exactly once.
     """
+
+    def _default_tok(c: Column) -> Column:
+        t = F.trim(c)
+        return F.when(
+            c.isNull() | (F.length(t) == 0), F.array().cast("array<string>")
+        ).otherwise(F.split(t, WORD_SPLIT))
+
+    tok = tokenizer or _default_tok
+    toked = df.select(
+        F.col(id_column).alias("__tid"),
+        tok(F.col(text_column)).alias("__toks"),
+        *([bucket_column] if bucket_column is not None else []),
+    ).withColumn(
+        # the plan MUST count with the same tokenizer that slices
+        "__n_toks",
+        F.coalesce(F.size("__toks"), F.lit(0)),
+    )
     plan = pack_concat_chunks(
-        df,
+        toked.withColumnRenamed("__tid", id_column),
         id_column=id_column,
-        text_column=text_column,
+        text_column=None,
+        n_tokens_column="__n_toks",
         block_size=block_size,
         bucket_column=bucket_column,
         num_buckets=num_buckets,
         explode=True,
     )
-    tok = tokenizer or (lambda c: F.split(F.trim(c), WORD_SPLIT))
-    docs = df.select(
-        F.col(id_column).alias("__id"), tok(F.col(text_column)).alias("__toks")
-    )
+    docs = toked.select(F.col("__tid").alias("__id"), "__toks")
     pieces = plan.join(
         docs, plan[id_column] == docs["__id"]
     ).select(
@@ -371,14 +401,20 @@ def pack_stats(
         (
             F.sum("__over") + F.ceil(fitting / capacity)
         ).alias("lower_bound"),
-        F.round(
-            F.sum(F.when(F.col("__over") == 0, F.col("__tok"))).cast(
-                "double"
-            )
-            / (
-                F.sum(F.when(F.col("__over") == 0, F.lit(1))) * capacity
+        # all-oversize corpora have no non-oversize packs: fill is
+        # vacuously perfect (1.0), never NULL
+        F.coalesce(
+            F.round(
+                F.sum(F.when(F.col("__over") == 0, F.col("__tok"))).cast(
+                    "double"
+                )
+                / (
+                    F.sum(F.when(F.col("__over") == 0, F.lit(1)))
+                    * capacity
+                ),
+                6,
             ),
-            6,
+            F.lit(1.0),
         ).alias("fill_ratio"),
         F.max("__tok").alias("max_pack_tokens"),
     )

@@ -81,6 +81,13 @@ class DataAssistantResult:
     ) -> ExpectationSuite:
         suite = self.profiler_result.suite
         if suite_name:
+            # renamed COPY: mutating the shared profiler_result.suite in
+            # place would rename every prior caller's suite too
+            import json as _json
+
+            suite = ExpectationSuite.from_json(
+                _json.dumps(suite.to_json_dict())
+            )
             suite.expectation_suite_name = suite_name
         return suite
 
@@ -143,8 +150,12 @@ class DataAssistantResult:
                 params = summary["parameters"].get(domain) or {}
                 for pname in sorted(params):
                     lines.append(f"  - `{domain}` {pname} = {params[pname]}")
+            from great_expectations_spark.render.markdown import (
+                _domain_of,
+            )
+
             for cfg in summary["expectations"]:
-                domain = cfg.get("kwargs", {}).get("column", "table")
+                domain = _domain_of(cfg.get("kwargs", {}) or {}) or "table"
                 lines.append(
                     f"- ✅ `{domain}`: {describe_expectation(cfg)}"
                 )

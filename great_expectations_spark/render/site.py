@@ -184,6 +184,13 @@ def _safe(name: str) -> str:
     )
 
 
+def _latest_run(runs: Dict[str, Any]) -> str:
+    """Most recently REGISTERED run (monotonic 'seq'), not the
+    lexicographically largest id — 'run-9' must not beat 'run-10'.
+    Pre-seq states fall back to id order."""
+    return max(runs, key=lambda r: (runs[r].get("seq", -1), r))
+
+
 def _atomic_write(path: str, payload: str) -> None:
     from great_expectations_spark.checkpoint.param_store import (
         ValidationResultStore,
@@ -280,6 +287,11 @@ class SiteBuilder:
             run_state = suite_state["runs"].setdefault(
                 run, {"partitions": {}, "time": meta.get("validation_time")}
             )
+            if "seq" not in run_state:
+                # monotonic arrival order: 'latest run' must not depend
+                # on lexicographic run ids ('run-9' > 'run-10')
+                run_state["seq"] = int(state.get("next_seq", 0))
+                state["next_seq"] = run_state["seq"] + 1
             run_state["partitions"][part] = {
                 "success": bool(data.get("success")),
                 "expectations": (
@@ -344,7 +356,7 @@ class SiteBuilder:
         latest_ok = (
             all(
                 p["success"]
-                for p in runs[sorted(runs)[-1]]["partitions"].values()
+                for p in runs[_latest_run(runs)]["partitions"].values()
             )
             if runs
             else True
@@ -359,7 +371,9 @@ class SiteBuilder:
             "<table><thead><tr><th>run</th><th>time</th><th>status</th>"
             "<th>partitions</th></tr></thead><tbody>",
         ]
-        for run in sorted(runs, reverse=True):
+        for run in sorted(
+            runs, key=lambda r: (runs[r].get("seq", -1), r), reverse=True
+        ):
             r = runs[run]
             ok = all(p["success"] for p in r["partitions"].values())
             body.append(
@@ -387,7 +401,7 @@ class SiteBuilder:
         ]
         for suite in sorted(suites):
             runs = suites[suite].get("runs", {})
-            latest = sorted(runs)[-1] if runs else ""
+            latest = _latest_run(runs) if runs else ""
             ok = (
                 all(
                     p["success"]

@@ -587,3 +587,29 @@ def test_conversation_dedup_exact_and_near(spark):
     )
     kept_near = {r["conv_id"] for r in near.select("conv_id").distinct().collect()}
     assert kept_near == {"a1", "b1"}  # a3 is a near-dup, collapses too
+
+
+def test_word_ngrams_blank_doc_has_zero_grams(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", cur.word_ngrams(F.col("text"), 1).alias("g")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["one"]
+    # hashed key path agrees: blank docs contribute no grams at n=1
+    st = cur.contamination_stats(
+        df.filter("doc_id <= 3"), df.filter("doc_id = 4"), n=1
+    ).collect()
+    assert all(r["n_matched"] == 0 and r["n_grams"] == 0 for r in st)
+
+
+def test_mix_sample_rejects_keyless_frame(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "source string")
+    with pytest.raises(ValueError):
+        cur.mix_sample(df, "source", {"a": 0.5, "b": 0.5})

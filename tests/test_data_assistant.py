@@ -82,3 +82,15 @@ def test_plot_data_and_domain_view(assistant):
     by_domain = assistant.show_expectations_by_domain_type()
     assert "table" in by_domain
     assert any("amount" in d for d in by_domain)
+
+
+def test_get_expectation_suite_rename_does_not_mutate_shared(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, value double"
+    )
+    res = run_onboarding_assistant(df)
+    original = res.profiler_result.suite.expectation_suite_name
+    renamed = res.get_expectation_suite("custom_name")
+    assert renamed.expectation_suite_name == "custom_name"
+    assert res.profiler_result.suite.expectation_suite_name == original
+    assert res.get_expectation_suite().expectation_suite_name == original

@@ -246,3 +246,59 @@ def test_greedy_property(spark, sizes, capacity):
     fitting = sum(s for s in sizes if s <= capacity)
     lb = math.ceil(fitting / capacity)
     assert n_packs <= 2 * lb + 3
+
+
+# ---------------------------------------------------------------------------
+# round-4 review-fix regressions
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_null_bucket_column_keeps_docs(spark):
+    df = spark.createDataFrame(
+        [(1, None, 3), (2, "s1", 2), (3, "s1", 1)],
+        "doc_id long, src string, n_tokens long",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pk.pack_concat_chunks(
+            df,
+            n_tokens_column="n_tokens",
+            text_column=None,
+            block_size=4,
+            bucket_column="src",
+        ).collect()
+    }
+    # the NULL-bucket doc keeps its tokens and a real offset
+    assert got[1]["tok_offset"] is not None
+    assert got[1]["n_blocks"] >= 1
+    offs = sorted((r["tok_offset"], r["n_tokens"]) for r in got.values())
+    acc = 0
+    for off, n in offs:
+        assert off == acc
+        acc += n
+
+
+def test_materialize_blocks_honors_custom_tokenizer(spark):
+    df = spark.createDataFrame(
+        [(1, "ab-cd ef"), (2, "gh ij-kl")], "doc_id long, text string"
+    )
+    tok = lambda c: F.split(F.trim(c), r"[\s\-]+")  # noqa: E731
+    got = sorted(
+        pk.materialize_blocks(df, block_size=2, tokenizer=tok).collect(),
+        key=lambda r: r["block_id"],
+    )
+    flat = [t for r in got for t in r["tokens"]]
+    assert sorted(flat) == ["ab", "cd", "ef", "gh", "ij", "kl"]
+    assert all(r["n_tokens"] == 2 for r in got)
+
+
+def test_pack_stats_all_oversize_fill_ratio_defined(spark):
+    df = spark.createDataFrame(
+        [(1, 500), (2, 600)], "doc_id long, n_tokens long"
+    )
+    a = pk.pack_greedy(
+        df, n_tokens_column="n_tokens", text_column=None, capacity=100
+    )
+    s = pk.pack_stats(a, 100).collect()[0]
+    assert s["fill_ratio"] == 1.0  # vacuous, never NULL
+    assert s["lower_bound"] == 2

@@ -130,3 +130,21 @@ def test_site_incremental_across_instances(tmp_path):
     home = open(os.path.join(tmp_path, "index.html")).read()
     assert 'href="suites/a_suite/index.html"' in home
     assert 'href="suites/b_suite/index.html"' in home
+
+
+def test_latest_run_is_arrival_order_not_lexicographic(tmp_path):
+    site = SiteBuilder(str(tmp_path))
+    site.add_validation_result(
+        _result("s", "run-9", ok=True), partition_id="all"
+    )
+    site.add_validation_result(
+        _result("s", "run-10", ok=False), partition_id="all"
+    )
+    home = open(os.path.join(tmp_path, "index.html")).read()
+    # run-10 arrived last: it is the latest despite sorting before run-9
+    assert "run-10" in home
+    suite_page = open(
+        os.path.join(tmp_path, "suites", "s", "index.html")
+    ).read()
+    # header badge reflects run-10's failure
+    assert suite_page.index("run-10") < suite_page.index("run-9")
