@@ -1923,9 +1923,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conv_dedup_events": (
             # assemble under the (turn_idx, md5-hex) tie-break, group by
-            # the NORMALIZED assembled text (the Spark side groups by
-            # xxhash64 of the same normalization — agreement also
-            # witnesses collision-freeness), survivor = min conv id
+            # the RAW assembled text (the Spark side groups by xxhash64
+            # of the same bytes — agreement also witnesses
+            # collision-freeness; no normalization, so turn boundaries
+            # are preserved), survivor = min conv id
             "WITH t AS (SELECT user_id AS conv_id, event_id AS turn_idx,"
             "  props AS text FROM events WHERE event_id IS NOT NULL), "
             "uni AS (SELECT * FROM t UNION ALL "
@@ -1935,8 +1936,8 @@ def oracle_sql() -> dict[str, str]:
             "  string_agg(coalesce(text, ''), chr(10) "
             "    ORDER BY turn_idx, md5(coalesce(text, ''))) AS doc,"
             "  count(*)::BIGINT AS n_turns FROM uni GROUP BY conv_id), "
-            "surv AS (SELECT min(conv_id) AS conv_id FROM asm GROUP BY "
-            "  regexp_replace(lower(trim(doc)), '\\s+', ' ', 'g')) "
+            "surv AS (SELECT min(conv_id) AS conv_id FROM asm "
+            "  GROUP BY doc) "
             "SELECT a.conv_id, a.n_turns FROM asm a "
             "JOIN surv USING (conv_id)"
         ),

@@ -58,6 +58,66 @@ def _normalize_py(t: str) -> str:
     return _JAVA_WS_RE.sub(" ", t.strip(" ").lower())
 
 
+# Cached intermediates (signature tables) registered by the pair
+# generators.  persist() without a matching unpersist would pin one
+# cached table per call for the SparkSession lifetime — a curation job
+# looping over many corpora in one session would thrash storage memory.
+_CACHED: list = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every cached intermediate registered by the dedup/ANN
+    pair generators in this process.  Safe at any time — Spark
+    recomputes if a still-live plan needs the data — so call it between
+    corpora in a long-running session.  Returns the number released."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+        n += 1
+    return n
+
+
+def _py_shingles(t: str, k: int) -> set:
+    """THE tokenization contract shared by every Arrow engine (MinHash,
+    SimHash, n-gram): normalize (trim/lower/collapse whitespace) then
+    DISTINCT k-word shingles; texts shorter than k words collapse to one
+    whole-text shingle.  A change here changes all three engines'
+    pair sets together — the parity tests pin it against the JVM
+    ``word_shingles`` chain."""
+    words = _normalize_py(t).split(" ")
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _blake2b8_np(shingles):
+    """uint64 blake2b-8 digests of shingle strings (numpy array)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
 # --- exact ----------------------------------------------------------------
 
 
@@ -82,16 +142,31 @@ def exact_dedup(
     df: DataFrame, column: str = "text", order_by: Optional[str] = None
 ) -> DataFrame:
     """Keep one row per normalized-content group (deterministic winner when
-    ``order_by`` given).  Shuffles by content hash, not by raw text."""
+    ``order_by`` given).  Shuffles by content hash, not by raw text.
+
+    NULL-text rows all survive: a missing document is not a duplicate
+    of another missing document (xxhash64 of NULL would otherwise
+    collapse them all onto the seed value), matching
+    ``exact_duplicate_stats``/the near-dup engines, which skip NULLs.
+    """
+    base = _ensure_parallelism(df)
+    nulls = base.filter(F.col(column).isNull())
     key = F.xxhash64(normalize_text(F.col(column))).alias("__gx_key")
-    out = _ensure_parallelism(df).withColumn("__gx_key", key)
+    out = base.filter(F.col(column).isNotNull()).withColumn(
+        "__gx_key", key
+    )
     if order_by is None:
-        return out.dropDuplicates(["__gx_key"]).drop("__gx_key")
+        return (
+            out.dropDuplicates(["__gx_key"])
+            .drop("__gx_key")
+            .unionByName(nulls)
+        )
     w = Window.partitionBy("__gx_key").orderBy(F.col(order_by))
     return (
         out.withColumn("__gx_rn", F.row_number().over(w))
         .filter(F.col("__gx_rn") == 1)
         .drop("__gx_key", "__gx_rn")
+        .unionByName(nulls)
     )
 
 
@@ -200,34 +275,12 @@ def _shingles_and_signature_arrow(shingle_k: int, num_hashes: int):
         )
     )
     def both(texts: pd.Series) -> pd.DataFrame:
-        import hashlib
-
         import numpy as np
 
         def one(t):
             if t is None:
                 return None, None
-            words = _normalize_py(t).split(" ")
-            if len(words) < shingle_k:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i : i + shingle_k])
-                    for i in range(len(words) - shingle_k + 1)
-                }
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            s.encode("utf-8"), digest_size=8
-                        ).digest(),
-                        "little",
-                    )
-                    for s in shingles
-                ),
-                dtype=np.uint64,
-                count=len(shingles),
-            )
+            h = _blake2b8_np(_py_shingles(t, shingle_k))
             m = mult[:, None] * h[None, :] + add[:, None]  # uint64 wrap
             return (
                 np.unique(h).view(np.int64).tolist(),
@@ -266,6 +319,14 @@ def minhash_candidate_pairs(
     skewed buckets.  ``signature_engine``: "arrow" (numpy-vectorized
     batch, default) or "jvm" (pure expression path, zero Python).
     """
+    if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(bands > num_hashes would hash EMPTY signature slices — "
+            "every document lands in one bucket and the candidate join "
+            "degenerates to all-pairs; a non-divisor silently drops "
+            "trailing signature rows)"
+        )
     rows_per_band = num_hashes // bands
     df = _ensure_parallelism(df)
     if signature_engine == "arrow":
@@ -297,7 +358,7 @@ def minhash_candidate_pairs(
             "__sig", minhash_signature_from_hashes(F.col("__sh"), num_hashes)
         )
 
-    sig = sig.persist()
+    sig = _register_cache(sig)
     # candidate generation works on (id, band, bucket) ONLY — no arrays
     # travel through the shuffle, and duplicate pairs (same pair caught by
     # several bands) are deduped BEFORE any verification work.  One
@@ -424,15 +485,7 @@ def _text_to_simhash_arrow(shingle_k: int):
         def one(t) -> int:
             if t is None:
                 return 0
-            words = _normalize_py(t).split(" ")
-            if len(words) < shingle_k:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i : i + shingle_k])
-                    for i in range(len(words) - shingle_k + 1)
-                }
-            return _simhash_from_features(shingles)
+            return _simhash_from_features(_py_shingles(t, shingle_k))
 
         return texts.map(one)
 
@@ -640,12 +693,27 @@ def simhash_candidate_pairs(
         mask = (1 << width) - 1
         return F.shiftright(sim, start).bitwiseAND(F.lit(mask))
 
-    sigs = _ensure_parallelism(df).select(
-        F.col(id_column).alias("__id"),
-        # one-pass text -> signature (same semantics as simhash64, one
-        # Arrow batch instead of interpreted JVM shingling + a second UDF)
-        _text_to_simhash_arrow(shingle_k)(F.col(text_column)).alias("__sim"),
-    ).persist()
+    sigs = (
+        _ensure_parallelism(df)
+        # NULL/blank texts all hash to signature 0 and would pair with
+        # each other at hamming 0 (and with any real doc whose signature
+        # is 0); the minhash path skips them too — a missing document
+        # has no near-duplicates
+        .filter(
+            F.col(text_column).isNotNull()
+            & (F.length(F.trim(F.col(text_column))) > 0)
+        )
+        .select(
+            F.col(id_column).alias("__id"),
+            # one-pass text -> signature (same semantics as simhash64, one
+            # Arrow batch instead of interpreted JVM shingling + a second
+            # UDF)
+            _text_to_simhash_arrow(shingle_k)(F.col(text_column)).alias(
+                "__sim"
+            ),
+        )
+    )
+    sigs = _register_cache(sigs)
     # one bucket key per block-combination; keys are 8-byte hashes so the
     # shuffle carries (id, table, key) only — no text, no signatures.
     # posexplode: the array POSITION is the table id — no struct per combo.
@@ -721,34 +789,12 @@ def _shingle_hashes_arrow(shingle_k: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sh(texts: pd.Series) -> pd.Series:
-        import hashlib
-
         import numpy as np
 
         def one(t):
             if t is None:
                 return None
-            words = _normalize_py(t).split(" ")
-            if len(words) < shingle_k:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {
-                    " ".join(words[i : i + shingle_k])
-                    for i in range(len(words) - shingle_k + 1)
-                }
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            s.encode("utf-8"), digest_size=8
-                        ).digest(),
-                        "little",
-                    )
-                    for s in shingles
-                ),
-                dtype=np.uint64,
-                count=len(shingles),
-            )
+            h = _blake2b8_np(_py_shingles(t, shingle_k))
             return np.unique(h).view(np.int64).tolist()
 
         return texts.map(one)
@@ -1142,8 +1188,11 @@ def conversation_dedup(
     duplicate cluster, deterministic).
 
     ``method='exact'``: conversations with identical ordered turn text
-    collapse — the fingerprint is ``xxhash64`` of the assembled document,
-    so the only wide operation is the per-conversation groupBy.
+    collapse — the fingerprint is ``xxhash64`` of the RAW assembled
+    document (newline-separated turns, no normalization: collapsing
+    whitespace would merge ``['hello world']`` with
+    ``['hello', 'world']`` across turn boundaries), so the only wide
+    operation is the per-conversation groupBy.
     Other methods (``minhash | ngram | simhash``) treat each assembled
     conversation as a document and reuse the document-level candidate
     machinery (LSH banding etc.) — near-duplicate transcripts (same
@@ -1159,7 +1208,7 @@ def conversation_dedup(
         survivors = (
             assembled.select(
                 F.col(conv_column),
-                F.xxhash64(normalize_text(F.col("text"))).alias("__fp"),
+                F.xxhash64(F.col("text")).alias("__fp"),
             )
             .groupBy("__fp")
             .agg(F.min(conv_column).alias(conv_column))

@@ -400,6 +400,13 @@ def classify(text: Optional[str]) -> str:
             )
         if best_dist is None or dist < best_dist:
             best_lang, best_dist = lang, dist
+    # zero grams matched even the best profile (every term paid the
+    # PROFILE_DEPTH out-of-profile penalty): unsupported script —
+    # 'und', not the alphabetically first language.  A real match
+    # contributes |doc_rank - prof_rank| < PROFILE_DEPTH, so the
+    # criterion is exact.
+    if best_dist is not None and best_dist >= len(doc) * PROFILE_DEPTH:
+        return "und"
     return best_lang
 
 
@@ -533,7 +540,12 @@ def classify_np(text: Optional[str]) -> str:
     dr = doc_ranks[found][:, None]
     dist = np.where(sub >= 0, np.abs(sub - dr), PROFILE_DEPTH).sum(axis=0)
     dist = dist + int(len(doc_keys) - found.sum()) * PROFILE_DEPTH
-    return langs[int(np.argmin(dist))]
+    best = int(np.argmin(dist))
+    # same unsupported-script guard as the scalar path: all grams
+    # out-of-profile for the best language -> 'und'
+    if int(dist[best]) >= len(doc_keys) * PROFILE_DEPTH:
+        return "und"
+    return langs[best]
 
 
 def language_id_ct(col: Column) -> Column:

@@ -21,6 +21,11 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.functions.dedup import (
+    _register_cache,
+    release_cached,  # noqa: F401 — re-exported: one registry for dedup+ANN
+)
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -181,18 +186,28 @@ def embedding_near_dup_pairs(
     so recall at thresholds ~0.98 is high while candidate generation stays
     linear-ish in table size."""
     if dim is None:
-        first = df.select(F.size(embedding_column).alias("d")).first()
+        # first NON-NULL embedding (a leading NULL row must not poison
+        # dim inference for the whole table)
+        first = (
+            df.filter(F.col(embedding_column).isNotNull())
+            .select(F.size(embedding_column).alias("d"))
+            .first()
+        )
         if first is None:
+            # empty-result schema matches the normal path's id type
+            id_type = df.schema[id_column].dataType.simpleString()
             return df.sparkSession.createDataFrame(
-                [], f"id_a long, id_b long, cos_sim double"
+                [], f"id_a {id_type}, id_b {id_type}, cos_sim double"
             )
         dim = int(first["d"])
     planes = random_hyperplanes(dim, n_bits, seed)
+    df = df.filter(F.col(embedding_column).isNotNull())
     sigs = df.select(
         F.col(id_column).alias("__id"),
         F.col(embedding_column).alias("__emb"),
         lsh_signature(F.col(embedding_column), planes).alias("__sig"),
-    ).persist()
+    )
+    sigs = _register_cache(sigs)
     # candidate generation on (sig, id) ONLY — the d-dim embedding arrays
     # never travel through the self-join shuffle; payloads re-attach to
     # the (small) candidate set afterwards
@@ -610,7 +625,8 @@ def semantic_dedup_pairs(
         F.col(id_column).alias("__id"),
         F.col(embedding_column).alias("__emb"),
         F.col("__ivf_cluster").alias("__c"),
-    ).persist()
+    )
+    base = _register_cache(base)
     keyed = base.select("__id", "__c")
     l, r = keyed.alias("l"), keyed.alias("r")
     candidates = l.join(

@@ -52,6 +52,11 @@ def _combined_unexpected_flag(suite: ExpectationSuite) -> Column:
             & domain_gate(compiled.considered)
             & domain_gate(compiled.unexpected)
         )
+    if not flags:
+        raise ValueError(
+            "suite has no map expectations to evaluate on the stream — "
+            "add at least one, or skip streaming_quarantine for this suite"
+        )
     out = flags[0]
     for f in flags[1:]:
         out = out | f
@@ -182,7 +187,10 @@ def streaming_sequence_gaps(
         overflow = watermark is None
         for pdf in pdfs:
             for idx in pdf[index_column]:
-                if idx is None:
+                # Arrow hands a nullable int column over as float64:
+                # NULL arrives as NaN, not None — int(NaN) would kill
+                # the whole streaming query
+                if idx is None or pd.isna(idx):
                     continue
                 idx = int(idx)
                 if overflow or idx <= watermark:

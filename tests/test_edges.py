@@ -412,3 +412,50 @@ def test_streaming_windowed_categorical_drift(spark, tmp_path):
         assert row.psi == pytest.approx(want, rel=1e-9), (row, want)
     assert not first.drifted and second.drifted
     assert second.rows == 20
+
+
+def test_streaming_sequence_gaps_null_index_survives(spark, tmp_path):
+    """A NULL turn_idx arrives as NaN through Arrow (nullable int ->
+    float64) — it must be skipped, not kill the streaming query."""
+    import json as _json
+    import os
+
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_sequence_gaps,
+    )
+
+    src = str(tmp_path / "src_null")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for cid, idx in [("a", 0), ("a", None), ("a", 2)]:
+            f.write(_json.dumps({"conv_id": cid, "turn_idx": idx}) + "\n")
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int").json(src)
+    )
+    gaps = streaming_sequence_gaps(stream, "conv_id", "turn_idx")
+    seen = []
+    q = (
+        gaps.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: seen.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flat = [r for batch in seen for r in batch]
+    # NULL skipped: conv a saw {0, 2}, so 1 is missing
+    assert len(flat) == 1 and flat[0]["first_missing"] == 1
+
+
+def test_streaming_quarantine_empty_suite_raises(spark):
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="no map expectations"):
+        streaming_quarantine_build = __import__(
+            "great_expectations_spark.streaming.validate_stream",
+            fromlist=["streaming_quarantine"],
+        ).streaming_quarantine
+        streaming_quarantine_build(stream, ExpectationSuite("empty"))

@@ -857,3 +857,94 @@ def test_repetition_stats_hand_computed(spark):
     stat_keys = [k for k in got[4] if k not in ("doc_id", "text")]
     assert all(got[4][k] is None for k in stat_keys)
     assert all(got[5][k] is None for k in stat_keys)
+
+
+# ---------------------------------------------------------------------------
+# round-4 review-fix regressions (dedup / similarity / langid)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_rejects_bad_banding(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_candidate_pairs(
+            df, "id", num_hashes=64, bands=128
+        )
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_candidate_pairs(df, "id", num_hashes=64, bands=12)
+
+
+def test_exact_dedup_null_text_rows_all_survive(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hello"), (4, "hello")],
+        "id long, text string",
+    )
+    kept = sorted(r["id"] for r in dedup.exact_dedup(df, "text").collect())
+    assert 1 in kept and 2 in kept  # NULLs are not duplicates
+    assert len(kept) == 3  # one of 3/4 collapsed
+    # order_by path too
+    kept2 = sorted(
+        r["id"]
+        for r in dedup.exact_dedup(df, "text", order_by="id").collect()
+    )
+    assert kept2 == [1, 2, 3]
+
+
+def test_simhash_null_texts_never_pair(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "  "), (4, "hello world here")],
+        "id long, text string",
+    )
+    pairs = dedup.simhash_candidate_pairs(
+        df, "id", "text", expected_corpus_size=4
+    )
+    assert pairs.count() == 0
+
+
+def test_langid_unsupported_script_is_und():
+    from great_expectations_spark.functions.langid import classify, classify_np
+
+    for text in ("你好世界这是一个中文句子", "مرحبا بالعالم هذه جملة عربية"):
+        assert classify(text) == "und"
+        assert classify_np(text) == "und"
+    # supported languages unaffected
+    assert classify("the quick brown fox jumps over the lazy dog") == "en"
+    assert classify_np("the quick brown fox jumps over the lazy dog") == "en"
+
+
+def test_conversation_dedup_preserves_turn_boundaries(spark):
+    rows = [
+        ("a", 0, "hello world"),
+        ("b", 0, "hello"), ("b", 1, "world"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    kept = {
+        r["conv_id"]
+        for r in dedup.conversation_dedup(df, method="exact")
+        .select("conv_id").distinct().collect()
+    }
+    assert kept == {"a", "b"}  # different turn structure != duplicate
+
+
+def test_embedding_near_dup_null_first_row_and_empty_schema(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [1.0, 0.001])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.9, n_bits=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(2, 3)}
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = similarity.embedding_near_dup_pairs(empty)
+    assert dict(out.dtypes)["id_a"] == "string"
+    assert out.count() == 0
+
+
+def test_release_cached_registry(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(10)],
+        "id long, text string",
+    )
+    dedup.minhash_candidate_pairs(df, "id", num_hashes=16, bands=4).count()
+    assert dedup.release_cached() >= 1
+    assert dedup.release_cached() == 0
