@@ -117,6 +117,44 @@ def test_brute_force_topk_plan_takeordered_no_full_sort(vecs):
     assert "rangepartitioning" not in plan, plan
 
 
+# --- decontamination -------------------------------------------------------
+
+
+def test_contamination_stats_plan_one_corpus_shuffle(spark, docs):
+    from great_expectations_spark.functions.curation import (
+        contamination_stats,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "doc number 1 body text")], "bid long, text string"
+    )
+    out = contamination_stats(docs, bench, n=3)
+    plan = _plan(out)
+    _assert_jvm_only(plan)
+    # the corpus side joins the benchmark WITHOUT shuffling (broadcast
+    # left join); its only wide exchange is the groupBy(doc_id).  The one
+    # other hashpartitioning in the plan is the benchmark-side gram
+    # distinct, which lives INSIDE the broadcast subtree (bounded side).
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning(gram") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+def test_redact_pii_plan_is_pure_projection(docs):
+    from great_expectations_spark.functions.curation import redact_pii
+
+    out = docs.select(redact_pii(F.col("text")).alias("clean"))
+    plan = _plan(out)
+    _assert_jvm_only(plan)
+    # a single narrow projection: no exchange of any kind
+    assert "Exchange" not in plan, plan
+
+
 # --- IVF-PQ ----------------------------------------------------------------
 
 
