@@ -41,6 +41,50 @@ _FIRST_ARG_KEY = {
 }
 
 
+def _rest_arg_keys(name: str) -> List[str]:
+    """Kwarg names that positional args AFTER the column map to — the
+    reference's v2 ``SparkDFDataset`` method signatures
+    (``dataset/dataset.py`` / ``dataset/sparkdf_dataset.py``), so v2
+    call sites like ``expect_column_values_to_be_between("c", 0, 10)``
+    keep working verbatim through the shim."""
+    if name == "expect_multicolumn_sum_to_equal":
+        return ["sum_total"]
+    if name.endswith("_to_be_between") or name.endswith(
+        "_to_be_strictly_between"
+    ):
+        return ["min_value", "max_value"]
+    for suffix, keys in (
+        ("_kl_divergence_to_be_less_than", ["partition_object", "threshold"]),
+        ("_chisquare_test_p_value_to_be_greater_than",
+         ["partition_object", "p"]),
+        ("_bootstrapped_ks_test_p_value_to_be_greater_than",
+         ["partition_object", "p"]),
+        ("_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+         ["distribution", "p_value"]),
+        ("_to_be_in_type_list", ["type_list"]),
+        ("_to_be_of_type", ["type_"]),
+        ("_to_be_in_set", ["value_set"]),
+        ("_to_not_be_in_set", ["value_set"]),
+        ("_to_contain_set", ["value_set"]),
+        ("_to_equal_set", ["value_set"]),
+        ("_to_match_regex_list", ["regex_list"]),
+        ("_to_not_match_regex_list", ["regex_list"]),
+        ("_to_match_regex", ["regex"]),
+        ("_to_not_match_regex", ["regex"]),
+        ("_to_match_like_pattern_list", ["like_pattern_list"]),
+        ("_to_not_match_like_pattern_list", ["like_pattern_list"]),
+        ("_to_match_like_pattern", ["like_pattern"]),
+        ("_to_not_match_like_pattern", ["like_pattern"]),
+        ("_to_match_strftime_format", ["strftime_format"]),
+        ("_to_match_json_schema", ["json_schema"]),
+        ("_to_equal_other_table", ["other_table_name"]),
+        ("_to_equal", ["value"]),
+    ):
+        if name.endswith(suffix):
+            return keys
+    return []
+
+
 class Validator:
     def __init__(
         self,
@@ -74,13 +118,27 @@ class Validator:
                         if len(args) > 1:
                             kwargs.setdefault("column_B", args[1])
                     elif name.startswith(("expect_table", "expect_query")):
-                        pass  # table-level: no positional column
+                        # table-level: positionals are the value args
+                        rest = _rest_arg_keys(name)
+                        if len(args) > len(rest):
+                            raise TypeError(
+                                f"{name} takes at most {len(rest)} "
+                                "positional args"
+                            )
+                        for key, val in zip(rest, args):
+                            kwargs.setdefault(key, val)
                     else:
                         kwargs.setdefault(first_key, args[0])
-                        if len(args) > 1:
+                        # v2 signatures put the value args positionally
+                        # after the column: map them by family
+                        rest = _rest_arg_keys(name)
+                        if len(args) - 1 > len(rest):
                             raise TypeError(
-                                f"{name} takes at most one positional arg"
+                                f"{name} takes at most {1 + len(rest)} "
+                                "positional args"
                             )
+                        for key, val in zip(rest, args[1:]):
+                            kwargs.setdefault(key, val)
                 config = ExpectationConfiguration(name, kwargs)
                 one = ExpectationSuite(self._suite.expectation_suite_name)
                 one.expectations = [config]
