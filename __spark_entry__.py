@@ -591,8 +591,21 @@ def _drift_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup stats PLUS the exact-substring (ExactSubstr, Lee et
+    al. 2021) corpus totals at n=8: documents containing at least one
+    duplicated 8-gram span and the total duplicated-word count after
+    interval merge (functions/dedup.py repeated_spans).  The production
+    path counts on chained xxhash64 gram keys; the DuckDB oracle joins
+    on gram STRINGS — agreement also witnesses collision-freeness."""
     df = _load(spark, sf_dir, "documents")
-    return dedup.exact_duplicate_stats(df, "text")
+    base = dedup.exact_duplicate_stats(df, "text")
+    sub = dedup.repeated_spans(df, n=8).agg(
+        F.count(F.lit(1)).cast("long").alias("substr_dup_docs"),
+        F.coalesce(F.sum("n_dup_words"), F.lit(0))
+        .cast("long")
+        .alias("substr_dup_words"),
+    )
+    return base.crossJoin(sub)
 
 
 
@@ -1915,11 +1928,37 @@ def oracle_sql() -> dict[str, str]:
             "AS n_cur FROM events GROUP BY 1 ORDER BY 1"
         ),
         "dedup_exact_docs": (
+            # exact-dedup stats + ExactSubstr totals (n=8): the span
+            # replica uses STRING grams and a window-based interval
+            # merge vs the engine's hashed grams + aggregate fold
             f"WITH g AS (SELECT hash({norm}) AS k, count(*) AS c FROM "
-            "documents WHERE text IS NOT NULL GROUP BY 1) "
-            "SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, "
-            "coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS "
-            "n_duplicate_rows FROM g"
+            "documents WHERE text IS NOT NULL GROUP BY 1), "
+            "base AS (SELECT sum(c)::BIGINT AS n_rows, "
+            "  count(*)::BIGINT AS n_distinct, "
+            "  coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS "
+            "  n_duplicate_rows FROM g), "
+            f"toks AS (SELECT doc_id, string_split({norm}, ' ') AS ws "
+            "  FROM documents WHERE text IS NOT NULL "
+            f"  AND length({norm}) > 0), "
+            "pos AS (SELECT doc_id, u.i AS p, "
+            "    array_to_string(ws[u.i:u.i+7], ' ') AS gram "
+            "  FROM toks, LATERAL unnest(range(1, len(ws) - 6)) AS u(i) "
+            "  WHERE len(ws) >= 8), "
+            "dup AS (SELECT gram FROM pos GROUP BY gram "
+            "  HAVING count(*) >= 2), "
+            "dup_pos AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)), "
+            "marks AS (SELECT doc_id, p, CASE WHEN p > coalesce(max(p + 8) "
+            "    OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN "
+            "    UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 "
+            "    END AS newgrp FROM dup_pos), "
+            "grp AS (SELECT doc_id, p, sum(newgrp) OVER (PARTITION BY "
+            "    doc_id ORDER BY p) AS grp_id FROM marks), "
+            "merged AS (SELECT doc_id, grp_id, min(p) AS s, max(p) + 8 AS e "
+            "  FROM grp GROUP BY doc_id, grp_id), "
+            "sub AS (SELECT count(DISTINCT doc_id)::BIGINT AS "
+            "    substr_dup_docs, coalesce(sum(e - s), 0)::BIGINT AS "
+            "    substr_dup_words FROM merged) "
+            "SELECT base.*, sub.* FROM base, sub"
         ),
         "conv_dedup_events": (
             # assemble under the (turn_idx, md5-hex) tie-break, group by

@@ -1226,3 +1226,226 @@ def conversation_dedup(
     return df.join(
         deduped.select(conv_column), conv_column, "left_semi"
     )
+
+
+# --- exact-substring dedup (repeated-span detection / removal) -------------
+#
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" (public paper): remove every span of >= n tokens that occurs
+# more than once in the corpus (their ExactSubstr, n=50).  The reference
+# implementation builds a single-machine suffix array; this is the
+# Spark-first re-expression: per-position chained-hash n-gram keys, one
+# corpus-wide gram-count aggregation, and a bounded per-document
+# interval merge — no suffix array, no driver-side corpus.
+
+
+def _position_gram_keys(col: Column, n: int) -> Column:
+    """Per-POSITION chained-hash n-gram keys: ``array<bigint>`` where
+    index i (0-based) is the key of the gram starting at 1-based word
+    position i+1.  Same 8-byte fold(xxhash64) scheme as
+    ``curation._gram_keys`` but WITHOUT array_distinct — positions
+    matter here.  Null/blank/too-short text yields an empty array."""
+    words = F.split(normalize_text(col), " ")
+    word_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.aggregate(
+            F.slice(word_hashes, i, n),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.xxhash64(acc, x),
+        ),
+    )
+    blank = F.length(normalize_text(col)) == 0
+    return F.when(
+        col.isNull() | blank | (F.size(words) < n),
+        F.array().cast("array<bigint>"),
+    ).otherwise(grams)
+
+
+def _merge_positions_to_spans(positions: Column, n: int) -> Column:
+    """Fold a SORTED array of 1-based span-start positions into merged
+    half-open word spans ``array<struct<start:int,end:int>>`` (each
+    start covers [p, p+n)).  Pure JVM aggregate — per-document cost is
+    linear in the duplicated-position count, which is bounded by the
+    document's own length."""
+    empty = F.array().cast("array<struct<start:int,end:int>>")
+
+    def step(acc: Column, p: Column) -> Column:
+        start = p.cast("int")
+        end = (p + F.lit(n)).cast("int")
+        last = F.element_at(acc, -1)
+        appended = F.concat(
+            acc,
+            F.array(F.struct(start.alias("start"), end.alias("end"))),
+        )
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["start"].alias("start"),
+                    F.greatest(last["end"], end).alias("end"),
+                )
+            ),
+        )
+        return F.when(F.size(acc) == 0, appended).otherwise(
+            # overlap OR adjacency: [p, p+n) touches [.., last.end)
+            F.when(start <= last["end"], extended).otherwise(appended)
+        )
+
+    return F.aggregate(positions, empty, step)
+
+
+def repeated_spans(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    text_column: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    keep: str = "none",
+) -> DataFrame:
+    """Per-document duplicated-substring spans (distributed ExactSubstr).
+
+    A word position is *duplicated* when the ``n``-gram starting there
+    occurs at least ``min_count`` times corpus-wide (within-document
+    repeats count).  ``keep='none'`` marks every occurrence (the Lee et
+    al. tool's behavior — all copies of a duplicated span are cut);
+    ``keep='first'`` exempts the canonical first occurrence per gram
+    (min ``(doc_id, position)`` — deterministic on any cluster size), so
+    exactly one copy of each duplicated span survives removal.
+
+    Returns ONE row per document that has at least one duplicated
+    position: ``(doc_id, n_words, spans, n_dup_words, dup_fraction)``
+    with ``spans`` the merged half-open 1-based word intervals.
+
+    Plan shape at 10^12 tokens: one projection computes every position's
+    8-byte gram key (chained xxhash64 — no gram strings), posexplode to
+    (doc, pos, gram) — the corpus-in-positions working set a suffix
+    array would also materialize — ONE map-side-combined groupBy(gram)
+    for the counts, one 8-byte-keyed join back (dup-gram side is
+    gram-distinct, so hot grams skew only the occurrence side, which is
+    the data itself), and one groupBy(doc) whose state is bounded by
+    document length.  Word-count lookup is a narrow second projection
+    joined at the end (span rows only — bounded by the duplicated-doc
+    count, not the corpus).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    base = _ensure_parallelism(df)
+    text = F.col(text_column)
+    occ = base.select(
+        F.col(doc_id).alias("__doc"),
+        F.posexplode(_position_gram_keys(text, n)).alias("__p0", "__gram"),
+    ).select("__doc", (F.col("__p0") + 1).alias("__pos"), "__gram")
+
+    if keep == "none":
+        dup_grams = (
+            occ.groupBy("__gram")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") >= min_count)
+            .select("__gram")
+        )
+        dup_pos = occ.join(dup_grams, "__gram").select("__doc", "__pos")
+    else:
+        firsts = (
+            occ.groupBy("__gram")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("__doc", "__pos")).alias("__first"),
+            )
+            .filter(F.col("__cnt") >= min_count)
+            .select("__gram", "__first")
+        )
+        dup_pos = (
+            occ.join(firsts, "__gram")
+            .filter(F.struct("__doc", "__pos") != F.col("__first"))
+            .select("__doc", "__pos")
+        )
+
+    per_doc = dup_pos.groupBy("__doc").agg(
+        F.sort_array(F.collect_list("__pos")).alias("__ps")
+    )
+    spans = _merge_positions_to_spans(F.col("__ps"), n)
+    n_dup = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda a, s: a + (s["end"] - s["start"]),
+    )
+
+    words = F.split(normalize_text(text), " ")
+    n_words = F.when(
+        text.isNull() | (F.length(normalize_text(text)) == 0), F.lit(0)
+    ).otherwise(F.size(words))
+    lens = base.select(
+        F.col(doc_id).alias("__doc"), n_words.alias("n_words")
+    )
+
+    return (
+        per_doc.withColumn("spans", spans)
+        .join(lens, "__doc", "left")
+        .select(
+            F.col("__doc").alias(doc_id),
+            "n_words",
+            "spans",
+            n_dup.alias("n_dup_words"),
+            F.when(F.col("n_words") > 0, n_dup / F.col("n_words"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    text_column: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    keep: str = "none",
+) -> DataFrame:
+    """Cut every duplicated span out of ``text_column`` (ExactSubstr
+    removal).  Documents without duplicated spans pass through with
+    their ORIGINAL text; edited documents are rebuilt from normalized
+    tokens (lowercase, collapsed whitespace — the same canonical form
+    the span positions were computed on, exactly as the suffix-array
+    tool edits its tokenized copy).  A document whose every word is
+    duplicated becomes the empty string.
+
+    The edit is one broadcast-or-shuffle join (span rows only) + one
+    JVM projection: the covered-position set is flattened from the
+    merged spans (disjoint by construction) and each token index is
+    membership-tested — per-document cost O(words × spans), bounded by
+    document length."""
+    spans_df = repeated_spans(
+        df,
+        doc_id=doc_id,
+        text_column=text_column,
+        n=n,
+        min_count=min_count,
+        keep=keep,
+    ).select(F.col(doc_id), F.col("spans").alias("__spans"))
+
+    covered = F.flatten(
+        F.transform(
+            F.col("__spans"),
+            lambda s: F.sequence(s["start"], s["end"] - 1),
+        )
+    )
+    words = F.split(normalize_text(F.col(text_column)), " ")
+    kept = F.filter(
+        words, lambda w, i: ~F.array_contains(covered, i + 1)
+    )
+    cleaned = F.concat_ws(" ", kept)
+    return (
+        df.join(spans_df, doc_id, "left")
+        .withColumn(
+            text_column,
+            F.when(F.col("__spans").isNull(), F.col(text_column)).otherwise(
+                cleaned
+            ),
+        )
+        .drop("__spans")
+    )
