@@ -378,6 +378,15 @@ def main() -> None:
             ).count(),
         ),
         (
+            # exact-substring dedup (ExactSubstr, Lee et al. 2021):
+            # per-position 8-gram keys -> one gram-count groupBy ->
+            # per-doc interval merge (functions/dedup.py repeated_spans)
+            "exact_substring",
+            lambda: dedup.repeated_spans(documents, n=8)
+            .agg(F.count(F.lit(1)), F.sum("n_dup_words"))
+            .collect(),
+        ),
+        (
             "dedup_simhash",
             lambda: dedup.simhash_candidate_pairs(
                 documents,
