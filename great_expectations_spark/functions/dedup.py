@@ -1302,6 +1302,7 @@ def repeated_spans(
     n: int = 50,
     min_count: int = 2,
     keep: str = "none",
+    cache_positions: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-substring spans (distributed ExactSubstr).
 
@@ -1327,6 +1328,14 @@ def repeated_spans(
     document length.  Word-count lookup is a narrow second projection
     joined at the end (span rows only — bounded by the duplicated-doc
     count, not the corpus).
+
+    The positions projection feeds both the gram count and the join
+    back; by default it is recomputed (two corpus scans — cheap
+    stateless expressions, no storage pressure).  Set
+    ``cache_positions=True`` to persist it (MEMORY_AND_DISK, spills)
+    and pay the scan once — the right call when the gram hashing
+    dominates, e.g. very long documents; release with
+    :func:`release_cached`.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -1340,6 +1349,16 @@ def repeated_spans(
         F.col(doc_id).alias("__doc"),
         F.posexplode(_position_gram_keys(text, n)).alias("__p0", "__gram"),
     ).select("__doc", (F.col("__p0") + 1).alias("__pos"), "__gram")
+    if cache_positions:
+        # occ feeds BOTH the gram-count agg and the join back; without
+        # the cache the corpus-wide gram projection (the expensive
+        # per-token hash chain) is computed twice.  MEMORY_AND_DISK so
+        # a positions table bigger than executor storage spills instead
+        # of evicting; released via release_cached().
+        from pyspark import StorageLevel
+
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+        _CACHED.append(occ)
 
     if keep == "none":
         dup_grams = (
@@ -1405,6 +1424,7 @@ def remove_repeated_spans(
     n: int = 50,
     min_count: int = 2,
     keep: str = "none",
+    cache_positions: bool = False,
 ) -> DataFrame:
     """Cut every duplicated span out of ``text_column`` (ExactSubstr
     removal).  Documents without duplicated spans pass through with
@@ -1426,6 +1446,7 @@ def remove_repeated_spans(
         n=n,
         min_count=min_count,
         keep=keep,
+        cache_positions=cache_positions,
     ).select(F.col(doc_id), F.col("spans").alias("__spans"))
 
     covered = F.flatten(

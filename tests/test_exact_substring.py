@@ -182,3 +182,16 @@ def test_plan_is_jvm_only(spark):
     # corpus-side gram count is a map-side-combined hash aggregate
     assert "hashpartitioning(__gram" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_cache_positions_same_result(spark):
+    from great_expectations_spark.functions.dedup import release_cached
+
+    plain = _spark_spans(spark, ROWS, n=3)
+    got = repeated_spans(_df(spark), n=3, cache_positions=True)
+    cached = {
+        r["doc_id"]: [(s["start"], s["end"]) for s in r["spans"]]
+        for r in got.collect()
+    }
+    assert cached == plain
+    assert release_cached() >= 1
