@@ -571,6 +571,8 @@ def curate_corpus(
     dedup_method: Optional[str] = None,
     dedup_threshold: float = 0.7,
     dedup_kwargs: Optional[Dict[str, object]] = None,
+    substring_n: Optional[int] = None,
+    substring_keep: str = "none",
     benchmark_df: Optional[DataFrame] = None,
     decontam_n: int = 13,
     decontam_min_matches: int = 1,
@@ -584,8 +586,9 @@ def curate_corpus(
     with_report: bool = False,
 ) -> Tuple[DataFrame, List[Dict[str, object]]]:
     """One-call training-corpus curation, staged in the canonical
-    pipeline order: **dedup → decontaminate → drop-PII → redact-PII →
-    quality filter → mixture resample**.  Every stage is optional (None
+    pipeline order: **dedup → exact-substring removal → decontaminate →
+    drop-PII → redact-PII → quality filter → mixture resample**.  Every
+    stage is optional (None
     ⇒ skipped) and lazily composed — with ``with_report=False`` the
     whole pipeline is ONE logical plan and Spark runs it in however few
     jobs the actions demand; ``with_report=True`` counts rows after
@@ -596,6 +599,12 @@ def curate_corpus(
       (``functions.dedup.dedup_corpus``) or ``semantic``
       (``similarity.semantic_dedup`` — pass ``embedding_column=`` etc.
       through ``dedup_kwargs``).
+    * ``substring_n``: enable ExactSubstr repeated-span removal at this
+      gram length (Lee et al. 2021 use 50;
+      ``functions.dedup.remove_repeated_spans``) — runs AFTER document
+      dedup (whole-duplicate docs are gone, so their spans don't count)
+      and BEFORE decontamination; ``substring_keep`` passes through
+      (``'none'`` cuts all copies, ``'first'`` keeps the canonical one).
     * ``benchmark_df``: eval set for n-gram decontamination.
     * ``drop_pii_kinds`` / ``redact_kinds``: remove rows containing
       these PII kinds / rewrite the text column with redaction tokens.
@@ -639,6 +648,19 @@ def curate_corpus(
                 **kw,
             )
         record(f"dedup[{dedup_method}]", out)
+    if substring_n is not None:
+        from great_expectations_spark.functions.dedup import (
+            remove_repeated_spans,
+        )
+
+        out = remove_repeated_spans(
+            out,
+            doc_id=id_column,
+            text_column=text_column,
+            n=substring_n,
+            keep=substring_keep,
+        )
+        record(f"substring[{substring_n}]", out)
     if benchmark_df is not None:
         out = decontaminate(
             out,

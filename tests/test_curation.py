@@ -613,3 +613,36 @@ def test_mix_sample_rejects_keyless_frame(spark):
     df = spark.createDataFrame([("a",), ("b",)], "source string")
     with pytest.raises(ValueError):
         cur.mix_sample(df, "source", {"a": 0.5, "b": 0.5})
+
+
+def test_curate_corpus_substring_stage(spark):
+    from great_expectations_spark.functions.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "a"),
+            (2, "intro words then the quick brown fox jumps over it", "a"),
+            (3, "totally unique content right here", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out, report = curate_corpus(
+        docs, substring_n=3, with_report=True
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # shared 6-word span removed from both docs; unique doc untouched
+    assert rows[1] == "the lazy dog today"
+    assert rows[2] == "intro words then it"
+    assert rows[3] == "totally unique content right here"
+    stages = [r["stage"] for r in report]
+    assert stages == ["input", "substring[3]"]
+    # row COUNT is unchanged — the stage edits text, it drops nothing
+    assert all(r["rows"] == 3 for r in report)
+
+    # keep='first' spares the canonical copy (doc 1)
+    out2, _ = curate_corpus(
+        docs, substring_n=3, substring_keep="first"
+    )
+    rows2 = {r["doc_id"]: r["text"] for r in out2.collect()}
+    assert rows2[1] == docs.filter("doc_id = 1").first()["text"]
+    assert rows2[2] == "intro words then it"
