@@ -689,6 +689,74 @@ def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run, grouped=grouped)
 
 
+@register_query_job("expect_corpus_substring_duplication_to_be_less_than")
+def _substring_duplication(kwargs: Dict[str, Any]) -> CompiledJob:
+    """Corpus-level ExactSubstr duplication gate (no reference analog —
+    Lee et al. 2021's dedup criterion expressed as an expectation): the
+    fraction of words covered by an n-gram span occurring >= min_count
+    times corpus-wide must stay below ``threshold``.
+
+    ``observed_value`` is the duplicated-word fraction; ``details``
+    carries the raw totals.  Two Spark jobs: one narrow word-count agg,
+    one ``functions.dedup.repeated_spans`` pass (see its docstring for
+    the 10^12-token plan shape).  Without ``id_column`` each row is its
+    own document via ``monotonically_increasing_id`` — valid because
+    ``keep='none'`` span semantics don't depend on id values."""
+    column = kwargs.get("column", "text")
+    id_column = kwargs.get("id_column")
+    n = int(kwargs.get("n", 50))
+    min_count = int(kwargs.get("min_count", 2))
+    threshold = float(kwargs["threshold"])
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        from great_expectations_spark.functions.dedup import repeated_spans
+        from great_expectations_spark.functions.text import normalize_text
+
+        scoped = _apply_domain(df, domain)
+        if id_column is not None:
+            d, did = scoped.select(id_column, column), id_column
+        else:
+            d, did = (
+                scoped.select(
+                    F.monotonically_increasing_id().alias("__gx_doc"),
+                    column,
+                ),
+                "__gx_doc",
+            )
+        text = F.col(column)
+        word_n = F.when(
+            text.isNull() | (F.length(normalize_text(text)) == 0), F.lit(0)
+        ).otherwise(F.size(F.split(normalize_text(text), " ")))
+        total = d.agg(F.sum(word_n).alias("t")).first()["t"] or 0
+        dup_row = (
+            repeated_spans(
+                d, doc_id=did, text_column=column, n=n, min_count=min_count
+            )
+            .agg(
+                F.coalesce(F.sum("n_dup_words"), F.lit(0)).alias("d"),
+                F.count(F.lit(1)).alias("docs"),
+            )
+            .first()
+        )
+        dup, docs = int(dup_row["d"]), int(dup_row["docs"])
+        observed = (dup / total) if total else 0.0
+        return {
+            "success": observed < threshold,
+            "result": {
+                "observed_value": round(observed, 6),
+                "details": {
+                    "n": n,
+                    "min_count": min_count,
+                    "duplicated_words": dup,
+                    "total_words": int(total),
+                    "documents_with_duplicates": docs,
+                },
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
 def _estimate_small(df: DataFrame, threshold_rows: int = 5_000_000) -> bool:
     """Cheap broadcastability heuristic without an action: trust AQE unless
     the plan statistics clearly exceed the threshold."""

@@ -195,3 +195,33 @@ def test_cache_positions_same_result(spark):
     }
     assert cached == plain
     assert release_cached() >= 1
+
+
+def test_substring_duplication_expectation(spark):
+    """Suite-level ExactSubstr duplication gate over the planted corpus:
+    docs 1/2/3 carry 6 duplicated words each over 30 total -> 0.6."""
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    def run(threshold, **kw):
+        suite = ExpectationSuite("dup").add(
+            "expect_corpus_substring_duplication_to_be_less_than",
+            column="text", n=3, threshold=threshold, **kw,
+        )
+        r = SuiteValidator().validate(_df(spark), suite).results[0]
+        if r.exception_info["raised_exception"]:
+            raise AssertionError(r.exception_info["exception_message"])
+        return r
+
+    ok = run(0.7, id_column="doc_id")
+    assert ok.success
+    assert ok.result["observed_value"] == pytest.approx(0.6)
+    det = ok.result["details"]
+    assert det["duplicated_words"] == 18
+    assert det["total_words"] == 30
+    assert det["documents_with_duplicates"] == 3
+
+    # same numbers without an id column (synthetic doc ids)
+    anon = run(0.5)
+    assert not anon.success
+    assert anon.result["observed_value"] == pytest.approx(0.6)
