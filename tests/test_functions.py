@@ -233,6 +233,89 @@ def test_multimodal_plumbing(spark):
         multimodal.image_features(df, deterministic_fake=False).collect()
 
 
+def test_audio_decode_closed_forms():
+    """Pure-tone signal math pins every feature slot: a sine of
+    amplitude A at f Hz has rms A/sqrt(2), zcr 2f/sr, spectral centroid
+    f/Nyquist, and all band mass in f's band."""
+    import numpy as np
+
+    sr, f, amp = 16000, 1000.0, 0.5
+    t = np.arange(sr) / sr  # exactly 1 s, integer number of cycles
+    wav = multimodal.encode_wav(amp * np.sin(2 * np.pi * f * t), sr)
+    samples, rate = multimodal.decode_audio(wav)
+    assert rate == sr and len(samples) == sr
+    vec = multimodal.audio_feature_vec(samples, rate)
+    assert len(vec) == multimodal.AUDIO_FEATURE_DIM
+    dur, rms, zcr, centroid = vec[:4]
+    assert dur == pytest.approx(1.0)
+    assert rms == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert zcr == pytest.approx(2 * f / sr, rel=1e-2)
+    assert centroid == pytest.approx(f / (sr / 2), rel=1e-3)
+    bands = np.array(vec[4:])
+    assert bands.sum() == pytest.approx(1.0, abs=1e-6)
+    # all tonal mass in one band; a higher tone lands in a later band
+    assert bands.max() > 0.99
+    hi = multimodal.audio_feature_vec(
+        multimodal.decode_audio(
+            multimodal.encode_wav(np.sin(2 * np.pi * 6000.0 * t), sr)
+        )[0],
+        sr,
+    )
+    assert np.argmax(hi[4:]) > np.argmax(bands)
+    assert hi[3] > centroid  # centroid ordering follows pitch
+
+
+def test_audio_stereo_downmix_and_errors():
+    import io
+    import wave
+
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    left = (0.25 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    right = np.zeros_like(left)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(
+            np.column_stack([left, right]).ravel().tobytes()
+        )
+    samples, rate = multimodal.decode_audio(buf.getvalue())
+    # stereo averaged to mono halves the amplitude
+    assert rate == sr
+    assert np.abs(samples).max() == pytest.approx(0.125, rel=1e-2)
+    with pytest.raises(NotImplementedError, match="non-WAV"):
+        multimodal.decode_audio(b"ID3\x04mp3-ish bytes")
+
+
+def test_audio_features_dataframe(spark):
+    import numpy as np
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    rows = [
+        (1, multimodal.encode_wav(0.5 * np.sin(2 * np.pi * 500 * t), sr)),
+        (2, multimodal.encode_wav(0.5 * np.sin(2 * np.pi * 3000 * t), sr)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    out = {r["id"]: r for r in multimodal.audio_features(df).collect()}
+    assert out[1]["duration_ms"] == 1000
+    assert len(out[1]["features"]) == multimodal.AUDIO_FEATURE_DIM
+    assert out[2]["features"][3] > out[1]["features"][3]  # centroid order
+    assert out[3]["features"] is None and out[3]["n_bytes"] == 0
+    # deterministic across partitioning (real decode path)
+    again = {
+        r["id"]: r for r in multimodal.audio_features(df.repartition(3)).collect()
+    }
+    assert {k: tuple(v["features"]) if v["features"] else None for k, v in again.items()} == {
+        k: tuple(v["features"]) if v["features"] else None for k, v in out.items()
+    }
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 3500)], "id long, duration_ms int")
     frames = multimodal.frame_sample_plan(df, "duration_ms", 1000).collect()
