@@ -425,6 +425,63 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_column: str,
+    text_column: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    extra_columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Per-document MinHash LSH band keys: one row per (document, band)
+    with ``(id, band, bucket)`` plus any ``extra_columns`` carried
+    through.  Same shingle/signature/banding derivation as
+    :func:`minhash_candidate_pairs` (one Arrow pass, ``hash(slice(sig),
+    band)`` bucket keys), exposed for consumers that manage their own
+    band state — e.g. :func:`streaming.validate_stream.streaming_near_dedup`,
+    which registers band keys across microbatches.  Documents with no
+    shingles (null / empty / shorter than ``shingle_k`` words) produce
+    NO rows."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
+    rows_per_band = num_hashes // bands
+    both = _shingles_and_signature_arrow(shingle_k, num_hashes)
+    carried = [F.col(c) for c in (extra_columns or [])]
+    sig = (
+        df.select(
+            F.col(id_column).alias("__id"),
+            *carried,
+            both(F.col(text_column)).alias("__b"),
+        )
+        .select(
+            "__id",
+            *[c for c in (extra_columns or [])],
+            F.col("__b.sig").alias("__sig"),
+            F.col("__b.sh").alias("__sh"),
+        )
+        .filter(F.col("__sh").isNotNull() & (F.size("__sh") > 0))
+        .drop("__sh")
+    )
+    return sig.select(
+        "__id",
+        *[c for c in (extra_columns or [])],
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(
+                        F.col("__sig"), b * rows_per_band + 1, rows_per_band
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 

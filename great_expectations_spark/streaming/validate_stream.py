@@ -427,3 +427,125 @@ def windowed_categorical_drift(
         stream_df, conds, e_raw, ts_column, window_duration, watermark,
         psi_threshold, eps,
     )
+
+
+def streaming_near_dedup(
+    stream_df: DataFrame,
+    id_column: str,
+    order_column: str,
+    column: str = "text",
+    state_path: Optional[str] = None,
+    on_survivors: Optional[Callable] = None,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    checkpoint_location: Optional[str] = None,
+    trigger_once: bool = False,
+):
+    """NEAR-duplicate dedup of a document stream via MinHash LSH band
+    registration (the streaming face of :func:`dedup.minhash_candidate_pairs`).
+
+    Semantics (Bloom-style, deterministic given ``order_column``): every
+    arriving document registers its LSH band keys; a document SURVIVES iff
+    none of its bands were registered by any strictly earlier document
+    (earlier = smaller ``(order_column, id_column)``), across ALL previous
+    microbatches and within the current one.  Dropped documents still
+    register their bands — the standard ingestion-filter contract, which
+    makes the within-batch rule a pure min-per-band aggregation instead of
+    a sequential scan.  Documents with no shingles (null/short text) always
+    survive and register nothing.
+
+    State is a parquet table of distinct ``(band, bucket)`` int keys under
+    ``state_path`` — 8 bytes per key, readable by any later run (restarts
+    resume the corpus-lifetime filter, unlike operator state bound to one
+    checkpoint).  Each epoch appends only keys not already stored.  At
+    10^12 documents the store is ~``bands``× the distinct-doc count; the
+    per-batch anti-join is batch-sized × a store scan — compact the store
+    periodically (sort/bucket by key) and it stays the small side of a
+    broadcast-or-SMJ on 4-byte ints.  ``on_survivors(epoch_id, df)``
+    receives each epoch's surviving rows (original schema).
+
+    Returns the started StreamingQuery.
+    """
+    from great_expectations_spark.functions.dedup import minhash_band_keys
+
+    if state_path is None or on_survivors is None:
+        raise ValueError("state_path and on_survivors are required")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            keys = minhash_band_keys(
+                batch_df,
+                id_column,
+                text_column=column,
+                shingle_k=shingle_k,
+                num_hashes=num_hashes,
+                bands=bands,
+                extra_columns=[order_column],
+            ).persist()
+            # existence probe through Hadoop FS (works for any scheme)
+            # instead of a try/except read, which logs a JVM stacktrace
+            # on the first epoch
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(state_path)
+            fs = hpath.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            seen = (
+                spark.read.parquet(state_path).select("band", "bucket")
+                if fs.exists(hpath)
+                else None  # first epoch: no state yet
+            )
+            # dup vs previous epochs: any band already registered
+            dup_prev = (
+                keys.join(seen, ["band", "bucket"], "left_semi")
+                .select("__id")
+                if seen is not None
+                else None
+            )
+            # dup within batch: some band whose first holder (min
+            # (order, id)) is strictly earlier than this document
+            firsts = keys.groupBy("band", "bucket").agg(
+                F.min(F.struct(F.col(order_column), F.col("__id"))).alias(
+                    "__first"
+                )
+            )
+            dup_in_batch = (
+                keys.join(firsts, ["band", "bucket"])
+                .filter(
+                    F.struct(F.col(order_column), F.col("__id"))
+                    > F.col("__first")
+                )
+                .select("__id")
+            )
+            dups = (
+                dup_in_batch.union(dup_prev)
+                if dup_prev is not None
+                else dup_in_batch
+            ).distinct()
+            survivors = batch_df.join(
+                dups.withColumnRenamed("__id", id_column),
+                [id_column],
+                "left_anti",
+            )
+            on_survivors(epoch_id, survivors)
+            new_keys = keys.select("band", "bucket").distinct()
+            if seen is not None:
+                new_keys = new_keys.join(
+                    seen, ["band", "bucket"], "left_anti"
+                )
+            new_keys.write.mode("append").parquet(state_path)
+            keys.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -459,3 +459,61 @@ def test_streaming_quarantine_empty_suite_raises(spark):
             fromlist=["streaming_quarantine"],
         ).streaming_quarantine
         streaming_quarantine_build(stream, ExpectationSuite("empty"))
+
+
+def test_streaming_near_dedup(spark, tmp_path):
+    """MinHash-LSH band registration across microbatches: a one-word
+    variant of an earlier document is dropped (shares bands), distinct
+    documents survive, and state persists across epochs AND across a
+    fresh query run on the same state_path."""
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_near_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts carefully measure the gravitational field of a "
+        "distant moon using handmade instruments and patient arithmetic"
+    )
+    variant = base.replace("patient", "tedious")  # near-dup of base
+    other = (
+        "completely different subject matter entirely about cooking "
+        "pasta with garlic butter sage and parmesan in a cast iron pan "
+        "over a wood fire on a rainy autumn evening in the mountains"
+    )
+    src = tmp_path / "near_src"
+    src.mkdir()
+    state = str(tmp_path / "band_state")
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, "doc_id long, ord long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+
+    survivors = {}
+
+    def run_query():
+        stream = spark.readStream.schema(
+            "doc_id long, ord long, text string"
+        ).option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+        q = streaming_near_dedup(
+            stream, "doc_id", "ord", column="text", state_path=state,
+            on_survivors=lambda e, df: survivors.update(
+                {r["doc_id"]: r["text"] for r in df.collect()}
+            ),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    # epoch 1: base wins over its in-batch variant; `other` survives too
+    write_batch("b1", [(1, 10, base), (2, 20, variant), (3, 30, other)])
+    run_query()
+    assert set(survivors) == {1, 3}
+
+    # fresh query, same state dir: cross-RUN variant is dropped, a new
+    # distinct doc and a shingle-less doc both survive
+    survivors.clear()
+    write_batch("b2", [(4, 40, base.replace("moon", "planet")),
+                       (5, 50, "short"), (6, 60, other[::-1])])
+    run_query()
+    assert 4 not in survivors
+    assert {5, 6} <= set(survivors)
