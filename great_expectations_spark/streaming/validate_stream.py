@@ -429,6 +429,19 @@ def windowed_categorical_drift(
     )
 
 
+def _visible_band_state(
+    state_df: DataFrame, run_id: str, epoch_id: int
+) -> DataFrame:
+    """Band-state rows visible to (run_id, epoch_id): everything except
+    THIS run's same-or-later epochs — so an epoch replay after a partial
+    state write reproduces the original verdicts instead of seeing its
+    own keys as prior registrations."""
+    return state_df.filter(
+        (F.col("run_id") != F.lit(run_id))
+        | (F.col("epoch") < F.lit(int(epoch_id)))
+    ).select("band", "bucket")
+
+
 def streaming_near_dedup(
     stream_df: DataFrame,
     id_column: str,
@@ -456,17 +469,29 @@ def streaming_near_dedup(
     survive and register nothing.
 
     State is a parquet table of distinct ``(band, bucket)`` int keys under
-    ``state_path`` — 8 bytes per key, readable by any later run (restarts
-    resume the corpus-lifetime filter, unlike operator state bound to one
-    checkpoint).  Each epoch appends only keys not already stored.  At
-    10^12 documents the store is ~``bands``× the distinct-doc count; the
-    per-batch anti-join is batch-sized × a store scan — compact the store
-    periodically (sort/bucket by key) and it stays the small side of a
-    broadcast-or-SMJ on 4-byte ints.  ``on_survivors(epoch_id, df)``
-    receives each epoch's surviving rows (original schema).
+    ``state_path`` — 8 bytes per key plus ``(run_id, epoch)`` lineage,
+    readable by any later run (restarts resume the corpus-lifetime
+    filter, unlike operator state bound to one checkpoint).  Each epoch
+    appends only keys not already stored.  **Retry safety**: a failed
+    epoch may have written its band keys before the checkpoint committed;
+    on replay the batch must NOT see its own keys as "previously
+    registered" (that would drop every document in the batch).  The read
+    path therefore excludes rows from THIS query run with ``epoch >=``
+    the current epoch — replays reproduce the original verdicts exactly,
+    while earlier runs' keys (any epoch) and this run's earlier epochs
+    stay in force.  Emission to ``on_survivors`` is at-least-once, like
+    any foreachBatch sink.  At 10^12 documents the store is ~``bands``×
+    the distinct-doc count; the per-batch anti-join is batch-sized × a
+    store scan — compact the store periodically (sort/bucket by key) and
+    it stays the small side of a broadcast-or-SMJ on 4-byte ints.
+    ``on_survivors(epoch_id, df)`` receives each epoch's surviving rows
+    (original schema).
 
     Returns the started StreamingQuery.
     """
+    import uuid
+
+    run_id = uuid.uuid4().hex
     from great_expectations_spark.functions.dedup import minhash_band_keys
 
     if state_path is None or on_survivors is None:
@@ -496,7 +521,9 @@ def streaming_near_dedup(
                 spark._jsc.hadoopConfiguration()
             )
             seen = (
-                spark.read.parquet(state_path).select("band", "bucket")
+                _visible_band_state(
+                    spark.read.parquet(state_path), run_id, int(epoch_id)
+                )
                 if fs.exists(hpath)
                 else None  # first epoch: no state yet
             )
@@ -538,7 +565,9 @@ def streaming_near_dedup(
                 new_keys = new_keys.join(
                     seen, ["band", "bucket"], "left_anti"
                 )
-            new_keys.write.mode("append").parquet(state_path)
+            new_keys.withColumn("run_id", F.lit(run_id)).withColumn(
+                "epoch", F.lit(int(epoch_id))
+            ).write.mode("append").parquet(state_path)
             keys.unpersist()
         finally:
             batch_df.unpersist()

@@ -517,3 +517,31 @@ def test_streaming_near_dedup(spark, tmp_path):
     run_query()
     assert 4 not in survivors
     assert {5, 6} <= set(survivors)
+
+    # state rows carry (run_id, epoch) lineage for replay safety
+    state_df = spark.read.parquet(state)
+    assert {"band", "bucket", "run_id", "epoch"} <= set(state_df.columns)
+    assert state_df.select("run_id").distinct().count() == 2  # two runs
+
+
+def test_near_dedup_replay_visibility(spark):
+    """An epoch replay must not see its own partially-written keys: the
+    visibility rule hides THIS run's same-or-later epochs only."""
+    from great_expectations_spark.streaming.validate_stream import (
+        _visible_band_state,
+    )
+
+    state = spark.createDataFrame(
+        [
+            (1, 100, "runA", 0),   # earlier epoch, same run -> visible
+            (2, 200, "runA", 1),   # same epoch, same run (partial write
+                                   # from the failed attempt) -> hidden
+            (3, 300, "runA", 2),   # later epoch, same run -> hidden
+            (4, 400, "runB", 7),   # other run, any epoch -> visible
+        ],
+        "band int, bucket int, run_id string, epoch long",
+    )
+    got = sorted(
+        r["band"] for r in _visible_band_state(state, "runA", 1).collect()
+    )
+    assert got == [1, 4]
