@@ -44,6 +44,7 @@ from typing import Dict, List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.functions._exprutil import array_lit_f64
 from great_expectations_spark.functions.text import normalize_text
 
 __all__ = [
@@ -544,7 +545,7 @@ def quality_classifier_score(col: Column, model: Dict[str, object]) -> Column:
     10^12 rows this is a single projection whose weight array is
     broadcast once per task."""
     n_features = int(model["n_features"])
-    weights = F.lit(list(model["weights"]))
+    weights = array_lit_f64(model["weights"])
     ids = _word_feature_ids(col, n_features)
     total = F.aggregate(
         ids,
@@ -659,58 +660,58 @@ def perplexity_score(
     total = float(model["total_tokens"])
     a = float(alpha)
     denom_uni = F.lit(total + a * n_buckets)
-    uni = F.lit([float(c) for c in model["uni_counts"]])
-    ids = _word_feature_ids(col, n_buckets)
-    n = F.size(ids)
+    uni = array_lit_f64(model["uni_counts"])
 
     def p_uni(idx: Column) -> Column:
         return (F.element_at(uni, idx.cast("int")) + F.lit(a)) / denom_uni
 
+    # Expression-shape lessons, measured on the sf0.01 corpus (500
+    # docs): (1) repeated references to the featurization arrays are
+    # FREE — Spark's subexpression elimination covers them (verified:
+    # E+E+E+E costs the same as E); (2) a "let-binding" through a
+    # one-element transform(array(struct(ids...))) looks cheaper but
+    # runs 4x SLOWER (5.0s vs 1.2s) — the struct detour defeats the
+    # sharing it tried to create; (3) aligning per-token inputs must be
+    # done by ZIPPING slices, not by an index fold that element_at's
+    # into ids inside its lambda (O(tokens^2) per document, ~4x).
+    ids = _word_feature_ids(col, n_buckets)
+    n = F.size(ids)
+
     if model["order"] == 1 or model.get("big_counts") is None:
         nll = F.aggregate(
-            ids,
-            F.lit(0.0),
-            lambda acc, i: acc - F.log(p_uni(i)),
+            ids, F.lit(0.0), lambda acc, i: acc - F.log(p_uni(i))
         )
-    else:
-        big = F.lit([float(c) for c in model["big_counts"]])
-        pair_ids = _bigram_feature_ids(col, n_buckets)
-        lam = F.lit(float(lambda_bigram))
-        # token 1 scores unigram-only; tokens 2..n the interpolation,
-        # folded over positions so each step sees (pair_id, prev_uni_id,
-        # word_uni_id) by index
-        first = -F.log(p_uni(F.element_at(ids, 1)))
-        rest = F.aggregate(
-            F.sequence(F.lit(2), n),
-            F.lit(0.0),
-            lambda acc, i: acc
-            - F.log(
-                lam
-                * (
-                    (
-                        F.element_at(
-                            big,
-                            F.element_at(pair_ids, (i - 1).cast("int")).cast(
-                                "int"
-                            ),
-                        )
-                        + F.lit(a)
-                    )
-                    / (
-                        F.element_at(
-                            uni,
-                            F.element_at(ids, (i - 1).cast("int")).cast(
-                                "int"
-                            ),
-                        )
-                        + F.lit(a * n_buckets)
-                    )
+        return F.when(n > 0, F.exp(nll / n)).otherwise(F.lit(None))
+
+    big = array_lit_f64(model["big_counts"])
+    lam = F.lit(float(lambda_bigram))
+    pair_ids = _bigram_feature_ids(col, n_buckets)
+    # token 1 scores unigram-only; tokens 2..n the interpolation over
+    # zipped (pair_id, prev_uni_id, cur_uni_id)
+    first = -F.log(p_uni(F.element_at(ids, 1)))
+    m = F.greatest(n - 1, F.lit(0))
+    with_prev = F.zip_with(
+        pair_ids,
+        F.slice(ids, F.lit(1), m),
+        lambda p, pv: F.struct(p.alias("p"), pv.alias("pv")),
+    )
+    terms = F.zip_with(
+        with_prev,
+        F.slice(ids, F.lit(2), m),
+        lambda st, cu: -F.log(
+            lam
+            * (
+                (F.element_at(big, st["p"].cast("int")) + F.lit(a))
+                / (
+                    F.element_at(uni, st["pv"].cast("int"))
+                    + F.lit(a * n_buckets)
                 )
-                + (F.lit(1.0) - lam) * p_uni(F.element_at(ids, i.cast("int")))
-            ),
-        )
-        nll = F.when(n >= 2, first + rest).otherwise(first)
-    return F.when(n > 0, F.exp(nll / n)).otherwise(F.lit(None))
+            )
+            + (F.lit(1.0) - lam) * p_uni(cu)
+        ),
+    )
+    rest = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(n > 0, F.exp((first + rest) / n)).otherwise(F.lit(None))
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from great_expectations_spark.functions._exprutil import array_lit_f64
 from great_expectations_spark.functions.dedup import (
     _register_cache,
     release_cached,  # noqa: F401 — re-exported: one registry for dedup+ANN
@@ -47,7 +48,7 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _vec_lit(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    return array_lit_f64(vec)
 
 
 def cosine_to_query(embedding: Column, query: Sequence[float]) -> Column:
@@ -488,17 +489,17 @@ def ivfpq_topk(
     lut = np.stack(
         [codebooks[j] @ qhat[j * dsub : (j + 1) * dsub] for j in range(m)]
     )
-    lut_flat = [float(x) for x in lut.reshape(-1)]
-    cterm_lst = [float(x) for x in cterm]
+    lut_flat_col = array_lit_f64(lut.reshape(-1))
+    cterm_col = array_lit_f64(cterm)
 
     adc = (
-        F.element_at(F.lit(cterm_lst), F.col("__ivf_cluster") + 1)
+        F.element_at(cterm_col, F.col("__ivf_cluster") + 1)
         + F.aggregate(
             F.zip_with(
                 F.col("__pq_code").cast("array<int>"),
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda c, j: F.element_at(
-                    F.lit(lut_flat), j * n_codes + c + 1
+                    lut_flat_col, j * n_codes + c + 1
                 ),
             ),
             F.lit(0.0),

@@ -265,6 +265,33 @@ def test_audio_decode_closed_forms():
     assert hi[3] > centroid  # centroid ordering follows pitch
 
 
+def test_audio_roundtrip_property():
+    """encode_wav -> decode_audio is the exact identity on int16 PCM
+    (scaled by 1/32768), for arbitrary lengths/rates incl. empty."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        samples=arrays(
+            np.int16, st.integers(min_value=0, max_value=400)
+        ),
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    )
+    def check(samples, rate):
+        out, got_rate = multimodal.decode_audio(
+            multimodal.encode_wav(samples, rate)
+        )
+        assert got_rate == rate
+        np.testing.assert_array_equal(
+            out, samples.astype(np.float64) / 32768.0
+        )
+
+    check()
+
+
 def test_audio_stereo_downmix_and_errors():
     import io
     import wave
@@ -1031,3 +1058,33 @@ def test_release_cached_registry(spark):
     dedup.minhash_candidate_pairs(df, "id", num_hashes=16, bands=4).count()
     assert dedup.release_cached() >= 1
     assert dedup.release_cached() == 0
+
+
+def test_array_lit_f64_bit_exact_and_fast(spark):
+    """The one-py4j-call array literal round-trips doubles BIT-exactly
+    through the SQL parser (shortest-repr is re-parse exact), including
+    subnormals and extremes; NaN/inf are rejected."""
+    import random
+    import struct
+
+    from great_expectations_spark.functions._exprutil import array_lit_f64
+
+    random.seed(7)
+    vals = [0.0, -0.0, 1e-300, -1e-300, 1e300, 5e-324,
+            1.7976931348623157e308, 123456789.123456789]
+    vals += [
+        struct.unpack("<d", struct.pack("<q", random.getrandbits(63)))[0]
+        for _ in range(100)
+    ]
+    vals = [v for v in vals if v == v and abs(v) != float("inf")]
+    got = spark.range(1).select(array_lit_f64(vals).alias("a")).first()["a"]
+    assert all(
+        struct.pack("<d", v) == struct.pack("<d", g)
+        for v, g in zip(vals, got)
+    )
+    assert spark.range(1).select(
+        F.size(array_lit_f64([])).alias("s")
+    ).first()["s"] == 0
+    for bad in (float("nan"), float("inf")):
+        with pytest.raises(ValueError):
+            array_lit_f64([bad])
