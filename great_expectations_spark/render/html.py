@@ -35,6 +35,10 @@ th { background: #f4f4f8; }
 code { background: #f4f4f8; padding: .1rem .3rem; border-radius: 3px;
        font-size: .85em; }
 .ok { color: #0a7a33; font-weight: 600; }
+svg.dist { margin: .3rem 0; }
+svg.dist rect { fill: #5b7fd4; }
+svg.dist rect:hover { fill: #2d4fa4; }
+svg.dist text { font-size: .62rem; fill: #6a6a7a; }
 .fail { color: #b3122e; font-weight: 600; }
 .meta { color: #555; font-size: .85rem; }
 ul.samples li { font-family: monospace; font-size: .85rem; }
@@ -62,6 +66,81 @@ def _page(title: str, body: str) -> str:
         f"<title>{_esc(title, 200)}</title>"
         f"<style>{_CSS}</style></head>\n<body>\n{body}\n</body></html>\n"
     )
+
+
+def _svg_bars(
+    labels: List[str],
+    values: List[float],
+    width: int = 440,
+    height: int = 96,
+    max_bars: int = 40,
+) -> str:
+    """Inline-SVG bar chart (no JS, no external deps — the reference
+    renders these with altair; this keeps Data Docs self-contained).
+    Bars are min-height-1px so zero-weight bins stay visible; labels go
+    into <title> tooltips, first/last also under the axis."""
+    if not values:
+        return ""
+    labels = [str(l) for l in labels[:max_bars]]
+    vals = [max(float(v), 0.0) for v in values[:max_bars]]
+    vmax = max(vals) or 1.0
+    n = len(vals)
+    pad, axis_h = 2, 14
+    bar_w = max((width - pad * (n + 1)) / n, 1.0)
+    parts = [
+        f'<svg class="dist" width="{width}" '
+        f'height="{height + axis_h}" role="img">'
+    ]
+    for i, (lab, v) in enumerate(zip(labels, vals)):
+        h = max(round(v / vmax * (height - 2), 1), 1.0)
+        x = round(pad + i * (bar_w + pad), 1)
+        y = round(height - h, 1)
+        parts.append(
+            f'<rect x="{x}" y="{y}" width="{round(bar_w, 1)}" '
+            f'height="{h}"><title>{_esc(lab)}: {_esc(v)}</title></rect>'
+        )
+    parts.append(
+        f'<text x="{pad}" y="{height + axis_h - 3}">'
+        f"{_esc(labels[0], 24)}</text>"
+        f'<text x="{width - pad}" y="{height + axis_h - 3}" '
+        f'text-anchor="end">{_esc(labels[-1], 24)}</text>'
+    )
+    if len(values) > max_bars:
+        parts.append(
+            f'<text x="{width / 2}" y="{height + axis_h - 3}" '
+            f'text-anchor="middle">(first {max_bars} of '
+            f"{len(values)} bins)</text>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _chart_of(res: Dict[str, Any]) -> str:
+    """Chart for one expectation result, if it carries a distribution:
+    ``details.observed_partition`` (KL / chi² / drift families) or
+    ``partial_unexpected_counts`` (map expectations)."""
+    details = (res.get("details") or {})
+    part = details.get("observed_partition") or res.get(
+        "observed_partition"
+    )
+    if isinstance(part, dict) and part.get("weights"):
+        weights = part["weights"]
+        if part.get("bins") is not None:
+            bins = part["bins"]
+            labels = [
+                f"[{bins[i]}, {bins[i + 1]})"
+                for i in range(min(len(bins) - 1, len(weights)))
+            ]
+        else:
+            labels = [str(v) for v in part.get("values", [])]
+        return _svg_bars(labels or [""] * len(weights), weights)
+    counts = res.get("partial_unexpected_counts")
+    if counts:
+        return _svg_bars(
+            [str(c.get("value")) for c in counts],
+            [c.get("count", 0) for c in counts],
+        )
+    return ""
 
 
 def render_suite_result_html(
@@ -113,6 +192,26 @@ def render_suite_result_html(
         if not r.get("success"):
             failures.append(r)
     parts.append("</tbody></table>")
+
+    # distribution charts for every expectation that carries one
+    # (observed_partition / partial_unexpected_counts) — the reference
+    # draws these via altair; here they are inline SVG, dependency-free
+    charts = [
+        (config, chart)
+        for r in data.get("results", [])
+        for config in [r.get("expectation_config", {})]
+        for chart in [_chart_of(r.get("result", {}) or {})]
+        if chart
+    ]
+    if charts:
+        parts.append("<h2>distributions</h2>")
+        for config, chart in charts:
+            parts.append(
+                f"<p><code>{_esc(config.get('expectation_type'))}</code> "
+                f"<code>{_esc(_domain_of(config.get('kwargs', {})))}"
+                "</code></p>"
+            )
+            parts.append(chart)
 
     for r in failures:
         config = r.get("expectation_config", {})

@@ -198,3 +198,61 @@ def test_render_zero_expectation_result_does_not_raise():
         }
     )
     assert "0/0 expectations passed" in html
+
+
+def test_render_distribution_charts():
+    """Results carrying observed_partition or partial_unexpected_counts
+    render inline-SVG bar charts (reference draws these via altair)."""
+    from great_expectations_spark.render.html import render_suite_result_html
+
+    res = {
+        "success": True,
+        "statistics": {"evaluated_expectations": 2,
+                       "successful_expectations": 2,
+                       "success_percent": 100.0},
+        "meta": {"expectation_suite_name": "charts", "run_id": "r-9"},
+        "results": [
+            {
+                "success": True,
+                "expectation_config": {
+                    "expectation_type":
+                        "expect_column_kl_divergence_to_be_less_than",
+                    "kwargs": {"column": "v"},
+                },
+                "result": {
+                    "observed_value": 0.02,
+                    "details": {
+                        "observed_partition": {
+                            "bins": [0, 10, 20, 30],
+                            "weights": [0.5, 0.3, 0.2],
+                        }
+                    },
+                },
+            },
+            {
+                "success": False,
+                "expectation_config": {
+                    "expectation_type": "expect_column_values_to_be_in_set",
+                    "kwargs": {"column": "c"},
+                },
+                "result": {
+                    "unexpected_count": 7,
+                    "partial_unexpected_counts": [
+                        {"value": "x", "count": 5},
+                        {"value": "<y>", "count": 2},
+                    ],
+                    "partial_unexpected_list": ["x", "x"],
+                },
+            },
+        ],
+    }
+    doc = render_suite_result_html(res)
+    assert "<h2>distributions</h2>" in doc
+    assert doc.count('<svg class="dist"') == 2
+    assert doc.count("<rect") == 3 + 2  # 3 histogram bins + 2 value bars
+    assert "[0, 10)" in doc
+    assert "&lt;y&gt;" in doc  # labels escaped inside <title>
+    # empty weights / no distribution -> no chart section
+    from great_expectations_spark.render.html import _chart_of
+    assert _chart_of({"observed_value": 1}) == ""
+    assert _chart_of({"details": {"observed_partition": {"weights": []}}}) == ""
