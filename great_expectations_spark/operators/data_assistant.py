@@ -195,6 +195,7 @@ class DataAssistantResult:
                     f"<td>{plist}</td></tr>"
                 )
             parts.append("</tbody></table>")
+            parts.extend(self._rule_charts(rule, summary))
             if summary["expectations"]:
                 parts.append('<ul class="samples">')
                 parts.extend(
@@ -203,6 +204,46 @@ class DataAssistantResult:
                 )
                 parts.append("</ul>")
         return _page(f"assistant {self.assistant_name}", "\n".join(parts))
+
+    @staticmethod
+    def _rule_charts(rule: str, summary: Dict[str, Any]) -> List[str]:
+        """Per-rule inline-SVG charts: one bar chart per numeric fitted
+        parameter, bars = domains — the series the reference's altair
+        `plot_metrics()` draws, rendered dependency-free."""
+        from great_expectations_spark.render.html import _esc, _svg_bars
+
+        def as_point(v: Any) -> Optional[float]:
+            # scalars chart directly; the fitted [lo, hi] ranges the
+            # multi-batch estimators emit chart as their midpoint
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return float(v)
+            if (
+                isinstance(v, (list, tuple))
+                and len(v) == 2
+                and all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in v
+                )
+            ):
+                return (float(v[0]) + float(v[1])) / 2.0
+            return None
+
+        by_param: Dict[str, List] = {}
+        for domain in summary["domains"]:
+            for k, v in (summary["parameters"].get(domain) or {}).items():
+                p = as_point(v)
+                if p is not None:
+                    by_param.setdefault(k, []).append((str(domain), p))
+        out: List[str] = []
+        for k in sorted(by_param)[:4]:
+            series = by_param[k]
+            if len(series) < 2:
+                continue
+            out.append(f"<p><code>{_esc(k)}</code> by domain</p>")
+            out.append(
+                _svg_bars([d for d, _ in series], [v for _, v in series])
+            )
+        return out
 
     def save_html(self, path: str) -> str:
         import os

@@ -70,6 +70,10 @@ def test_markdown_and_html_render_per_rule(assistant, tmp_path):
     assert "rule <code>numeric_rule</code>" in html
     assert "amount" in html
     assert "min_range" in html
+    # numeric fitted parameters with >= 2 domains chart as inline SVG
+    # (the reference renders these series via altair plot_metrics)
+    if html.count("<td><code>") >= 2:
+        assert '<svg class="dist"' in html
 
 
 def test_plot_data_and_domain_view(assistant):
