@@ -61,6 +61,10 @@ __all__ = [
     "mix_sample",
     "train_quality_classifier",
     "quality_classifier_score",
+    "train_ngram_lm",
+    "perplexity_score",
+    "model_save",
+    "model_load",
 ]
 
 
@@ -712,6 +716,37 @@ def perplexity_score(
     )
     rest = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
     return F.when(n > 0, F.exp((first + rest) / n)).otherwise(F.lit(None))
+
+
+def model_save(spark, model: Dict[str, object], path: str) -> None:
+    """Persist a plain-dict model (:func:`train_ngram_lm`,
+    :func:`train_quality_classifier`) as JSON through Spark's Hadoop
+    FileSystem — any scheme the session reaches (same mechanism as
+    ``tokenize.bpe_save`` / ``similarity.ivfpq_write``)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(model).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def model_load(spark, path: str) -> Dict[str, object]:
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        payload = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(payload)
 
 
 # ---------------------------------------------------------------------------

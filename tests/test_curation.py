@@ -777,3 +777,18 @@ def test_curate_corpus_perplexity_stage(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
     stages = {s["stage"]: s["rows"] for s in report}
     assert stages["perplexity_filter"] == 2
+
+
+def test_lm_model_roundtrip(spark, tmp_path):
+    """model_save/model_load round-trips an LM through the Hadoop FS and
+    the loaded model scores identically."""
+    ref = _lm_corpus(spark)
+    model = cur.train_ngram_lm(ref, n_buckets=128, order=2)
+    p = str(tmp_path / "lm.json")
+    cur.model_save(spark, model, p)
+    loaded = cur.model_load(spark, p)
+    assert loaded == model
+    doc = spark.createDataFrame([("the cat sat",)], "text string")
+    a = doc.select(cur.perplexity_score(F.col("text"), model).alias("p")).first()["p"]
+    b = doc.select(cur.perplexity_score(F.col("text"), loaded).alias("p")).first()["p"]
+    assert a == b
