@@ -54,6 +54,13 @@ from great_expectations_spark.sources.sinks import (
     results_to_dataframe,
     write_results,
 )
+from great_expectations_spark.context import (
+    get_context,
+    Checkpoint,
+    CheckpointResult,
+    EphemeralDataContext,
+    FileDataContext,
+)
 __version__ = "0.1.0"
 
 # rule_profiler needs numpy (not a pyspark hard dependency) — exported
@@ -100,4 +107,9 @@ __all__ = [
     "Rule",
     "RuleBasedProfiler",
     "onboarding_assistant",
+    "get_context",
+    "Checkpoint",
+    "CheckpointResult",
+    "EphemeralDataContext",
+    "FileDataContext",
 ]

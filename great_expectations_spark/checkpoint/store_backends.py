@@ -142,6 +142,49 @@ class FilesystemResultBackend(ResultStoreBackend):
             if self._os.path.isdir(self._os.path.join(self.directory, d))
         )
 
+    def iter_records(self):
+        """Every stored (key, run_id, payload) — one per run file, the
+        ``latest.json`` pointers excluded.  Feeds full-history consumers
+        (DataContext.build_data_docs site rebuilds)."""
+        for key in self.list_suites():
+            suite_dir = self._suite_path(key)
+            for fname in sorted(self._os.listdir(suite_dir)):
+                if fname == "latest.json" or not fname.endswith(".json"):
+                    continue
+                with open(
+                    self._os.path.join(suite_dir, fname), encoding="utf-8"
+                ) as f:
+                    yield key, fname[: -len(".json")], f.read()
+
+
+class InMemoryResultBackend(ResultStoreBackend):
+    """Dict-backed backend (reference ``InMemoryStoreBackend``,
+    ``data_context/store/in_memory_store_backend.py``) — the store the
+    EphemeralDataContext runs on: full append history retained in
+    insertion order, nothing touches disk."""
+
+    def __init__(self) -> None:
+        self.records: List[tuple] = []  # (key, run_id, payload) appends
+        self._latest: Dict[str, str] = {}
+
+    def append(self, suite_name: str, run_id: str, payload: str) -> None:
+        self.records.append((suite_name, run_id, payload))
+        self._latest[suite_name] = payload
+
+    def latest_payload(self, suite_name: str) -> str:
+        try:
+            return self._latest[suite_name]
+        except KeyError:
+            raise KeyError(
+                f"no stored validation result for suite {suite_name!r}"
+            )
+
+    def list_suites(self) -> List[str]:
+        return sorted(self._latest)
+
+    def iter_records(self):
+        return iter(self.records)
+
 
 _RESULT_LOG_SCHEMA = (
     "suite_name string, run_id string, stored_at_ns long, payload string"

@@ -92,9 +92,15 @@ class Validator:
         suite_name: str = "default",
         result_format: Union[str, dict] = "BASIC",
         engine: Optional[SuiteValidator] = None,
+        suite: Optional[ExpectationSuite] = None,
     ) -> None:
         self._df = df
-        self._suite = ExpectationSuite(suite_name)
+        # an existing suite (e.g. loaded from a DataContext store) keeps
+        # accumulating in place — the reference's
+        # context.get_validator(expectation_suite_name=...) behavior
+        self._suite = suite if suite is not None else ExpectationSuite(
+            suite_name
+        )
         self._result_format = result_format
         self._engine = engine or SuiteValidator()
         self._types = set(registered_expectation_types())
