@@ -23,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from great_expectations_spark.core.suite import ExpectationSuite
 from great_expectations_spark.functions import dedup, similarity, text as gxtext
+from great_expectations_spark.functions.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+)
 from great_expectations_spark.operators import distribution as dist_ops
 from great_expectations_spark.operators.query_ops import value_counts
 from great_expectations_spark.plans.planner import SuiteValidator
@@ -1367,6 +1372,129 @@ def _turn_text_order_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _value_freq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts + most_common bundled into one report slot (both ride
+    the same groupBy-count machinery); cnt = -1 marks the mode rows,
+    which carry no count in the reference's observed_value."""
+    vc = _value_counts_flag(spark, sf_dir).select(
+        F.lit("value_counts_returnflag").alias("expectation"),
+        F.col("value").cast("string").alias("value"),
+        F.col("count").cast("long").alias("cnt"),
+    )
+    mc = _most_common(spark, sf_dir).select(
+        F.lit("most_common_priority").alias("expectation"),
+        F.col("value").cast("string").alias("value"),
+        F.lit(-1).cast("long").alias("cnt"),
+    )
+    return vc.unionAll(mc).orderBy("expectation", "value")
+
+
+def _query_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both user-SQL query expectations over orders in one report slot:
+    no-rows violation count + value-frequency threshold."""
+    nr = _query_no_rows(spark, sf_dir).select(
+        F.lit("query_no_rows").alias("expectation"),
+        F.col("violation_rows").cast("double").alias("metric"),
+        (F.col("violation_rows") == 0).alias("success"),
+    )
+    fq = _query_freq_urgent(spark, sf_dir).select(
+        F.lit("query_freq_urgent").alias("expectation"),
+        F.col("freq_urgent").cast("double").alias("metric"),
+        F.col("success"),
+    )
+    return nr.unionAll(fq).orderBy("expectation")
+
+
+def _asof_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→most-recent-purchase attribution through
+    ``functions/temporal.asof_join`` (pandas merge_asof / DuckDB ASOF
+    JOIN semantics; ONE window shuffle on user_id — no inequality-join
+    row blowup).  Right side deduped to one purchase per (user, ts) so
+    tie-breaking can't differ between engines; integer aggregates only
+    (event-id sums), so the compare is bit-exact."""
+    e = _load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    j = asof_join(clicks, purchases, on="ts", by="user_id")
+    within = F.col("purchase_id").isNotNull() & (
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("ts_r").cast("timestamp").cast("double")
+        )
+        <= F.lit(3600.0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("purchase_id").alias("n_matched"),
+        F.coalesce(F.sum("purchase_id"), F.lit(0).cast("long")).alias(
+            "sum_purchase_id"
+        ),
+        F.sum(F.when(within, 1).otherwise(0)).cast("long").alias(
+            "n_within_1h"
+        ),
+    )
+
+
+def _range_join_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join over OVERLAPPING price bands via
+    ``functions/temporal.range_join`` on the binned strategy — intervals
+    explode onto fixed-width bins, the join is a hash equi-join on
+    bin_id + residual filter (no nested loop; plan-asserted in
+    tests/test_temporal.py).  Oracle is the plain inequality join."""
+    part = _load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull()
+    ).select("p_partkey", "p_retailprice")
+    iv = spark.range(0, 40).select(
+        (F.lit(900.0) + F.col("id") * F.lit(2.5)).alias("lo"),
+        (F.lit(906.0) + F.col("id") * F.lit(2.5)).alias("hi"),
+        F.col("id").alias("interval_id"),
+    )
+    j = range_join(
+        part, iv, "p_retailprice", "lo", "hi",
+        strategy="binned", bin_width=2.5,
+    )
+    return (
+        j.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("p_partkey").alias("sum_partkey"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h) via ``functions/temporal.sessionize``
+    (per-key lag + running break-flag sum, one window shuffle — the
+    batch counterpart of Structured Streaming's session_window), reduced
+    to engine-comparable session-population stats.  Session SIZES are
+    deterministic under timestamp ties: equal ts → gap 0 regardless of
+    tie order."""
+    e = _load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "ts")
+    s = sessionize(e, "user_id", "ts", gap=3600.0)
+    sizes = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_len"),
+        F.sum("n").alias("n_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- map conditions, bundled per-table suites (ONE agg pass each;
@@ -1435,6 +1563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       match_on="any")),
             ],
         )).orderBy("expectation"),
+        # events json-parseable folded in (r4 session 7: frees a report
+        # slot for the temporal family; keeps its own oracle row via the
+        # expectation key)
         "map_suite_docs": lambda s, d: _map_counts_suite(
             s, d, "documents",
             [
@@ -1445,11 +1576,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "expect_multicolumn_values_not_to_be_all_null",
                  dict(column_list=["text", "lang"])),
             ],
-        ),
-        "json_parseable_props": lambda s, d: _map_counts(
-            s, d, "events", "expect_column_values_to_be_json_parseable",
-            column="props",
-        ),
+        ).unionAll(_map_counts_suite(
+            s, d, "events",
+            [
+                ("json_parseable_props",
+                 "expect_column_values_to_be_json_parseable",
+                 dict(column="props")),
+            ],
+        )).orderBy("expectation"),
         "zscore_extendedprice": _zscore,
         # --- window / uniqueness (two-phase groupBy path) ---
         "unique_orderkey": _unique_dup_rows,
@@ -1466,13 +1600,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats_quantity": _agg_stats,
         "quantiles_extendedprice": _quantiles,
         "distinct_partkey": _distinct_counts,
-        "value_counts_returnflag": _value_counts_flag,
-        "most_common_priority": _most_common,
+        # value_counts + most_common bundled into one slot (r4 session 7)
+        "value_freq_suite": _value_freq_suite,
         "histogram_extendedprice": _histogram,
         # --- user-SQL query expectations (escape hatch) ---
         "query_value_corr": _query_value_corr,
-        "query_no_rows_orders": _query_no_rows,
-        "query_freq_urgent": _query_freq_urgent,
+        "query_suite_orders": _query_suite_orders,
+        # --- temporal / ordered joins (functions/temporal.py) ---
+        "asof_purchase_attrib": _asof_purchase_attrib,
+        "range_join_part": _range_join_part,
+        "sessionize_events": _sessionize_events,
         # --- rule-based profiler (configurable rule engine) ---
         "rbp_profile_orders": _rbp_profile_orders,
         # --- md5 reference-parity hash sampler membership ---
@@ -1607,13 +1744,11 @@ def oracle_sql() -> dict[str, str]:
             "unexpected_count FROM documents UNION ALL "
             "SELECT 'multicolumn_not_all_null', count(*)::BIGINT, count(*) "
             "FILTER (WHERE text IS NULL AND lang IS NULL)::BIGINT "
-            "FROM documents"
+            "FROM documents UNION ALL "
+            "SELECT 'json_parseable_props', count(*)::BIGINT, count(*) "
+            "FILTER (WHERE props IS NOT NULL AND NOT json_valid(props))"
+            "::BIGINT FROM events"
             ") ORDER BY expectation"
-        ),
-        "json_parseable_props": (
-            "SELECT count(*)::BIGINT AS element_count, count(*) FILTER ("
-            "WHERE props IS NOT NULL AND NOT json_valid(props))::BIGINT AS "
-            "unexpected_count FROM events"
         ),
         "zscore_extendedprice": (
             "WITH s AS (SELECT avg(l_extendedprice) AS m, "
@@ -1761,14 +1896,15 @@ def oracle_sql() -> dict[str, str]:
             "round(count(DISTINCT l_partkey)::DOUBLE / count(l_partkey), 6) "
             "AS unique_proportion FROM lineitem"
         ),
-        "value_counts_returnflag": (
-            "SELECT l_returnflag AS value, count(*)::BIGINT AS count FROM "
-            "lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1 ORDER BY 1"
-        ),
-        "most_common_priority": (
-            "SELECT o_orderpriority AS value FROM orders GROUP BY 1 "
-            "HAVING count(*) = (SELECT max(c) FROM (SELECT count(*) AS c "
-            "FROM orders GROUP BY o_orderpriority))"
+        "value_freq_suite": (
+            "SELECT * FROM ("
+            "SELECT 'value_counts_returnflag' AS expectation, "
+            "l_returnflag AS value, count(*)::BIGINT AS cnt FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL GROUP BY 2 UNION ALL "
+            "SELECT 'most_common_priority', o_orderpriority, (-1)::BIGINT "
+            "FROM orders GROUP BY 2 HAVING count(*) = (SELECT max(c) FROM "
+            "(SELECT count(*) AS c FROM orders GROUP BY o_orderpriority))"
+            ") ORDER BY expectation, value"
         ),
         "histogram_extendedprice": (
             f"SELECT {bucket_case('l_extendedprice', hist_edges)} AS bucket, "
@@ -1779,15 +1915,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(corr(l_quantity, l_extendedprice), 6) AS "
             "corr_qty_price, TRUE AS success FROM lineitem"
         ),
-        "query_no_rows_orders": (
-            "SELECT count(*)::BIGINT AS violation_rows FROM orders "
-            "WHERE o_totalprice > 400000"
-        ),
-        "query_freq_urgent": (
-            "SELECT round(count(*) FILTER (WHERE o_orderpriority = "
-            "'1-URGENT')::DOUBLE / count(*), 6) AS freq_urgent, "
+        "query_suite_orders": (
+            "SELECT * FROM ("
+            "SELECT 'query_freq_urgent' AS expectation, "
+            "round(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')"
+            "::DOUBLE / count(*), 6) AS metric, "
             "count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::DOUBLE "
-            "/ count(*) >= 0.05 AS success FROM orders"
+            "/ count(*) >= 0.05 AS success FROM orders UNION ALL "
+            "SELECT 'query_no_rows', count(*) FILTER (WHERE o_totalprice "
+            "> 400000)::DOUBLE, count(*) FILTER (WHERE o_totalprice > "
+            "400000) = 0 FROM orders"
+            ") ORDER BY expectation"
+        ),
+        "asof_purchase_attrib": (
+            # DuckDB's native ASOF LEFT JOIN replicates the operator's
+            # full semantics (latest purchase at-or-before each click,
+            # per user); right side deduped per (user, ts) on both
+            # engines so ties can't diverge; integer aggregates only
+            "WITH e AS (SELECT user_id, ts, event_id, event_type FROM "
+            "events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND "
+            "event_id IS NOT NULL), "
+            "c AS (SELECT user_id, ts, event_id FROM e WHERE event_type "
+            "= 'click'), "
+            "p AS (SELECT user_id, ts AS pts, max(event_id) AS "
+            "purchase_id FROM e WHERE event_type = 'purchase' "
+            "GROUP BY 1, 2) "
+            "SELECT count(*)::BIGINT AS n_clicks, "
+            "count(purchase_id)::BIGINT AS n_matched, "
+            "coalesce(sum(purchase_id), 0)::BIGINT AS sum_purchase_id, "
+            "count(*) FILTER (WHERE purchase_id IS NOT NULL AND "
+            "epoch(c.ts) - epoch(pts) <= 3600)::BIGINT AS n_within_1h "
+            "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND "
+            "c.ts >= p.pts"
+        ),
+        "range_join_part": (
+            # plain inequality join = the operator's contract; the Spark
+            # side runs the binned equi-join strategy, so agreement also
+            # witnesses the bin decomposition (no lost/duplicated pairs)
+            "SELECT interval_id, count(*)::BIGINT AS n_points, "
+            "sum(p_partkey)::BIGINT AS sum_partkey FROM part, "
+            "(SELECT range AS interval_id, 900 + range * 2.5 AS lo, "
+            "906 + range * 2.5 AS hi FROM range(0, 40)) "
+            "WHERE p_retailprice IS NOT NULL AND p_retailprice >= lo AND "
+            "p_retailprice <= hi GROUP BY 1 ORDER BY 1"
+        ),
+        "sessionize_events": (
+            # lag + running break-flag sum per user; session SIZES are
+            # tie-stable (equal ts -> gap 0 under any tie order)
+            "WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS "
+            "NOT NULL AND ts IS NOT NULL), "
+            "g AS (SELECT user_id, ts, CASE WHEN epoch(ts) - "
+            "epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > "
+            "3600 THEN 1 ELSE 0 END AS brk FROM e), "
+            "s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM g), "
+            "sz AS (SELECT user_id, session_id, count(*) AS n FROM s "
+            "GROUP BY 1, 2) "
+            "SELECT count(DISTINCT user_id)::BIGINT AS n_users, "
+            "count(*)::BIGINT AS n_sessions, max(n)::BIGINT AS max_len, "
+            "sum(n)::BIGINT AS n_rows FROM sz"
         ),
         "days_missing_events": (
             "SELECT (date_diff('day', min(ts::DATE), max(ts::DATE)) - "

@@ -94,6 +94,7 @@ def main() -> None:
     )
     from great_expectations_spark.functions import curation, dedup, similarity
     from great_expectations_spark.functions import packing
+    from great_expectations_spark.functions import temporal
     from great_expectations_spark.functions import text as gxtext
     from great_expectations_spark.plans.planner import SuiteValidator
 
@@ -389,6 +390,42 @@ def main() -> None:
                 ),
                 method="exact",
             ).count(),
+        ),
+        (
+            # as-of join: latest purchase at-or-before each click per
+            # user — ONE window shuffle on user_id, no inequality-join
+            # blowup (functions/temporal.py)
+            "asof_join_events",
+            lambda: temporal.asof_join(
+                events.filter(F.col("event_type") == "click").select(
+                    "user_id", "ts", "event_id"
+                ),
+                events.filter(F.col("event_type") == "purchase")
+                .filter(F.col("ts").isNotNull())
+                .groupBy("user_id", "ts")
+                .agg(F.max("event_id").alias("purchase_id")),
+                on="ts",
+                by="user_id",
+            )
+            .agg(F.count("purchase_id"), F.sum("purchase_id"))
+            .collect(),
+        ),
+        (
+            # gap-based sessionization (1h) + per-session sizes: lag +
+            # running sum per user, one window shuffle
+            "sessionize_events",
+            lambda: temporal.sessionize(
+                events.filter(
+                    F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                ).select("user_id", "ts"),
+                "user_id",
+                "ts",
+                gap=3600.0,
+            )
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.count(F.lit(1)), F.max("n"))
+            .collect(),
         ),
         (
             # exact-substring dedup (ExactSubstr, Lee et al. 2021):

@@ -1,0 +1,252 @@
+"""Ordered / temporal join operators Spark lacks natively, built as
+compositions of DataFrame ops (no UDFs, no per-row Python):
+
+* :func:`asof_join` — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+  semantics: for every left row, the single right row with the nearest
+  ordering value at-or-before it (``backward``) or at-or-after it
+  (``forward``), per key.  Implemented as ONE union + ONE per-key window
+  (``last(..., ignorenulls)`` over the time-ordered union) — a single
+  shuffle on the join key, no row explosion, no sort-merge inequality
+  join.  The reference has no such operator; transcripts need it
+  constantly ("the most recent prior tool result for this turn").
+* :func:`range_join` — point-in-interval join with two physical
+  strategies: ``broadcast`` (small interval side → one broadcast
+  nested-loop join, zero shuffles on the point side) and ``binned``
+  (intervals exploded onto fixed-width bins → plain equi-join on
+  ``bin_id`` + residual filter, so 10^12 points never hit a
+  nested-loop plan).
+* :func:`sessionize` — gap-based session assignment (the batch
+  counterpart of Structured Streaming's ``session_window``): per-key
+  ``lag`` + running sum of gap-break flags, one window shuffle.
+
+Scale notes (100 TB): every operator here shuffles exactly once, on the
+user's key column.  Skew concentrates in single hot keys (one
+conversation with millions of turns); the window functions stream each
+key group in ts order without materializing it, so a hot key costs one
+long-running task, not an OOM.  For pathological single-key inputs,
+pre-split by a coarse time bucket and union the bucket boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_RPAY = "__asof_right"
+
+
+def _as_seconds(col: Column, datatype) -> Column:
+    """Numeric view of an ordering column for gap/tolerance arithmetic:
+    timestamps → fractional epoch seconds (TIMESTAMP_NTZ hops through
+    TIMESTAMP — value-preserving under a UTC session timezone; a direct
+    NTZ→DOUBLE cast is rejected), numerics pass through as double."""
+    if datatype.typeName().startswith("timestamp"):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Union[str, Sequence[str], None] = None,
+    right_on: Optional[str] = None,
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join (pandas ``merge_asof``; DuckDB ``ASOF LEFT JOIN``).
+
+    Every left row keeps exactly one match: the right row sharing its
+    ``by`` keys whose ``right_on`` value is the greatest ≤ the left
+    row's ``on`` value (``direction='backward'``) or the least ≥ it
+    (``'forward'``).  Unmatched left rows keep NULL right columns.
+
+    ``tolerance`` bounds ``|left.on - right.on|``; for timestamp
+    columns it is in (fractional) seconds, for numeric columns in the
+    column's own units.  ``allow_exact_matches=False`` makes the
+    comparison strict (< / >).
+
+    Physical plan: tag each side, ``unionByName`` (right payload rides a
+    struct; missing columns null-fill), ONE window
+    ``partitionBy(by).orderBy(on, side)`` carrying
+    ``last(payload, ignorenulls=True)``, filter back to left rows.
+    One shuffle total, each key group streamed in order — contrast a
+    naive ``left.join(right, on & <=)`` + ``row_number`` which builds
+    the full inequality-match blowup before pruning it.
+
+    NULL semantics: right rows with a NULL ``by`` key or NULL
+    ``right_on`` never match anything (SQL join semantics; they would
+    otherwise poison the running ``last``); left rows with NULL ``on``
+    get no match.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction!r}")
+    by_cols: List[str] = (
+        [by] if isinstance(by, str) else list(by) if by is not None else []
+    )
+    right_on = right_on or on
+    for c in (_TS, _SIDE, _RPAY):
+        if c in left.columns or c in right.columns:
+            raise ValueError(f"reserved column name in input: {c}")
+
+    payload_cols = [c for c in right.columns if c not in by_cols]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in payload_cols
+    }
+
+    r = right
+    for k in by_cols:
+        r = r.filter(F.col(k).isNotNull())
+    r = r.filter(F.col(right_on).isNotNull()).select(
+        *by_cols,
+        F.col(right_on).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in payload_cols]).alias(_RPAY),
+    )
+    l_tagged = left.select(
+        "*",
+        F.col(on).alias(_TS),
+        F.lit(1).alias(_SIDE),
+    )
+    u = l_tagged.unionByName(r, allowMissingColumns=True)
+
+    # ordering: right rows land before left rows at equal ts when exact
+    # matches are allowed (so the running `last` has absorbed them), and
+    # after when they are not; NULL left ts sorts before every right row
+    # so it can never absorb a match
+    side = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    if direction == "backward":
+        order = [F.col(_TS).asc_nulls_first(), side]
+    else:
+        order = [F.col(_TS).desc_nulls_first(), side]
+    w = (
+        Window.partitionBy(*[F.col(k) for k in by_cols])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.col(_RPAY), ignorenulls=True).over(w)
+
+    if tolerance is not None:
+        ts_type = u.schema[_TS].dataType
+        gap = F.abs(
+            _as_seconds(F.col(_TS), ts_type)
+            - _as_seconds(matched[right_on], ts_type)
+        )
+        matched = F.when(gap <= F.lit(float(tolerance)), matched)
+
+    out = (
+        u.withColumn(_RPAY, matched)
+        .filter(F.col(_SIDE) == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.col(_RPAY)[c].alias(out_names[c])
+                for c in payload_cols
+            ],
+        )
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    strategy: str = "broadcast",
+    bin_width: Optional[float] = None,
+    closed: str = "both",
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``lo <= point <= hi`` (``closed`` picks which bounds are strict:
+    ``both``/``left``/``right``/``neither``).  Intervals may overlap —
+    a point matches each covering interval.
+
+    ``strategy='broadcast'``: the interval side is broadcast and the
+    range predicate evaluates as a broadcast nested-loop join — zero
+    shuffles on the (large) point side; right for dimension-sized
+    interval tables (bins, rate cards, calendars).
+
+    ``strategy='binned'``: both sides map onto fixed-width bins
+    (``bin_width`` required): each interval explodes to the bins it
+    overlaps via ``sequence(floor(lo/w), floor(hi/w))``, each point to
+    exactly one bin, and the join becomes a hash equi-join on
+    ``bin_id`` + residual range filter.  No nested loop anywhere, so it
+    survives interval tables too big to broadcast; cost scales with
+    interval_span/bin_width copies per interval, so pick ``bin_width``
+    near the typical interval length.
+    """
+    lo_ok = (
+        F.col(point_col) >= F.col(lo_col)
+        if closed in ("both", "left")
+        else F.col(point_col) > F.col(lo_col)
+    )
+    hi_ok = (
+        F.col(point_col) <= F.col(hi_col)
+        if closed in ("both", "right")
+        else F.col(point_col) < F.col(hi_col)
+    )
+    cond = lo_ok & hi_ok
+
+    if strategy == "broadcast":
+        return points.join(F.broadcast(intervals), cond, how)
+    if strategy != "binned":
+        raise ValueError(f"strategy must be broadcast/binned: {strategy!r}")
+    if not bin_width or bin_width <= 0:
+        raise ValueError("binned strategy requires bin_width > 0")
+
+    w = float(bin_width)
+    bin_of = lambda c: F.floor(c.cast("double") / F.lit(w))  # noqa: E731
+    iv = intervals.withColumn(
+        "__bin", F.explode(F.sequence(bin_of(F.col(lo_col)),
+                                      bin_of(F.col(hi_col))))
+    )
+    pt = points.withColumn("__bin", bin_of(F.col(point_col)))
+    joined = pt.join(iv, ["__bin"]).filter(cond).drop("__bin")
+    if how == "inner":
+        return joined
+    raise ValueError("binned strategy supports how='inner' only")
+
+
+def sessionize(
+    df: DataFrame,
+    key: Union[str, Sequence[str]],
+    ts: str,
+    gap: float,
+    session_col: str = "session_id",
+    order_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Gap-based sessionization: rows sharing ``key`` belong to one
+    session while consecutive ``ts`` values are ≤ ``gap`` apart
+    (seconds for timestamps, column units for numerics); a larger gap
+    starts a new session.  Adds ``session_col`` (0-based per-key session
+    index) — combine with the key for a globally unique id.
+
+    One window shuffle on ``key``; the batch counterpart of Structured
+    Streaming's ``session_window`` aggregation (same assignment, but
+    row-preserving so per-session membership is joinable downstream).
+    NULL ``ts`` rows sort first and join their key's first session.
+    """
+    keys: List[str] = [key] if isinstance(key, str) else list(key)
+    order: List[Column] = [F.col(ts).asc_nulls_first()] + [
+        F.col(c) for c in (order_by or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    tsn = _as_seconds(F.col(ts), df.schema[ts].dataType)
+    prev = F.lag(tsn).over(w)
+    is_break = ((tsn - prev) > F.lit(float(gap))).cast("long")
+    running = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        session_col,
+        F.sum(F.coalesce(is_break, F.lit(0))).over(running),
+    )

@@ -1,0 +1,232 @@
+"""Temporal operators (functions/temporal.py): asof_join vs
+pandas.merge_asof on randomized inputs, range_join broadcast-vs-binned
+plan equivalence, sessionize vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from great_expectations_spark.functions.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    rng = random.Random(7)
+    trades = [
+        (k, float(rng.randint(0, 100)), i)
+        for i, k in enumerate(rng.choices(["a", "b", "c"], k=60))
+    ]
+    quotes = [
+        (k, float(rng.randint(0, 100)), float(rng.randint(1, 999)))
+        for k in rng.choices(["a", "b", "c", "d"], k=40)
+    ]
+    # unique (key, ts) on the right so ties can't make the match
+    # ambiguous between engines
+    seen = set()
+    quotes = [
+        q for q in quotes if (q[0], q[1]) not in seen
+        and not seen.add((q[0], q[1]))
+    ]
+    t = _mk(spark, trades, "k string, t double, trade_id long")
+    q = _mk(spark, quotes, "k string, t double, px double")
+    return t, q, trades, quotes
+
+
+def _pandas_asof(trades, quotes, direction, tolerance=None,
+                 allow_exact_matches=True):
+    tdf = pd.DataFrame(trades, columns=["k", "t", "trade_id"]).sort_values(
+        "t", kind="stable"
+    )
+    qdf = pd.DataFrame(quotes, columns=["k", "t", "px"]).sort_values(
+        "t", kind="stable"
+    )
+    out = pd.merge_asof(
+        tdf,
+        qdf,
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+        suffixes=("", "_r"),
+    )
+    return {
+        int(r.trade_id): (None if pd.isna(r.px) else float(r.px))
+        for r in out.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_join_matches_pandas(spark, trades_quotes, direction, exact):
+    t, q, trades, quotes = trades_quotes
+    got = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            t, q, on="t", by="k", direction=direction,
+            allow_exact_matches=exact,
+        ).collect()
+    }
+    want = _pandas_asof(trades, quotes, direction,
+                        allow_exact_matches=exact)
+    assert got == want
+
+
+def test_asof_join_tolerance(spark, trades_quotes):
+    t, q, trades, quotes = trades_quotes
+    got = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            t, q, on="t", by="k", tolerance=5.0
+        ).collect()
+    }
+    want = _pandas_asof(trades, quotes, "backward", tolerance=5.0)
+    assert got == want
+
+
+def test_asof_join_null_semantics(spark):
+    t = _mk(
+        spark,
+        [("a", 10.0, 1), ("a", None, 2), (None, 10.0, 3)],
+        "k string, t double, trade_id long",
+    )
+    q = _mk(
+        spark,
+        [("a", 5.0, 100.0), ("a", None, 666.0), (None, 1.0, 777.0)],
+        "k string, t double, px double",
+    )
+    rows = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(t, q, on="t", by="k").collect()
+    }
+    # null right ts / null right key never match; null left ts or key
+    # never matches anything
+    assert rows == {1: 100.0, 2: None, 3: None}
+
+
+def test_asof_join_timestamps_and_renamed_payload(spark):
+    t = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, timestamp'2024-01-01 00:00:10', 'x') AS t(uid, ts, payload)"
+    )
+    q = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, timestamp'2024-01-01 00:00:07', 'q1'),"
+        "(1, timestamp'2024-01-01 00:00:11', 'q2') AS q(uid, ts, payload)"
+    )
+    out = asof_join(t, q, on="ts", by="uid").collect()[0]
+    assert out["payload"] == "x"          # left column keeps its name
+    assert out["payload_r"] == "q1"       # right collides -> suffixed
+    assert out["ts_r"] is not None
+    # 3-second tolerance window includes the 00:00:07 quote
+    out2 = asof_join(t, q, on="ts", by="uid", tolerance=3.0).collect()[0]
+    assert out2["payload_r"] == "q1"
+    out3 = asof_join(t, q, on="ts", by="uid", tolerance=2.0).collect()[0]
+    assert out3["payload_r"] is None
+
+
+def test_asof_join_single_shuffle(spark, trades_quotes):
+    t, q, _, _ = trades_quotes
+    plan = asof_join(t, q, on="t", by="k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") == 1, plan
+
+
+def _intervals(spark):
+    # overlapping windows [k*25, k*25+40]
+    return spark.range(0, 8).select(
+        (F.col("id") * 25).cast("double").alias("lo"),
+        (F.col("id") * 25 + 40).cast("double").alias("hi"),
+        F.col("id").alias("interval_id"),
+    )
+
+
+def test_range_join_broadcast_vs_binned(spark):
+    pts = spark.range(0, 500).select(
+        (F.col("id") % 223).cast("double").alias("v"),
+        F.col("id").alias("point_id"),
+    )
+    iv = _intervals(spark)
+    a = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join(pts, iv, "v", "lo", "hi").collect()
+    )
+    b = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join(
+            pts, iv, "v", "lo", "hi", strategy="binned", bin_width=30.0
+        ).collect()
+    )
+    assert a == b and len(a) > 500  # overlap -> more pairs than points
+    # brute-force reference
+    want = sorted(
+        (p, i)
+        for p in range(500)
+        for i in range(8)
+        if i * 25 <= (p % 223) <= i * 25 + 40
+    )
+    assert a == want
+
+
+def test_range_join_closed_bounds(spark):
+    pts = spark.createDataFrame([(0.0, 0), (40.0, 1)], "v double, point_id int")
+    iv = spark.createDataFrame([(0.0, 40.0, 0)], "lo double, hi double, interval_id int")
+    n = lambda closed: range_join(  # noqa: E731
+        pts, iv, "v", "lo", "hi", closed=closed
+    ).count()
+    assert (n("both"), n("left"), n("right"), n("neither")) == (2, 1, 1, 0)
+
+
+def test_range_join_binned_no_nested_loop(spark):
+    pts = spark.range(0, 100).select(
+        F.col("id").cast("double").alias("v"), F.col("id").alias("point_id")
+    )
+    plan = (
+        range_join(pts, _intervals(spark), "v", "lo", "hi",
+                   strategy="binned", bin_width=25.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_sessionize_vs_python(spark):
+    rng = random.Random(3)
+    rows = []
+    for uid in range(5):
+        t = 0.0
+        for i in range(30):
+            t += rng.choice([1.0, 2.0, 50.0])
+            rows.append((uid, t, len(rows)))
+    df = _mk(spark, rows, "uid int, ts double, rid long")
+    got = {
+        r["rid"]: r["session_id"]
+        for r in sessionize(df, "uid", "ts", gap=10.0).collect()
+    }
+    # python reference
+    want = {}
+    by_uid = {}
+    for uid, ts, rid in sorted(rows, key=lambda x: (x[0], x[1])):
+        prev, sess = by_uid.get(uid, (None, 0))
+        if prev is not None and ts - prev > 10.0:
+            sess += 1
+        by_uid[uid] = (ts, sess)
+        want[rid] = sess
+    assert got == want
+    # sessions are contiguous integer ranges starting at 0 per key
+    per_uid = {}
+    for (uid, ts, rid) in rows:
+        per_uid.setdefault(uid, set()).add(got[rid])
+    for uid, sessions in per_uid.items():
+        assert sessions == set(range(len(sessions)))
