@@ -216,6 +216,64 @@ def _cmd_docs(args) -> int:
     return 0
 
 
+def _cmd_init(args) -> int:
+    """Scaffold a file-backed DataContext (reference ``gx init``)."""
+    from great_expectations_spark.context import FileDataContext
+
+    ctx = FileDataContext.create(args.root)
+    print(ctx.root_directory)
+    return 0
+
+
+def _cmd_checkpoint(args) -> int:
+    """Checkpoint verbs against a project directory (reference
+    ``great_expectations checkpoint run/list``)."""
+    from great_expectations_spark.context import FileDataContext
+
+    gx_dir = os.path.join(args.root, FileDataContext.GX_DIR)
+    if not os.path.isdir(gx_dir):
+        gx_dir = args.root  # allow pointing at the gx dir itself
+    spark = None
+    if args.checkpoint_command == "run":
+        spark = _build_spark(args)
+    ctx = FileDataContext(gx_dir, spark=spark)
+    try:
+        if args.checkpoint_command == "list":
+            for name in ctx.list_checkpoints():
+                print(name)
+            return 0
+        # run
+        run_kwargs = {}
+        if args.data:
+            if not args.suite_name:
+                print(
+                    "--data needs --suite-name (ad-hoc runtime batch)",
+                    file=sys.stderr,
+                )
+                return 2
+            run_kwargs["validations"] = [
+                {
+                    "dataframe": _load_df(spark, args),
+                    "expectation_suite_name": args.suite_name,
+                }
+            ]
+        result = ctx.run_checkpoint(args.name, **run_kwargs)
+        print(
+            json.dumps(
+                {
+                    "checkpoint": result.checkpoint_name,
+                    "run_id": result.run_id,
+                    "success": result.success,
+                    "validations": len(result.run_results),
+                }
+            )
+        )
+        return 0 if result.success else 1
+    finally:
+        if spark is not None and not args.keep_session:
+            spark.stop()
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="great_expectations_spark",
@@ -292,6 +350,33 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--result", required=True, help="validation result JSON")
     d.add_argument("--out-dir", required=True)
     d.set_defaults(fn=_cmd_docs)
+
+    i = sub.add_parser(
+        "init", help="scaffold a file-backed project (reference `gx init`)"
+    )
+    i.add_argument("--root", default=".", help="project root directory")
+    i.set_defaults(fn=_cmd_init)
+
+    c = sub.add_parser(
+        "checkpoint", help="named-checkpoint verbs against a project dir"
+    )
+    c.add_argument(
+        "--root", required=True,
+        help="project root (or the great_expectations/ dir itself)",
+    )
+    csub = c.add_subparsers(dest="checkpoint_command", required=True)
+    c_run = csub.add_parser(
+        "run", help="run a stored checkpoint; exit 0 iff every suite passed"
+    )
+    add_spark_args(c_run)
+    add_data_args(c_run)
+    c_run.add_argument("--name", required=True)
+    c_run.add_argument(
+        "--suite-name",
+        help="with --data: run the named stored suite on an ad-hoc batch",
+    )
+    csub.add_parser("list", help="list stored checkpoint names")
+    c.set_defaults(fn=_cmd_checkpoint)
     return parser
 
 

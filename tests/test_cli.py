@@ -204,3 +204,49 @@ def test_suite_crud_verbs(tmp_path, capsys):
     assert capsys.readouterr().out.split() == ["renamed"]
     assert main(["suite", "--store-dir", store_dir,
                  "show", "--name", "crud_suite"]) == 1
+
+
+def test_init_and_checkpoint_verbs(spark, data_path, tmp_path, capsys):
+    root = str(tmp_path / "proj")
+    assert main(["init", "--root", root]) == 0
+    gx_dir = capsys.readouterr().out.strip()
+    assert gx_dir.endswith("great_expectations")
+
+    # store a suite + a checkpoint config through the context API
+    import great_expectations_spark as gx
+
+    ctx = gx.get_context(context_root_dir=gx_dir, spark=spark)
+    ctx.add_or_update_expectation_suite(
+        "cli.suite",
+        expectations=[
+            {
+                "expectation_type": "expect_column_values_to_not_be_null",
+                "kwargs": {"column": "kind"},
+            }
+        ],
+    )
+    ds = ctx.sources.add_spark("local", spark=spark)
+    asset = ds.add_parquet_asset("events", data_path)
+    ctx.add_checkpoint(
+        name="nightly",
+        validations=[{"asset": asset, "expectation_suite_name": "cli.suite"}],
+    )
+
+    assert main(["checkpoint", "--root", root, "list"]) == 0
+    assert capsys.readouterr().out.strip() == "nightly"
+
+    rc = main(
+        ["checkpoint", "--root", root, "run", "--name", "nightly",
+         "--keep-session"]
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out["success"] is True and out["validations"] == 1
+
+    # ad-hoc runtime batch against a stored suite
+    rc = main(
+        ["checkpoint", "--root", root, "run", "--name", "nightly",
+         "--data", data_path, "--suite-name", "cli.suite",
+         "--keep-session"]
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out["success"] is True
