@@ -625,12 +625,48 @@ data_docs_sites:
 """
 
 
+def _read_project_config(path: str) -> Dict[str, str]:
+    """Extract the ``base_directory`` overrides from the project yml.
+
+    A purpose-built reader for the exact shape this package writes (and
+    the reference's `stores:` / `data_docs_sites:` blocks): two-space
+    indentation, ``key: value`` leaves.  Returns
+    ``{store_name: base_directory}`` — anything else in the file is
+    ignored, so hand-edited configs with extra keys keep working.  No
+    YAML dependency (none is vendored here)."""
+    out: Dict[str, str] = {}
+    if not os.path.exists(path):
+        return out
+    section = None  # current top-level block
+    entry = None  # current store/site name
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            stripped = line.split("#", 1)[0].rstrip()
+            if not stripped.strip():
+                continue
+            indent = len(stripped) - len(stripped.lstrip())
+            key, _, value = stripped.strip().partition(":")
+            value = value.strip().strip("'\"")
+            if indent == 0:
+                section = key if not value else None
+                entry = None
+            elif section in ("stores", "data_docs_sites"):
+                if indent == 2 and not value:
+                    entry = key
+                elif indent >= 4 and key == "base_directory" and entry:
+                    out[entry] = value
+    return out
+
+
 class FileDataContext(AbstractDataContext):
     """On-disk project context (reference ``file_data_context.py`` +
     ``serializable_data_context.py:207-240`` scaffold).  Suites,
     validation results, checkpoint configs and the Data Docs site all
     live under ``<root>/great_expectations/`` and survive across
-    sessions."""
+    sessions.  ``base_directory`` entries in ``great_expectations.yml``
+    relocate each store (relative paths resolve against the context
+    root, as in the reference)."""
 
     GX_DIR = "great_expectations"
     GX_YML = "great_expectations.yml"
@@ -642,15 +678,26 @@ class FileDataContext(AbstractDataContext):
         engine: Optional[SuiteValidator] = None,
     ) -> None:
         self.root_directory = os.path.abspath(context_root_dir)
-        expectations_dir = os.path.join(self.root_directory, "expectations")
-        validations_dir = os.path.join(
-            self.root_directory, "uncommitted", "validations"
+        cfg = _read_project_config(
+            os.path.join(self.root_directory, self.GX_YML)
         )
-        self.checkpoints_directory = os.path.join(
-            self.root_directory, "checkpoints"
+
+        def _dir(store_name: str, default: str) -> str:
+            base = cfg.get(store_name, default)
+            return (
+                base
+                if os.path.isabs(base)
+                else os.path.join(self.root_directory, base)
+            )
+
+        expectations_dir = _dir("expectations_store", "expectations")
+        validations_dir = _dir(
+            "validations_store", os.path.join("uncommitted", "validations")
         )
-        self.data_docs_directory = os.path.join(
-            self.root_directory, "uncommitted", "data_docs", "local_site"
+        self.checkpoints_directory = _dir("checkpoint_store", "checkpoints")
+        self.data_docs_directory = _dir(
+            "local_site",
+            os.path.join("uncommitted", "data_docs", "local_site"),
         )
         for d in (
             expectations_dir,

@@ -244,3 +244,48 @@ def test_checkpoint_action_list_fires(spark, df):
     result = ctx.run_checkpoint("with_action")
     assert not result.success
     assert seen == ["act"]
+
+
+def test_file_context_honors_yml_base_directory_overrides(spark, tmp_path):
+    import textwrap
+
+    gx_dir = os.path.join(str(tmp_path), "great_expectations")
+    os.makedirs(gx_dir)
+    with open(os.path.join(gx_dir, "great_expectations.yml"), "w") as f:
+        f.write(textwrap.dedent("""\
+            config_version: 3.0
+            stores:
+              expectations_store:
+                class_name: SuiteStore
+                base_directory: my_suites/
+              validations_store:
+                base_directory: /%s/abs_validations
+              checkpoint_store:
+                base_directory: cps/
+            data_docs_sites:
+              local_site:
+                base_directory: site/
+            """) % str(tmp_path).strip("/"))
+    ctx = gx.get_context(context_root_dir=gx_dir, spark=spark)
+    ctx.add_or_update_expectation_suite(
+        "o",
+        expectations=[
+            {
+                "expectation_type": "expect_table_row_count_to_be_between",
+                "kwargs": {"min_value": 0},
+            }
+        ],
+    )
+    assert os.path.isdir(os.path.join(gx_dir, "my_suites"))
+    assert ctx.checkpoints_directory == os.path.join(gx_dir, "cps/")
+    assert ctx.data_docs_directory == os.path.join(gx_dir, "site/")
+    # absolute override lands outside the gx dir
+    df = spark.range(3).toDF("n")
+    ctx.add_checkpoint(
+        name="cp", validations=[{"dataframe": df,
+                                 "expectation_suite_name": "o"}])
+    assert ctx.run_checkpoint("cp").success
+    assert os.path.isdir(os.path.join(str(tmp_path), "abs_validations"))
+    # reopen still resolves the same layout
+    ctx2 = gx.get_context(context_root_dir=gx_dir, spark=spark)
+    assert ctx2.list_expectation_suite_names() == ["o"]
