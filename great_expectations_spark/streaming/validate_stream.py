@@ -578,3 +578,190 @@ def streaming_near_dedup(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    delay_threshold: str = "10 seconds",
+    tolerance: Optional[float] = None,
+    suffix: str = "_r",
+    max_history: int = 1024,
+    max_pending: int = 8192,
+):
+    """Streaming AS-OF enrichment — the stream-stream analogue of
+    ``functions.temporal.asof_join`` (backward direction), which Spark
+    has no native operator for (stream-stream joins are equi/interval
+    only).
+
+    Every ``left`` row is emitted exactly once, enriched with the right
+    row sharing its ``key`` whose ``ts`` is the greatest at-or-before
+    the left row's ``ts`` (NULL right columns when nothing matched, or
+    when the match is older than ``tolerance`` seconds).
+
+    **Deterministic watermark-ordered contract**: a left row is held in
+    state until the event-time watermark passes its timestamp, at which
+    point every right row at-or-before it is guaranteed to have arrived
+    (the watermark contract) — so the emitted match equals the batch
+    ``asof_join`` result regardless of arrival order or micro-batch
+    boundaries.  Rows that arrive later than the watermark allows are
+    enriched best-effort against the retained history and flagged
+    ``asof_late = true`` (the same "late data" tradeoff as watermarked
+    aggregations, except the row is kept, not dropped).
+
+    Implementation: both streams are tagged and unioned (the batch
+    operator's trick), watermarked on ``ts``, and grouped by ``key``
+    into ONE ``applyInPandasWithState`` operator.  Per-key state holds
+    (a) the right-row history — pruned to the single newest row
+    at-or-before the watermark plus everything after it, the minimal
+    set any future in-order left row can match, capped at
+    ``max_history`` — and (b) the pending left buffer, flushed in
+    timestamp order as the watermark advances, capped at
+    ``max_pending`` (overflow flushes oldest-first as late).  Payloads
+    ride as JSON strings so the state schema is fixed regardless of
+    the user's columns; output columns are rebuilt to the declared
+    types through Arrow.
+
+    Scale: state shuffles by ``key`` once per micro-batch; per-key state
+    is O(right rows inside the watermark window + left rows awaiting
+    the watermark), both watermark-bounded and explicitly capped.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    left_fields = list(left.schema.fields)
+    right_payload_fields = [f for f in right.schema.fields if f.name != key]
+    left_names = [f.name for f in left_fields]
+    out_names = {
+        f.name: (f.name + suffix if f.name in left_names else f.name)
+        for f in right_payload_fields
+    }
+    out_fields = [(f.name, f) for f in left_fields] + [
+        (out_names[f.name], f) for f in right_payload_fields
+    ]
+    out_schema = ", ".join(
+        f"`{name}` {f.dataType.simpleString()}" for name, f in out_fields
+    ) + ", asof_late boolean"
+    ts_like = (TimestampType, TimestampNTZType)
+    ts_cols_left = {
+        f.name for f in left_fields if isinstance(f.dataType, ts_like)
+    }
+    ts_cols_right = {
+        out_names[f.name]
+        for f in right_payload_fields
+        if isinstance(f.dataType, ts_like)
+    }
+
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.to_json(F.struct(*[F.col(c) for c in left_names])).alias("__pay"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.to_json(
+            F.struct(*[F.col(f.name) for f in right_payload_fields])
+        ).alias("__pay"),
+    )
+    u = (
+        l_tagged.unionByName(r_tagged)
+        .filter(F.col("__k").isNotNull() & F.col("__ts").isNotNull())
+        .withWatermark("__ts", delay_threshold)
+    )
+
+    tol_ns = None if tolerance is None else int(float(tolerance) * 1e9)
+
+    def update(group_key, pdfs, state: GroupState):
+        import json as _json
+
+        import pandas as pd
+
+        if state.exists:
+            rhist_raw, pend_raw = state.get
+            rhist = [(int(t), p) for t, p in rhist_raw]
+            pending = [(int(t), p) for t, p in pend_raw]
+        else:
+            rhist, pending = [], []
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+
+        arrivals_l = []
+        for pdf in pdfs:
+            ts_ns = pd.to_datetime(pdf["__ts"]).astype("int64")
+            for t, side, pay in zip(ts_ns, pdf["__side"], pdf["__pay"]):
+                if side == 0:
+                    rhist.append((int(t), pay))
+                else:
+                    arrivals_l.append((int(t), pay))
+        rhist.sort(key=lambda x: x[0])
+
+        # lateness is an ARRIVAL property: a row whose ts the watermark
+        # had already passed when it showed up is best-effort (late);
+        # rows held in state were on time and flush on time
+        pending.extend(
+            (t, p) for t, p in arrivals_l if t > wm_ns
+        )
+        pending.sort(key=lambda x: x[0])
+        flush = [(t, p, False) for t, p in pending if t <= wm_ns]
+        flush.extend((t, p, True) for t, p in arrivals_l if t <= wm_ns)
+        hold = [(t, p) for t, p in pending if t > wm_ns]
+        if len(hold) > max_pending:  # overflow: oldest leave as late
+            spill = hold[: len(hold) - max_pending]
+            flush.extend((t, p, True) for t, p in spill)
+            hold = hold[len(hold) - max_pending:]
+        flush.sort(key=lambda x: x[0])
+
+        # prune AFTER matching uses the full history this batch: keep the
+        # newest right row at-or-before the watermark (the only one a
+        # future in-order left can still match) plus everything after the
+        # watermark; then the hard cap
+        keep_from = 0
+        for i, (t, _) in enumerate(rhist):
+            if t <= wm_ns:
+                keep_from = i
+        state.update((rhist[keep_from:][-max_history:], hold))
+
+        if not flush:
+            return
+        rts = [t for t, _ in rhist]
+        rows = []
+        for t, pay, late in flush:
+            # rightmost right row with rts <= t (binary search)
+            lo, hi = 0, len(rts)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if rts[mid] <= t:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            match = rhist[lo - 1] if lo else None
+            if match is not None and tol_ns is not None and (
+                t - match[0] > tol_ns
+            ):
+                match = None
+            row = _json.loads(pay)
+            rpay = _json.loads(match[1]) if match is not None else {}
+            for f in right_payload_fields:
+                row[out_names[f.name]] = rpay.get(f.name)
+            row["asof_late"] = bool(late)
+            rows.append(row)
+        out = pd.DataFrame(rows, columns=[n for n, _ in out_fields]
+                           + ["asof_late"])
+        for c in ts_cols_left | ts_cols_right:
+            out[c] = pd.to_datetime(out[c], format="ISO8601")
+        yield out
+
+    return u.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            "rhist array<struct<t:long, p:string>>, "
+            "pend array<struct<t:long, p:string>>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

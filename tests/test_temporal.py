@@ -230,3 +230,84 @@ def test_sessionize_vs_python(spark):
         per_uid.setdefault(uid, set()).add(got[rid])
     for uid, sessions in per_uid.items():
         assert sessions == set(range(len(sessions)))
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Watermark-ordered streaming as-of (applyInPandasWithState) emits
+    exactly the batch asof_join result for on-time rows across
+    out-of-order multi-batch arrival; late rows are flagged."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_asof_enrich,
+    )
+
+    src = str(tmp_path / "asrc")
+    os.makedirs(src)
+
+    def write(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for side, k, t, ident, v in rows:
+                f.write(_json.dumps(
+                    {"side": side, "k": k, "t": t, "id": ident, "v": v}
+                ) + "\n")
+        # file source orders batches by mtime: make it explicit
+        stamp = time.time() + {"f1": 0, "f2": 100, "f3": 200}[fname]
+        os.utime(os.path.join(src, fname), (stamp, stamp))
+
+    # f1: two rights + two lefts; f2 advances the watermark; f3 adds a
+    # late left (ts already passed) and a still-pending left
+    write("f1", [(0, "a", 10, None, 100.0), (0, "a", 30, None, 300.0),
+                 (1, "a", 20, 1, None), (1, "a", 40, 2, None)])
+    write("f2", [(1, "a", 100, 3, None)])
+    write("f3", [(1, "a", 200, 4, None), (1, "a", 15, 5, None)])
+
+    stream = (
+        spark.readStream.schema(
+            "side int, k string, t long, id long, v double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("t")))
+    )
+    lstream = stream.filter(F.col("side") == 1).select("k", "ts", "id")
+    rstream = stream.filter(F.col("side") == 0).select("k", "ts", "v")
+    enriched = streaming_asof_enrich(
+        lstream, rstream, key="k", ts="ts", delay_threshold="0 seconds"
+    )
+    seen = []
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: seen.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ackpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["id"]: r for r in (x for batch in seen for x in batch)}
+
+    # on-time rows match the BATCH asof_join over the same on-time data
+    batch_left = spark.createDataFrame(
+        [("a", 20, 1), ("a", 40, 2), ("a", 100, 3)], "k string, t long, id long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "id")
+    batch_right = spark.createDataFrame(
+        [("a", 10, 100.0), ("a", 30, 300.0)], "k string, t long, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    want = {
+        r["id"]: r["v"]
+        for r in asof_join(batch_left, batch_right, on="ts", by="k").collect()
+    }
+    assert want == {1: 100.0, 2: 300.0, 3: 300.0}
+    for ident, v in want.items():
+        assert rows[ident]["v"] == v, ident
+        assert rows[ident]["asof_late"] is False
+    # the late row emitted best-effort (its match was pruned) and flagged
+    assert rows[5]["asof_late"] is True and rows[5]["v"] is None
+    # the newest left is still awaiting the watermark: not emitted
+    assert 4 not in rows
+    # right timestamp column survived the JSON round-trip with its type
+    assert rows[1]["ts_r"] is not None
