@@ -64,8 +64,10 @@ def asof_join(
 
     Every left row keeps exactly one match: the right row sharing its
     ``by`` keys whose ``right_on`` value is the greatest ≤ the left
-    row's ``on`` value (``direction='backward'``) or the least ≥ it
-    (``'forward'``).  Unmatched left rows keep NULL right columns.
+    row's ``on`` value (``direction='backward'``), the least ≥ it
+    (``'forward'``), or the closest in absolute distance with ties
+    going backward (``'nearest'``, pandas tie semantics).  Unmatched
+    left rows keep NULL right columns.
 
     ``tolerance`` bounds ``|left.on - right.on|``; for timestamp
     columns it is in (fractional) seconds, for numeric columns in the
@@ -85,8 +87,10 @@ def asof_join(
     otherwise poison the running ``last``); left rows with NULL ``on``
     get no match.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest: {direction!r}"
+        )
     by_cols: List[str] = (
         [by] if isinstance(by, str) else list(by) if by is not None else []
     )
@@ -121,24 +125,43 @@ def asof_join(
     # after when they are not; NULL left ts sorts before every right row
     # so it can never absorb a match
     side = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
-    if direction == "backward":
-        order = [F.col(_TS).asc_nulls_first(), side]
-    else:
-        order = [F.col(_TS).desc_nulls_first(), side]
-    w = (
-        Window.partitionBy(*[F.col(k) for k in by_cols])
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(F.col(_RPAY), ignorenulls=True).over(w)
+    ts_type = u.schema[_TS].dataType
 
-    if tolerance is not None:
-        ts_type = u.schema[_TS].dataType
-        gap = F.abs(
-            _as_seconds(F.col(_TS), ts_type)
-            - _as_seconds(matched[right_on], ts_type)
+    def _running_match(ts_order: Column) -> Column:
+        w = (
+            Window.partitionBy(*[F.col(k) for k in by_cols])
+            .orderBy(ts_order, side)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = F.when(gap <= F.lit(float(tolerance)), matched)
+        m = F.last(F.col(_RPAY), ignorenulls=True).over(w)
+        if tolerance is not None:
+            gap = F.abs(
+                _as_seconds(F.col(_TS), ts_type)
+                - _as_seconds(m[right_on], ts_type)
+            )
+            m = F.when(gap <= F.lit(float(tolerance)), m)
+        return m
+
+    if direction == "backward":
+        matched = _running_match(F.col(_TS).asc_nulls_first())
+    elif direction == "forward":
+        matched = _running_match(F.col(_TS).desc_nulls_first())
+    else:
+        # nearest = the closer of the backward and forward candidates
+        # (ties -> backward, matching pandas merge_asof); both windows
+        # share the partitioning, so Catalyst reuses ONE exchange with
+        # two sorts — still a single shuffle
+        b = _running_match(F.col(_TS).asc_nulls_first())
+        fwd = _running_match(F.col(_TS).desc_nulls_first())
+        lts = _as_seconds(F.col(_TS), ts_type)
+        gap_b = F.abs(lts - _as_seconds(b[right_on], ts_type))
+        gap_f = F.abs(lts - _as_seconds(fwd[right_on], ts_type))
+        matched = (
+            F.when(b.isNull(), fwd)
+            .when(fwd.isNull(), b)
+            .when(gap_b <= gap_f, b)
+            .otherwise(fwd)
+        )
 
     out = (
         u.withColumn(_RPAY, matched)

@@ -311,3 +311,25 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     assert 4 not in rows
     # right timestamp column survived the JSON round-trip with its type
     assert rows[1]["ts_r"] is not None
+
+
+@pytest.mark.parametrize("tolerance", [None, 7.0])
+def test_asof_join_nearest_matches_pandas(spark, trades_quotes, tolerance):
+    t, q, trades, quotes = trades_quotes
+    got = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            t, q, on="t", by="k", direction="nearest", tolerance=tolerance
+        ).collect()
+    }
+    want = _pandas_asof(trades, quotes, "nearest", tolerance=tolerance)
+    assert got == want
+
+
+def test_asof_join_nearest_single_shuffle(spark, trades_quotes):
+    t, q, _, _ = trades_quotes
+    plan = (
+        asof_join(t, q, on="t", by="k", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.lower().count("exchange") == 1, plan
