@@ -579,6 +579,47 @@ class AbstractDataContext:
         """Path of the site index (no browser launch in headless runs)."""
         return os.path.join(self._site_builder().directory, "index.html")
 
+    # -- run comparison --------------------------------------------------
+
+    def compare_runs(
+        self,
+        suite_name: str,
+        run_before: Optional[str] = None,
+        run_after: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Per-expectation regression diff between two stored runs of a
+        suite (``checkpoint/compare.py``).  Defaults to the two most
+        recent runs (run ids are UTC timestamps, so store order is run
+        order)."""
+        from great_expectations_spark.checkpoint.compare import (
+            compare_validation_results,
+        )
+
+        iter_records = getattr(self.validations_backend, "iter_records", None)
+        if iter_records is None:
+            raise TypeError(
+                "validations backend has no run history iteration"
+            )
+        runs = [
+            (run_id, payload)
+            for key, run_id, payload in iter_records()
+            if key == suite_name
+        ]
+        if not runs:
+            raise KeyError(f"no stored runs for suite {suite_name!r}")
+        by_id = dict(runs)
+        if run_before is None or run_after is None:
+            if len(runs) < 2:
+                raise ValueError(
+                    f"suite {suite_name!r} has only {len(runs)} stored "
+                    "run(s); pass run_before/run_after explicitly"
+                )
+            run_before = run_before or runs[-2][0]
+            run_after = run_after or runs[-1][0]
+        return compare_validation_results(
+            json.loads(by_id[run_before]), json.loads(by_id[run_after])
+        )
+
 
 class EphemeralDataContext(AbstractDataContext):
     """All-in-memory context (reference ``ephemeral_data_context.py``)."""

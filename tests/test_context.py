@@ -289,3 +289,70 @@ def test_file_context_honors_yml_base_directory_overrides(spark, tmp_path):
     # reopen still resolves the same layout
     ctx2 = gx.get_context(context_root_dir=gx_dir, spark=spark)
     assert ctx2.list_expectation_suite_names() == ["o"]
+
+
+def test_compare_runs_regression_diff(spark):
+    """Two checkpoint runs of one suite over good then degraded data ->
+    per-expectation transitions, metric deltas, markdown render."""
+    from great_expectations_spark.checkpoint.compare import (
+        compare_to_markdown,
+    )
+
+    ctx = gx.get_context(spark=spark)
+    ctx.add_or_update_expectation_suite(
+        "reg",
+        expectations=[
+            {
+                "expectation_type": "expect_column_values_to_not_be_null",
+                "kwargs": {"column": "text"},
+            },
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "value", "min_value": 0,
+                           "max_value": 49},
+            },
+            {
+                "expectation_type": "expect_column_mean_to_be_between",
+                "kwargs": {"column": "value", "min_value": 0,
+                           "max_value": 1000},
+            },
+        ],
+    )
+    good = spark.createDataFrame(
+        [(f"t{i}", float(i % 50)) for i in range(100)],
+        "text string, value double",
+    )
+    bad = spark.createDataFrame(
+        [(f"t{i}" if i % 4 else None, float(i % 80)) for i in range(100)],
+        "text string, value double",
+    )
+    ctx.add_checkpoint(
+        name="rcp",
+        validations=[{"dataframe": good, "expectation_suite_name": "reg"}],
+    )
+    ctx.run_checkpoint("rcp", run_id="r1")
+    ctx.run_checkpoint(
+        "rcp",
+        run_id="r2",
+        validations=[{"dataframe": bad, "expectation_suite_name": "reg"}],
+    )
+    diff = ctx.compare_runs("reg")
+    assert diff["run_before"] == "r1" and diff["run_after"] == "r2"
+    assert diff["regressed"] is True
+    by_type = {r["expectation_type"]: r for r in diff["expectations"]}
+    assert by_type["expect_column_values_to_not_be_null"][
+        "transition"] == "regressed"
+    assert by_type["expect_column_values_to_be_between"][
+        "transition"] == "regressed"
+    nn = by_type["expect_column_values_to_not_be_null"]
+    assert nn["unexpected_percent_before"] == 0.0
+    assert nn["unexpected_percent_delta"] == pytest.approx(25.0)
+    mean = by_type["expect_column_mean_to_be_between"]
+    assert mean["transition"] == "stable_pass"
+    assert mean["observed_value_delta"] == pytest.approx(
+        mean["observed_value_after"] - mean["observed_value_before"])
+    md = compare_to_markdown(diff)
+    assert "regressed" in md and "expect_column_values_to_not_be_null" in md
+    # explicit run selection and the reversed direction
+    rev = ctx.compare_runs("reg", run_before="r2", run_after="r1")
+    assert {r["transition"] for r in rev["expectations"]} >= {"fixed"}
