@@ -274,6 +274,32 @@ def _cmd_checkpoint(args) -> int:
             spark.stop()
 
 
+def _cmd_compare(args) -> int:
+    """Diff two stored validation runs (exit 1 when anything regressed,
+    so the verb gates pipelines like `validate` does)."""
+    from great_expectations_spark.checkpoint.compare import (
+        compare_to_markdown,
+    )
+    from great_expectations_spark.context import FileDataContext
+
+    gx_dir = os.path.join(args.root, FileDataContext.GX_DIR)
+    if not os.path.isdir(gx_dir):
+        gx_dir = args.root
+    ctx = FileDataContext(gx_dir)
+    try:
+        diff = ctx.compare_runs(
+            args.suite, run_before=args.before, run_after=args.after
+        )
+    except (KeyError, ValueError) as exc:
+        print(f"compare: {exc}", file=sys.stderr)
+        return 2
+    if args.json:
+        print(json.dumps(diff, indent=1, sort_keys=True))
+    else:
+        print(compare_to_markdown(diff), end="")
+    return 1 if diff["regressed"] else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="great_expectations_spark",
@@ -377,6 +403,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     csub.add_parser("list", help="list stored checkpoint names")
     c.set_defaults(fn=_cmd_checkpoint)
+
+    cmp_p = sub.add_parser(
+        "compare",
+        help="diff two stored validation runs; exit 1 on regression",
+    )
+    cmp_p.add_argument("--root", required=True)
+    cmp_p.add_argument("--suite", required=True)
+    cmp_p.add_argument("--before", help="run id (default: second-latest)")
+    cmp_p.add_argument("--after", help="run id (default: latest)")
+    cmp_p.add_argument(
+        "--json", action="store_true", help="JSON instead of markdown"
+    )
+    cmp_p.set_defaults(fn=_cmd_compare)
     return parser
 
 

@@ -250,3 +250,40 @@ def test_init_and_checkpoint_verbs(spark, data_path, tmp_path, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip())
     assert rc == 0 and out["success"] is True
+
+
+def test_compare_verb(spark, data_path, tmp_path, capsys):
+    import great_expectations_spark as gx
+
+    gx_dir = str(tmp_path / "great_expectations")
+    ctx = gx.get_context(context_root_dir=gx_dir, spark=spark)
+    ctx.add_or_update_expectation_suite(
+        "c.suite",
+        expectations=[
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "value", "min_value": 0,
+                           "max_value": 5},
+            }
+        ],
+    )
+    good = spark.read.parquet(data_path).filter("value <= 5")
+    bad = spark.read.parquet(data_path)
+    ctx.add_checkpoint(
+        name="c",
+        validations=[{"dataframe": good,
+                      "expectation_suite_name": "c.suite"}],
+    )
+    ctx.run_checkpoint("c", run_id="a")
+    ctx.run_checkpoint(
+        "c", run_id="b",
+        validations=[{"dataframe": bad,
+                      "expectation_suite_name": "c.suite"}],
+    )
+    rc = main(["compare", "--root", gx_dir, "--suite", "c.suite"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "regressed" in out
+    rc = main(["compare", "--root", gx_dir, "--suite", "c.suite",
+               "--before", "b", "--after", "a", "--json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["counts"].get("fixed") == 1
