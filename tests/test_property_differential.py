@@ -368,3 +368,87 @@ def test_connected_components_distributed_matches_union_find(spark, edges):
         comp.setdefault(find(x), []).append(x)
     want = {x: min(members) for members in comp.values() for x in members}
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# asof_join vs pandas.merge_asof (independent implementation)
+# ---------------------------------------------------------------------
+
+_asof_ts = st.one_of(st.none(), st.integers(min_value=0, max_value=40))
+_asof_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", None]),  # key (nullable)
+        _asof_ts,                            # ordering value (nullable)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(
+    left_rows=_asof_rows,
+    right_rows=_asof_rows,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    exact=st.booleans(),
+    tolerance=st.sampled_from([None, 0.0, 3.0, 10.0]),
+)
+def test_asof_join_differential_vs_pandas(
+    spark, left_rows, right_rows, direction, exact, tolerance
+):
+    """Random nullable keys/timestamps, every direction × exact-match ×
+    tolerance combination, vs pandas merge_asof as the oracle.  pandas
+    refuses NULL ordering keys, so the oracle drops them and the engine
+    rows with NULL ts/key must come back unmatched."""
+    import pandas as pd
+
+    from great_expectations_spark.functions.temporal import asof_join
+
+    if direction == "nearest" and not exact:
+        # pandas merge_asof(nearest, allow_exact_matches=False) excludes
+        # equal ts both ways; semantics covered by the fixed-seed tests,
+        # skipped here to keep the combination grid square
+        exact = True
+
+    left = [
+        (k, None if t is None else float(t), i)
+        for i, (k, t) in enumerate(left_rows)
+    ]
+    # unique (key, ts) right side: equal-ts ties are engine-arbitrary in
+    # BOTH engines, so they are out of differential scope
+    seen = set()
+    right = []
+    for j, (k, t) in enumerate(right_rows):
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        right.append((k, None if t is None else float(t), float(100 + j)))
+
+    ldf = spark.createDataFrame(left, "k string, t double, lid long")
+    rdf = spark.createDataFrame(right, "k string, t double, px double")
+    got = {
+        r["lid"]: r["px"]
+        for r in asof_join(
+            ldf, rdf, on="t", by="k", direction=direction,
+            allow_exact_matches=exact, tolerance=tolerance,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [r for r in left if r[0] is not None and r[1] is not None],
+        columns=["k", "t", "lid"],
+    ).sort_values("t", kind="stable")
+    rp = pd.DataFrame(
+        [r for r in right if r[0] is not None and r[1] is not None],
+        columns=["k", "t", "px"],
+    ).sort_values("t", kind="stable")
+    want = {r[2]: None for r in left}  # default: unmatched
+    if len(lp):
+        merged = pd.merge_asof(
+            lp, rp, on="t", by="k", direction=direction,
+            allow_exact_matches=exact, tolerance=tolerance,
+            suffixes=("", "_r"),
+        ) if len(rp) else lp.assign(px=None)
+        for r in merged.itertuples():
+            want[int(r.lid)] = None if pd.isna(r.px) else float(r.px)
+    assert got == want
