@@ -642,6 +642,34 @@ class EphemeralDataContext(AbstractDataContext):
             self._tmp_docs = tempfile.mkdtemp(prefix="gx_spark_docs_")
         return self._tmp_docs
 
+    def convert_to_file_context(
+        self, project_root_dir: str
+    ) -> "FileDataContext":
+        """Persist this in-memory context as a file-backed project
+        (reference ``EphemeralDataContext.convert_to_file_context``):
+        suites, the full validation-run history, and checkpoint configs
+        carry over; datasources stay session objects on the returned
+        context."""
+        ctx = FileDataContext.create(project_root_dir, spark=self._spark)
+        # suite records keep their version history via the namespaced
+        # keys; everything else in the backend is a validation run
+        for key, run_id, payload in self.suite_store.backend.iter_records():
+            ctx.suite_store.backend.append(key, run_id, payload)
+        for key, run_id, payload in self.validations_backend.iter_records():
+            ctx.validations_backend.append(key, run_id, payload)
+        ctx.datasources.update(self.datasources)
+        for checkpoint in self._checkpoints.values():
+            ctx.add_checkpoint(
+                checkpoint=Checkpoint(
+                    checkpoint.name,
+                    ctx,
+                    checkpoint.validations,
+                    action_list=checkpoint.action_list,
+                    result_format=checkpoint.result_format,
+                )
+            )
+        return ctx
+
 
 _PROJECT_YML = """\
 # great_expectations_spark project config

@@ -356,3 +356,36 @@ def test_compare_runs_regression_diff(spark):
     # explicit run selection and the reversed direction
     rev = ctx.compare_runs("reg", run_before="r2", run_after="r1")
     assert {r["transition"] for r in rev["expectations"]} >= {"fixed"}
+
+
+def test_convert_to_file_context(spark, df, tmp_path):
+    ctx = gx.get_context(spark=spark)
+    ctx.add_or_update_expectation_suite(
+        "conv",
+        expectations=[
+            {
+                "expectation_type": "expect_table_row_count_to_be_between",
+                "kwargs": {"min_value": 1},
+            }
+        ],
+    )
+    parquet = os.path.join(str(tmp_path), "d.parquet")
+    df.write.mode("overwrite").parquet(parquet)
+    ds = ctx.sources.add_spark("local", spark=spark)
+    asset = ds.add_parquet_asset("d", parquet)
+    ctx.add_checkpoint(
+        name="cp",
+        validations=[{"asset": asset, "expectation_suite_name": "conv"}],
+    )
+    assert ctx.run_checkpoint("cp", run_id="e1").success
+
+    root = os.path.join(str(tmp_path), "proj")
+    fctx = ctx.convert_to_file_context(root)
+    # everything persisted: reopen a COLD context over the directory
+    cold = gx.get_context(
+        context_root_dir=fctx.root_directory, spark=spark
+    )
+    assert cold.list_expectation_suite_names() == ["conv"]
+    assert "cp" in cold.list_checkpoints()
+    assert cold.validations_store.latest("conv")["success"] is True
+    assert cold.run_checkpoint("cp").success
