@@ -187,6 +187,7 @@ def range_join(
     strategy: str = "broadcast",
     bin_width: Optional[float] = None,
     closed: str = "both",
+    point_id: Optional[str] = None,
 ) -> DataFrame:
     """Join every point row to every interval row with
     ``lo <= point <= hi`` (``closed`` picks which bounds are strict:
@@ -236,7 +237,23 @@ def range_join(
     joined = pt.join(iv, ["__bin"]).filter(cond).drop("__bin")
     if how == "inner":
         return joined
-    raise ValueError("binned strategy supports how='inner' only")
+    if how == "left":
+        # left = inner ∪ (unmatched points with NULL interval columns);
+        # "unmatched" needs a point identity, because a point can share
+        # its bin with intervals that fail the residual range filter
+        if point_id is None:
+            raise ValueError(
+                "binned left join needs point_id= (a unique point column)"
+            )
+        unmatched = points.join(
+            joined.select(point_id).distinct(), [point_id], "left_anti"
+        )
+        for f in intervals.schema.fields:
+            unmatched = unmatched.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+        return joined.unionByName(unmatched.select(*joined.columns))
+    raise ValueError("binned strategy supports how='inner'/'left' only")
 
 
 def sessionize(

@@ -333,3 +333,50 @@ def test_asof_join_nearest_single_shuffle(spark, trades_quotes):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.lower().count("exchange") == 1, plan
+
+
+def test_range_join_binned_left(spark):
+    pts = spark.createDataFrame(
+        [(5.0, 0), (35.0, 1), (999.0, 2), (26.0, 3)],
+        "v double, point_id int",
+    )
+    iv = spark.createDataFrame(
+        [(0.0, 10.0, 0), (20.0, 30.0, 1), (25.0, 45.0, 2)],
+        "lo double, hi double, interval_id int",
+    )
+    rows = range_join(
+        pts, iv, "v", "lo", "hi", how="left",
+        strategy="binned", bin_width=10.0, point_id="point_id",
+    ).collect()
+    got = sorted((r["point_id"], r["interval_id"]) for r in rows)
+    # brute-force left reference (996.0 shares no bin; 999.0 matches
+    # nothing; 26.0 overlaps two intervals)
+    want = sorted([(0, 0), (1, 2), (2, None), (3, 1), (3, 2)])
+    assert got == want
+    # parity with the broadcast left join
+    bc = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join(pts, iv, "v", "lo", "hi", how="left").collect()
+    )
+    assert got == bc
+    with pytest.raises(ValueError):
+        range_join(pts, iv, "v", "lo", "hi", how="left",
+                   strategy="binned", bin_width=10.0)
+
+
+def test_asof_join_multiple_by_keys(spark):
+    t = _mk(
+        spark,
+        [("a", 1, 10.0, 1), ("a", 2, 10.0, 2), ("b", 1, 10.0, 3)],
+        "k1 string, k2 int, t double, trade_id long",
+    )
+    q = _mk(
+        spark,
+        [("a", 1, 5.0, 111.0), ("a", 2, 7.0, 222.0), ("b", 2, 1.0, 333.0)],
+        "k1 string, k2 int, t double, px double",
+    )
+    rows = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(t, q, on="t", by=["k1", "k2"]).collect()
+    }
+    assert rows == {1: 111.0, 2: 222.0, 3: None}
