@@ -86,6 +86,11 @@ def asof_join(
     ``right_on`` never match anything (SQL join semantics; they would
     otherwise poison the running ``last``); left rows with NULL ``on``
     get no match.
+
+    ``by=None`` gives a GLOBAL as-of: the window collapses to one
+    partition (the same single-task regime as any global ordered
+    operation) — fine for dimension-sized inputs, wrong tool at 10^12
+    rows; add a key or a coarse time-bucket key there.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(

@@ -691,7 +691,14 @@ def streaming_asof_enrich(
 
         arrivals_l = []
         for pdf in pdfs:
-            ts_ns = pd.to_datetime(pdf["__ts"]).astype("int64")
+            # normalize to ns explicitly: .astype(int64) on a
+            # datetime64[us] series would yield MICROseconds and break
+            # every watermark comparison (wm is computed in ns)
+            ts_ns = (
+                pd.to_datetime(pdf["__ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+            )
             for t, side, pay in zip(ts_ns, pdf["__side"], pdf["__pay"]):
                 if side == 0:
                     rhist.append((int(t), pay))
