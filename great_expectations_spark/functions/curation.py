@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +52,7 @@ __all__ = [
     "word_ngrams",
     "benchmark_ngrams",
     "contamination_stats",
+    "contamination_stats_setfilter",
     "decontaminate",
     "PII_PATTERNS",
     "luhn_valid",
@@ -212,6 +214,114 @@ def contamination_stats(
     )
 
 
+# setfilter strategy: hard cap on the benchmark gram-key collect
+# (int64 keys; 20M = 160 MB broadcast — far above any real eval set)
+SETFILTER_MAX_GRAMS = 20_000_000
+
+
+def _setfilter_match_expr(docs_df: DataFrame, bench_keys) -> "Column":
+    """``(n_grams, n_matched)`` struct Column from an ``array<bigint>``
+    gram-key column, testing membership against a driver-collected,
+    sorted numpy key array shipped as a Spark broadcast.
+
+    Whole batch vectorized: one ``np.concatenate`` + one
+    ``np.searchsorted`` over the batch's flattened keys, then a
+    segment-sum back to rows — no per-row Python."""
+    import numpy as np  # noqa: F401 — re-import inside the UDF too
+    from pyspark.sql.functions import pandas_udf
+
+    sc = docs_df.sparkSession.sparkContext
+    bkeys = sc.broadcast(bench_keys)
+
+    @pandas_udf("struct<n_grams:long,n_matched:long>")
+    def stats(grams: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        keys = bkeys.value
+        lengths = np.fromiter(
+            (0 if g is None else len(g) for g in grams),
+            dtype=np.int64,
+            count=len(grams),
+        )
+        if lengths.sum() == 0 or len(keys) == 0:
+            return pd.DataFrame(
+                {"n_grams": lengths, "n_matched": np.zeros_like(lengths)}
+            )
+        flat = np.concatenate(
+            [np.asarray(g, dtype=np.int64) for g in grams if g is not None and len(g)]
+        )
+        idx = np.searchsorted(keys, flat)
+        hit = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == flat)
+        # segment-sum hits back to rows
+        bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=bounds[1:])
+        csum = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(hit, out=csum[1:])
+        matched = csum[bounds[1:]] - csum[bounds[:-1]]
+        return pd.DataFrame({"n_grams": lengths, "n_matched": matched})
+
+    return stats
+
+
+def _collect_bench_keys(
+    bench_df: DataFrame, bench_text_column: str, n: int
+):
+    """Sorted int64 numpy array of the benchmark's distinct hashed
+    grams (bounded collect; raises past :data:`SETFILTER_MAX_GRAMS`)."""
+    import numpy as np
+
+    bench = benchmark_ngrams(
+        bench_df, text_column=bench_text_column, n=n, hash_grams=True
+    )
+    rows = bench.limit(SETFILTER_MAX_GRAMS + 1).collect()
+    if len(rows) > SETFILTER_MAX_GRAMS:
+        raise ValueError(
+            f"benchmark has > {SETFILTER_MAX_GRAMS} distinct {n}-grams; "
+            "use strategy='join' (broadcast hash join) instead"
+        )
+    return np.sort(np.array([r[0] for r in rows], dtype=np.int64))
+
+
+def contamination_stats_setfilter(
+    docs_df: DataFrame,
+    bench_df: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_column: str = "text",
+    bench_text_column: str = "text",
+    n: int = 13,
+    min_matches: int = 1,
+) -> DataFrame:
+    """:func:`contamination_stats` as a ZERO-shuffle corpus projection.
+
+    The join strategy explodes every document's grams and pays one
+    ``groupBy(doc_id)`` exchange (map-side combined to ≤1 row/doc).
+    Here the benchmark's distinct hashed grams — eval sets are tiny
+    next to the corpus — are collected once, sorted, broadcast, and
+    each document's gram-key array is membership-tested in an
+    Arrow-batched ``searchsorted`` UDF: the corpus side is a pure
+    projection with NO exchange at all, the ideal 100 TB shape.
+    Same output contract as :func:`contamination_stats` (hashed-gram
+    path), same NULL semantics (null/short docs → 0 grams).
+    """
+    keys = _collect_bench_keys(bench_df, bench_text_column, n)
+    stats = _setfilter_match_expr(docs_df, keys)
+    return (
+        docs_df.select(
+            F.col(doc_id).alias("doc_id"),
+            stats(_gram_keys(F.col(text_column), n, True)).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            F.col("__s.n_grams").alias("n_grams"),
+            F.col("__s.n_matched").alias("n_matched"),
+            (F.col("__s.n_matched") >= F.lit(min_matches)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def decontaminate(
     docs_df: DataFrame,
     bench_df: DataFrame,
@@ -222,10 +332,34 @@ def decontaminate(
     n: int = 13,
     min_matches: int = 1,
     hash_grams: bool = True,
+    strategy: str = "join",
 ) -> DataFrame:
     """Drop documents contaminated by the benchmark; keeps all input
-    columns.  The contaminated-id set is tiny (it is bounded by the
-    benchmark's reach), so the anti-join broadcasts it."""
+    columns.
+
+    ``strategy='join'`` (default): broadcast hash join + one grouped
+    exchange (see :func:`contamination_stats`); the contaminated-id
+    set is tiny (bounded by the benchmark's reach), so the final
+    anti-join broadcasts it.
+
+    ``strategy='setfilter'``: the benchmark's hashed grams broadcast
+    as a sorted array and the whole pass becomes ONE corpus
+    projection + filter — zero shuffles end-to-end (see
+    :func:`contamination_stats_setfilter`).  Identical verdicts
+    (hashed-gram semantics)."""
+    if strategy == "setfilter":
+        keys = _collect_bench_keys(bench_df, bench_text_column, n)
+        stats = _setfilter_match_expr(docs_df, keys)
+        return (
+            docs_df.withColumn(
+                "__decon",
+                stats(_gram_keys(F.col(text_column), n, True)),
+            )
+            .filter(F.col("__decon.n_matched") < F.lit(min_matches))
+            .drop("__decon")
+        )
+    if strategy != "join":
+        raise ValueError(f"strategy must be join/setfilter: {strategy!r}")
     stats = contamination_stats(
         docs_df,
         bench_df,

@@ -91,6 +91,69 @@ def test_decontaminate_removes_only_contaminated(spark):
     assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 2]
 
 
+def test_contamination_setfilter_matches_join(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "THE QUICK BROWN fox jumps over something else entirely"),
+        (4, "tiny"),
+        (5, None),
+        (6, ""),
+    ]
+    bench = [
+        ("the quick brown fox jumps over the lazy dog tail",),
+        ("five dozen liquor jugs",),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "text string")
+    join_stats = {
+        tuple(r)
+        for r in cur.contamination_stats(ddf, bdf, n=4, hash_grams=True)
+        .collect()
+    }
+    sf_stats = {
+        tuple(r)
+        for r in cur.contamination_stats_setfilter(ddf, bdf, n=4).collect()
+    }
+    assert sf_stats == join_stats
+    # decontaminate parity, incl. min_matches
+    for mm in (1, 4):
+        kj = sorted(
+            r["doc_id"]
+            for r in cur.decontaminate(ddf, bdf, n=4, min_matches=mm)
+            .collect()
+        )
+        ks = sorted(
+            r["doc_id"]
+            for r in cur.decontaminate(
+                ddf, bdf, n=4, min_matches=mm, strategy="setfilter"
+            ).collect()
+        )
+        assert ks == kj, f"min_matches={mm}"
+
+
+def test_decontaminate_setfilter_zero_shuffle(spark):
+    ddf = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame([("z y x w v",)], "text string")
+    out = cur.decontaminate(ddf, bdf, n=5, strategy="setfilter")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert out.count() == 50
+
+
+def test_decontaminate_empty_benchmark_setfilter(spark):
+    ddf = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    bdf = spark.createDataFrame([], "text string")
+    assert cur.decontaminate(
+        ddf, bdf, n=5, strategy="setfilter"
+    ).count() == 1
+    with pytest.raises(ValueError, match="join/setfilter"):
+        cur.decontaminate(ddf, bdf, n=5, strategy="bogus")
+
+
 def test_contamination_plan_broadcasts_bench(spark):
     ddf = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     bdf = spark.createDataFrame([("a b c d e",)], "text string")
