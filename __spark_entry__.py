@@ -654,6 +654,57 @@ def _lang_id_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_STATS_LANGS = ["de", "en", "es", "fr", "und"]
 
+# Planted prose fixture for the C4 line-cleaner (Raffel et al. 2020) and
+# the Gopher quality gate (Rae et al. 2021): built identically in Spark
+# (createDataFrame) and DuckDB (VALUES; newlines become chr(10) concats).
+# The sf documents table is punctuation-free word salad, so both rule
+# families would trivially produce zeros over it — the fixture exercises
+# every rule branch instead.  No apostrophes (SQL literal safety).
+_C4G_LINE = (
+    "The quick brown fox jumps over the lazy dog and keeps running to "
+    "be sure that it will have covered enough distance with ease."
+)
+_C4G_PLANTED_ROWS = [
+    (
+        1,
+        "\n".join(
+            [
+                "This is a perfectly normal sentence with many words.",
+                "Here is another full sentence that ends properly.",
+                "A third sentence keeps the page above the minimum.",
+                "Does the page still read naturally after this?",
+                'The last line ends with an end quotation mark."',
+            ]
+        ),
+    ),
+    (
+        2,
+        "\n".join(
+            [
+                "menu home about contact",
+                "Ok.",
+                "Please enable JavaScript to view this page properly.",
+                _C4G_LINE,
+                _C4G_LINE,
+                _C4G_LINE,
+                _C4G_LINE,
+                _C4G_LINE,
+            ]
+        ),
+    ),
+    (3, "Lorem ipsum dolor sit amet.\n" + _C4G_LINE),
+    (4, "function f() { return 1; }\n" + _C4G_LINE),
+    (5, "Too few sentences here.\nOnly two of them exist."),
+    (6, None),
+    (
+        7,
+        "\n".join(["• bullet item listed here"] * 9)
+        + "\nthis sentence trails off...",
+    ),
+    (8, " ".join([_C4G_LINE] * 5)),
+    (9, " ".join(["lorem#ipsum#tag"] * 60)),
+]
+
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated text-analysis suite over documents (functions/text.py):
@@ -693,9 +744,69 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_quality",
     ] + [f"lang_{lang}" for lang in _TEXT_STATS_LANGS]
     stack = ", ".join(f"'{n}', {n}" for n in names)
-    return wide.selectExpr(
-        f"stack({len(names)}, {stack}) AS (metric, value)"
-    ).orderBy("metric")
+    base = wide.selectExpr(f"stack({len(names)}, {stack}) AS (metric, value)")
+
+    # C4 + Gopher over the planted fixture (full rule chains; the DuckDB
+    # oracle re-derives every rule from the same VALUES rows)
+    from great_expectations_spark.functions import curation as gxcuration
+
+    planted = spark.createDataFrame(_C4G_PLANTED_ROWS, "id int, text string")
+    c4 = gxcuration.c4_stats(planted).agg(
+        F.sum(F.col("c4_keep").cast("int")).cast("double").alias(
+            "c4_kept_docs"
+        ),
+        F.sum("c4_n_kept_lines").cast("double").alias("c4_kept_lines"),
+        F.sum("c4_n_sentences").cast("double").alias("c4_sentences"),
+        F.coalesce(F.sum(F.length("c4_clean_text")), F.lit(0))
+        .cast("double")
+        .alias("c4_clean_chars"),
+    )
+    c4_names = ["c4_kept_docs", "c4_kept_lines", "c4_sentences",
+                "c4_clean_chars"]
+    c4_stack = ", ".join(f"'{n}', {n}" for n in c4_names)
+    gop = gxtext.gopher_rules(planted).agg(
+        F.sum(F.col("gopher_keep").cast("int")).cast("double").alias(
+            "gopher_kept_docs"
+        ),
+        F.sum("gopher_n_words").cast("double").alias("gopher_words"),
+        F.sum("gopher_n_stopwords").cast("double").alias(
+            "gopher_stopwords"
+        ),
+        F.round(F.sum("gopher_mean_word_len"), 6).alias(
+            "gopher_meanlen_sum"
+        ),
+        F.round(F.sum("gopher_symbol_word_ratio"), 6).alias(
+            "gopher_symratio_sum"
+        ),
+        F.round(F.sum("gopher_bullet_line_frac"), 6).alias(
+            "gopher_bullet_sum"
+        ),
+        F.round(F.sum("gopher_ellipsis_line_frac"), 6).alias(
+            "gopher_ellipsis_sum"
+        ),
+        F.round(F.sum("gopher_alpha_word_frac"), 6).alias(
+            "gopher_alpha_sum"
+        ),
+    )
+    gop_names = [
+        "gopher_kept_docs", "gopher_words", "gopher_stopwords",
+        "gopher_meanlen_sum", "gopher_symratio_sum", "gopher_bullet_sum",
+        "gopher_ellipsis_sum", "gopher_alpha_sum",
+    ]
+    gop_stack = ", ".join(f"'{n}', {n}" for n in gop_names)
+    return (
+        base.unionAll(
+            c4.selectExpr(
+                f"stack({len(c4_names)}, {c4_stack}) AS (metric, value)"
+            )
+        )
+        .unionAll(
+            gop.selectExpr(
+                f"stack({len(gop_names)}, {gop_stack}) AS (metric, value)"
+            )
+        )
+        .orderBy("metric")
+    )
 
 
 def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2408,14 +2519,108 @@ def _text_stats_sql() -> str:
         f"(count(*) FILTER (WHERE lp = '{lang}'))::DOUBLE FROM l"
         for lang in ["de", "en", "es", "fr", "und"]
     ]
+    c4g_ctes, c4g_parts = _c4_gopher_planted_sql()
     return (
         f"WITH c AS (SELECT text, {lang_counts} FROM documents), "
         "b AS (SELECT *, greatest("
         + ", ".join(f"c_{lang}" for lang in LANG_STOPWORDS)
         + ") AS best FROM c), "
-        f"l AS (SELECT {lang_case} AS lp FROM b) "
-        "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY metric"
+        f"l AS (SELECT {lang_case} AS lp FROM b), "
+        + c4g_ctes
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(parts + c4g_parts)
+        + ") ORDER BY metric"
     )
+
+
+def _c4_gopher_planted_sql() -> tuple:
+    """DuckDB replica of the planted C4 + Gopher metrics: the full C4
+    line-rule chain (terminal punctuation, >=3 words, javascript lines,
+    lorem-ipsum / `{` pages, >=5 surviving sentences) and every Gopher
+    structural rule (word count, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stopword
+    presence) re-derived from the identical VALUES rows via list
+    lambdas.  Returns (cte_sql, [metric SELECTs])."""
+    from great_expectations_spark.functions.text import GOPHER_STOPWORDS
+
+    def lit(t):
+        if t is None:
+            return "NULL"
+        return "'" + t.replace("\n", "' || chr(10) || '") + "'"
+
+    values = ", ".join(
+        f"({i}, {lit(t)})" for i, t in _C4G_PLANTED_ROWS
+    )
+    nstop = " + ".join(
+        "(CASE WHEN regexp_matches(lower(coalesce(text, '')), "
+        f"'\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    ctes = (
+        f"pl(id, text) AS (VALUES {values}), "
+        # --- C4 chain ---
+        "c4l AS (SELECT id, text, CASE WHEN text IS NULL THEN "
+        "[]::VARCHAR[] ELSE list_filter(list_transform("
+        "string_split(text, chr(10)), x -> trim(x)), "
+        "x -> length(x) > 0 AND regexp_matches(x, '[.?!\"]$') "
+        "AND len(string_split_regex(x, '\\s+')) >= 3 "
+        "AND NOT contains(lower(x), 'javascript')) END AS kept FROM pl), "
+        "c4k AS (SELECT id, text, kept, "
+        "array_to_string(kept, chr(10)) AS ktext, "
+        "len(regexp_extract_all(array_to_string(kept, chr(10)), '[.?!]')) "
+        "AS nsent, (contains(lower(coalesce(text, '')), 'lorem ipsum') OR "
+        "contains(coalesce(text, ''), '{')) AS pbad FROM c4l), "
+        "c4 AS (SELECT id, len(kept) AS nkept, nsent, "
+        "(text IS NOT NULL AND NOT pbad AND nsent >= 5) AS keep, "
+        "CASE WHEN text IS NOT NULL AND NOT pbad AND nsent >= 5 "
+        "THEN ktext END AS clean FROM c4k), "
+        # --- Gopher chain ---
+        "g1 AS (SELECT id, list_filter(string_split_regex("
+        "trim(coalesce(text, '')), '\\s+'), w -> length(w) > 0) AS ws, "
+        "list_filter(list_transform(string_split(coalesce(text, ''), "
+        "chr(10)), x -> trim(x)), x -> length(x) > 0) AS ls, "
+        "len(regexp_extract_all(coalesce(text, ''), "
+        "'#|\\.\\.\\.|…')) AS nsym, "
+        f"({nstop}) AS nstop FROM pl), "
+        "g2 AS (SELECT id, len(ws) AS nw, len(ls) AS nl, nsym, nstop, "
+        "CASE WHEN len(ws) > 0 THEN list_sum(list_transform(ws, "
+        "w -> length(w)))::DOUBLE / len(ws) END AS meanlen, "
+        "CASE WHEN len(ws) > 0 THEN nsym::DOUBLE / len(ws) END AS symr, "
+        "CASE WHEN len(ls) > 0 THEN len(list_filter(ls, "
+        "x -> regexp_matches(x, '^[•‣◦*-]')))::DOUBLE "
+        "/ len(ls) END AS bullf, "
+        "CASE WHEN len(ls) > 0 THEN len(list_filter(ls, "
+        "x -> regexp_matches(x, '(\\.\\.\\.|…)$')))::DOUBLE "
+        "/ len(ls) END AS ellf, "
+        "CASE WHEN len(ws) > 0 THEN len(list_filter(ws, "
+        "w -> regexp_matches(w, '\\p{L}')))::DOUBLE / len(ws) END "
+        "AS alphaf FROM g1), "
+        "g3 AS (SELECT *, (nw BETWEEN 50 AND 100000 "
+        "AND coalesce(meanlen BETWEEN 3.0 AND 10.0, FALSE) "
+        "AND coalesce(symr <= 0.1, FALSE) "
+        "AND coalesce(bullf, 0) <= 0.9 AND coalesce(ellf, 0) <= 0.3 "
+        "AND coalesce(alphaf >= 0.8, FALSE) AND nstop >= 2) AS keep "
+        "FROM g2)"
+    )
+    parts = [
+        "SELECT 'c4_kept_docs', sum(CASE WHEN keep THEN 1 ELSE 0 END)"
+        "::DOUBLE FROM c4",
+        "SELECT 'c4_kept_lines', sum(nkept)::DOUBLE FROM c4",
+        "SELECT 'c4_sentences', sum(nsent)::DOUBLE FROM c4",
+        "SELECT 'c4_clean_chars', coalesce(sum(length(clean)), 0)"
+        "::DOUBLE FROM c4",
+        "SELECT 'gopher_kept_docs', sum(CASE WHEN keep THEN 1 ELSE 0 END)"
+        "::DOUBLE FROM g3",
+        "SELECT 'gopher_words', sum(nw)::DOUBLE FROM g3",
+        "SELECT 'gopher_stopwords', sum(nstop)::DOUBLE FROM g3",
+        "SELECT 'gopher_meanlen_sum', round(sum(meanlen), 6)::DOUBLE "
+        "FROM g3",
+        "SELECT 'gopher_symratio_sum', round(sum(symr), 6)::DOUBLE FROM g3",
+        "SELECT 'gopher_bullet_sum', round(sum(bullf), 6)::DOUBLE FROM g3",
+        "SELECT 'gopher_ellipsis_sum', round(sum(ellf), 6)::DOUBLE FROM g3",
+        "SELECT 'gopher_alpha_sum', round(sum(alphaf), 6)::DOUBLE FROM g3",
+    ]
+    return ctes, parts
 
 
 def _decontam_sql(n: int = 13, bench_mod: int = 25) -> str:

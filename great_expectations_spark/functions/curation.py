@@ -50,6 +50,9 @@ from great_expectations_spark.functions.text import normalize_text
 
 __all__ = [
     "word_ngrams",
+    "c4_signals",
+    "c4_stats",
+    "c4_clean",
     "benchmark_ngrams",
     "contamination_stats",
     "contamination_stats_setfilter",
@@ -68,6 +71,124 @@ __all__ = [
     "model_save",
     "model_load",
 ]
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2, public paper; the
+# released tensorflow_datasets c4_utils is the behavioral reference for the
+# rule constants: terminal end marks `.?!"`, >=3 words/line, >=5 sentences
+# per page, line-level "javascript", page-level "lorem ipsum" / "{")
+# ---------------------------------------------------------------------------
+
+#: terminal punctuation accepted at end-of-line (period, question mark,
+#: exclamation mark, end quotation mark — the released C4 `_END_MARKS`)
+C4_END_MARK_RE = '[.?!"]$'
+
+
+def _c4_line_pred(
+    ln: Column, min_words: int, drop_words: Tuple[str, ...]
+) -> Column:
+    """Keep-predicate for ONE already-trimmed line under the C4 rules."""
+    pred = (
+        (F.length(ln) > 0)
+        & ln.rlike(C4_END_MARK_RE)
+        & (F.size(F.split(ln, r"\s+")) >= min_words)
+    )
+    for w in drop_words:
+        pred = pred & ~F.lower(ln).contains(w.lower())
+    return pred
+
+
+def c4_signals(
+    col: Column,
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    line_drop_words: Tuple[str, ...] = ("javascript",),
+    page_drop_phrases: Tuple[str, ...] = ("lorem ipsum", "{"),
+    bad_words: Optional[List[str]] = None,
+) -> Dict[str, Column]:
+    """C4 line-level cleaning signals as named JVM columns (zero UDFs).
+
+    Rules (Raffel et al. 2020 §2.2):
+
+    * keep only lines that end in a terminal punctuation mark
+      (``. ? !`` or ``"``), contain >= ``min_words_per_line`` words, and
+      do not mention any ``line_drop_words`` (default: "javascript");
+    * drop the whole page if it contains any ``page_drop_phrases``
+      (default: "lorem ipsum" or the code marker ``{``), any word from
+      the optional ``bad_words`` list (whole-word, case-insensitive), or
+      if fewer than ``min_sentences`` sentences survive line filtering.
+
+    Deviation (documented): the paper counts sentences with an NLP
+    sentence splitter; here a sentence is one terminal-punctuation mark
+    (``[.?!]``) in the KEPT text — deterministic, engine-replicable, and
+    within one count of the splitter on prose.  Returns
+    ``{clean_text, n_lines, n_kept_lines, n_sentences, keep}``;
+    ``clean_text`` is null when ``keep`` is false.  Everything is a
+    single projection — at 10^12 rows this fuses into the enclosing
+    scan with no shuffle and no Python worker.
+    """
+    lines = F.transform(F.split(col, "\n"), lambda ln: F.trim(ln))
+    kept = F.filter(
+        lines,
+        lambda ln: _c4_line_pred(
+            ln, min_words_per_line, tuple(line_drop_words)
+        ),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(kept_text, F.lit("[.?!]"), F.lit(0))
+    )
+    low = F.lower(F.coalesce(col, F.lit("")))
+    page_bad = F.lit(False)
+    for p in page_drop_phrases:
+        page_bad = page_bad | low.contains(p.lower())
+    if bad_words:
+        import re as _re
+
+        alt = "|".join(_re.escape(w.lower()) for w in bad_words)
+        page_bad = page_bad | low.rlike(r"\b(" + alt + r")\b")
+    keep = col.isNotNull() & ~page_bad & (n_sentences >= min_sentences)
+    n_lines = F.when(col.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(lines, lambda ln: F.length(ln) > 0))
+    )
+    return {
+        "clean_text": F.when(keep, kept_text),
+        "n_lines": n_lines.cast("int"),
+        "n_kept_lines": F.when(col.isNull(), F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("int"),
+        "n_sentences": F.when(col.isNull(), F.lit(0))
+        .otherwise(n_sentences)
+        .cast("int"),
+        "keep": keep,
+    }
+
+
+def c4_stats(
+    df: DataFrame, text_column: str = "text", **kwargs
+) -> DataFrame:
+    """Append the :func:`c4_signals` columns (prefixed ``c4_``) without
+    filtering — the inspection form (what would the cleaner do?)."""
+    sig = c4_signals(F.col(text_column), **kwargs)
+    return df.select(
+        "*", *[c.alias(f"c4_{name}") for name, c in sig.items()]
+    )
+
+
+def c4_clean(
+    df: DataFrame, text_column: str = "text", **kwargs
+) -> DataFrame:
+    """Apply the C4 cleaner: drop non-kept pages and rewrite
+    ``text_column`` to the kept lines.  One projection + one filter —
+    Catalyst fuses both into the scan (predicate pushdown still applies
+    to every other column)."""
+    sig = c4_signals(F.col(text_column), **kwargs)
+    out = df.withColumn("__c4_keep", sig["keep"]).withColumn(
+        text_column, sig["clean_text"]
+    )
+    return out.filter(F.col("__c4_keep")).drop("__c4_keep")
 
 
 # ---------------------------------------------------------------------------
@@ -893,6 +1014,8 @@ def curate_corpus(
     *,
     id_column: str = "doc_id",
     text_column: str = "text",
+    c4: bool = False,
+    c4_kwargs: Optional[Dict[str, object]] = None,
     dedup_method: Optional[str] = None,
     dedup_threshold: float = 0.7,
     dedup_kwargs: Optional[Dict[str, object]] = None,
@@ -913,9 +1036,9 @@ def curate_corpus(
     with_report: bool = False,
 ) -> Tuple[DataFrame, List[Dict[str, object]]]:
     """One-call training-corpus curation, staged in the canonical
-    pipeline order: **dedup → exact-substring removal → decontaminate →
-    drop-PII → redact-PII → quality filter → perplexity filter →
-    mixture resample**.  Every
+    pipeline order: **C4 line-clean → dedup → exact-substring removal →
+    decontaminate → drop-PII → redact-PII → quality filter →
+    perplexity filter → mixture resample**.  Every
     stage is optional (None
     ⇒ skipped) and lazily composed — with ``with_report=False`` the
     whole pipeline is ONE logical plan and Spark runs it in however few
@@ -923,6 +1046,10 @@ def curate_corpus(
     each stage (one job per enabled stage) and returns the attrition
     table ``[{stage, rows, retained}]``.
 
+    * ``c4``: enable :func:`c4_clean` line-level cleaning (Raffel et
+      al. 2020) as the first stage — raw scraped text is cleaned
+      BEFORE dedup so boilerplate lines don't manufacture near-dup
+      pairs; ``c4_kwargs`` passes rule overrides through.
     * ``dedup_method``: ``exact | minhash | ngram | simhash``
       (``functions.dedup.dedup_corpus``) or ``semantic``
       (``similarity.semantic_dedup`` — pass ``embedding_column=`` etc.
@@ -959,6 +1086,9 @@ def curate_corpus(
 
     out = df
     record("input", out)
+    if c4:
+        out = c4_clean(out, text_column=text_column, **(c4_kwargs or {}))
+        record("c4_clean", out)
     if dedup_method:
         kw = dict(dedup_kwargs or {})
         if dedup_method == "semantic":

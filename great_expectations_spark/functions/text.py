@@ -175,6 +175,195 @@ def text_profile(
     )
 
 
+#: Gopher quality-filter stopword set (Rae et al. 2021, Table A1): a
+#: document must contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Default rule thresholds (Rae et al. 2021, Table A1).  ``None`` skips
+#: a rule.  The repetition thresholds apply only when
+#: ``gopher_rules(..., with_repetition=True)`` (they need the Arrow
+#: repetition pass); top-2/3-gram use the paper's numbers, the line
+#: thresholds are the paper's duplicate-line numbers.
+GOPHER_DEFAULTS: Dict[str, object] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stopwords": 2,
+    # with_repetition=True only:
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_bigram_char_frac": 0.20,
+    "max_top_trigram_char_frac": 0.18,
+}
+
+
+def gopher_signals(col: Column) -> Dict[str, Column]:
+    """Gopher-rule raw signals as JVM columns (zero UDFs): word count,
+    mean word length, symbol-to-word ratio (``#`` + ellipses), bullet /
+    ellipsis line fractions, alphabetic-word fraction, and how many of
+    the 8 :data:`GOPHER_STOPWORDS` appear (whole-word,
+    case-insensitive).  Null/blank text yields 0 words and null ratios
+    (it fails the word-count rule, so the gate never reads the nulls).
+    """
+    t = F.coalesce(col, F.lit(""))
+    words = F.filter(
+        F.split(F.trim(t), WORD_SPLIT), lambda w: F.length(w) > 0
+    )
+    n_words = F.size(words)
+    nw = F.when(n_words > 0, n_words.cast("double"))  # null if 0 words
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.size(
+        F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    n_lines = F.size(lines)
+    nl = F.when(n_lines > 0, n_lines.cast("double"))
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^[•‣◦*-]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    low = F.lower(t)
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        term = low.rlike(rf"\b{w}\b").cast("int")
+        n_stop = term if n_stop is None else (n_stop + term)
+    return {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": total_chars.cast("double") / nw,
+        "symbol_word_ratio": n_symbols.cast("double") / nw,
+        "bullet_line_frac": bullet_lines.cast("double") / nl,
+        "ellipsis_line_frac": ellipsis_lines.cast("double") / nl,
+        "alpha_word_frac": alpha_words.cast("double") / nw,
+        "n_stopwords": n_stop.cast("int"),
+    }
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_column: str = "text",
+    thresholds: Optional[Dict[str, object]] = None,
+    with_repetition: bool = False,
+) -> DataFrame:
+    """Gopher quality gate (Rae et al. 2021 "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", Table A1 —
+    public paper): appends the :func:`gopher_signals` columns
+    (``gopher_`` prefix), one boolean per rule (``rule_*``), and the
+    conjunction ``gopher_keep``.
+
+    All structural rules are pure JVM expressions in ONE projection (no
+    shuffle, no Python).  ``with_repetition=True`` additionally runs
+    :func:`repetition_stats` (Arrow-batched — the per-document n-gram
+    loops Catalyst can't express) and applies the duplicate-line /
+    top-n-gram character-fraction thresholds; null repetition stats
+    (null text) fail the gate via the word-count rule, not the
+    repetition rules (null comparisons stay null and are coalesced
+    true).  ``thresholds`` overrides any :data:`GOPHER_DEFAULTS` key;
+    set a key to None to disable that rule."""
+    th = dict(GOPHER_DEFAULTS)
+    th.update(thresholds or {})
+    if with_repetition:
+        df = repetition_stats(df, text_column=text_column)
+    sig = gopher_signals(F.col(text_column))
+    out = df.select(
+        "*", *[c.alias(f"gopher_{k}") for k, c in sig.items()]
+    )
+    g = lambda k: F.col(f"gopher_{k}")  # noqa: E731
+    rules: Dict[str, Column] = {}
+
+    def add(name: str, cond: Optional[Column]) -> None:
+        if cond is not None:
+            rules[name] = F.coalesce(cond, F.lit(False))
+
+    if th["min_words"] is not None or th["max_words"] is not None:
+        lo = th["min_words"] if th["min_words"] is not None else 0
+        hi = th["max_words"] if th["max_words"] is not None else 1 << 62
+        add("rule_word_count", g("n_words").between(int(lo), int(hi)))
+    if th["min_mean_word_len"] is not None:
+        add(
+            "rule_mean_word_len",
+            g("mean_word_len").between(
+                float(th["min_mean_word_len"]),
+                float(th["max_mean_word_len"]),
+            ),
+        )
+    if th["max_symbol_word_ratio"] is not None:
+        add(
+            "rule_symbol_ratio",
+            g("symbol_word_ratio") <= float(th["max_symbol_word_ratio"]),
+        )
+    if th["max_bullet_line_frac"] is not None:
+        add(
+            "rule_bullet_lines",
+            F.coalesce(g("bullet_line_frac"), F.lit(0.0))
+            <= float(th["max_bullet_line_frac"]),
+        )
+    if th["max_ellipsis_line_frac"] is not None:
+        add(
+            "rule_ellipsis_lines",
+            F.coalesce(g("ellipsis_line_frac"), F.lit(0.0))
+            <= float(th["max_ellipsis_line_frac"]),
+        )
+    if th["min_alpha_word_frac"] is not None:
+        add(
+            "rule_alpha_words",
+            g("alpha_word_frac") >= float(th["min_alpha_word_frac"]),
+        )
+    if th["min_stopwords"] is not None:
+        add(
+            "rule_stopwords", g("n_stopwords") >= int(th["min_stopwords"])
+        )
+    if with_repetition:
+        rep_map = {
+            "max_dup_line_frac": "dup_line_frac",
+            "max_dup_line_char_frac": "dup_line_char_frac",
+            "max_top_bigram_char_frac": "top_bigram_char_frac",
+            "max_top_trigram_char_frac": "top_trigram_char_frac",
+        }
+        for key, colname in rep_map.items():
+            if th.get(key) is not None:
+                rules[f"rule_{colname}"] = F.coalesce(
+                    F.col(colname) <= float(th[key]), F.lit(True)
+                )
+    keep = F.lit(True)
+    for cond in rules.values():
+        keep = keep & cond
+    return out.select(
+        "*",
+        *[c.alias(k) for k, c in rules.items()],
+        keep.alias("gopher_keep"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_column: str = "text",
+    thresholds: Optional[Dict[str, object]] = None,
+    with_repetition: bool = False,
+) -> DataFrame:
+    """Apply the Gopher gate and return only passing rows with the
+    original columns (the filtering form of :func:`gopher_rules`)."""
+    flagged = gopher_rules(
+        df,
+        text_column=text_column,
+        thresholds=thresholds,
+        with_repetition=with_repetition,
+    )
+    return flagged.filter(F.col("gopher_keep")).select(*df.columns)
+
+
 def repetition_stats(
     df: DataFrame, text_column: str = "text", id_columns: Optional[List[str]] = None
 ) -> DataFrame:

@@ -1,0 +1,230 @@
+"""C4 line-level cleaning (Raffel et al. 2020 §2.2) and the Gopher
+quality gate (Rae et al. 2021, Table A1) — rule-by-rule unit coverage
+plus a pure-Python differential oracle for the C4 cleaner."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from great_expectations_spark.functions import curation
+from great_expectations_spark.functions.text import (
+    GOPHER_STOPWORDS,
+    gopher_filter,
+    gopher_rules,
+)
+
+# ---------------------------------------------------------------------------
+# C4
+# ---------------------------------------------------------------------------
+
+GOOD_PAGE = "\n".join(
+    [
+        "This is a perfectly normal sentence with many words in it.",
+        "Here is another full sentence that also ends properly.",
+        "A third sentence keeps the page above the sentence minimum.",
+        "Does the page still read naturally after four sentences?",
+        'The last line ends with an end quotation mark."',
+    ]
+)
+
+
+def _py_c4(text, min_words=3, min_sentences=5):
+    """Literal Python re-implementation of the documented rules."""
+    if text is None:
+        return None
+    kept = []
+    for ln in text.split("\n"):
+        ln = ln.strip()
+        if not ln or not re.search(r'[.?!"]$', ln):
+            continue
+        if len(re.split(r"\s+", ln)) < min_words:
+            continue
+        if "javascript" in ln.lower():
+            continue
+        kept.append(ln)
+    clean = "\n".join(kept)
+    low = text.lower()
+    if "lorem ipsum" in low or "{" in low:
+        return None
+    if len(re.findall(r"[.?!]", clean)) < min_sentences:
+        return None
+    return clean
+
+
+def test_c4_line_rules(spark):
+    rows = [
+        (1, GOOD_PAGE),
+        # line-level drops: no terminal punct / too short / javascript
+        (
+            2,
+            GOOD_PAGE
+            + "\nmenu home about contact\nOk.\n"
+            + "Please enable JavaScript to view this page properly.",
+        ),
+        (3, "Lorem ipsum dolor sit amet.\n" + GOOD_PAGE),  # page drop
+        (4, "function f() { return 1; }\n" + GOOD_PAGE),  # code page drop
+        (5, "Too few sentences here.\nOnly two of them exist."),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in curation.c4_stats(df).orderBy("doc_id").collect()
+    }
+    for i, text in rows:
+        expect = _py_c4(text)
+        assert got[i]["c4_keep"] == (expect is not None), f"doc {i}"
+        assert got[i]["c4_clean_text"] == expect, f"doc {i}"
+    # the short/menu/javascript lines were dropped but the page survives
+    assert got[2]["c4_keep"] is True
+    assert "menu home" not in got[2]["c4_clean_text"]
+    assert "JavaScript" not in got[2]["c4_clean_text"]
+    # "Ok." (1 word < 3) dropped too: only the 5 GOOD_PAGE lines survive
+    assert got[2]["c4_n_kept_lines"] == 5
+    assert got[1]["c4_n_kept_lines"] == 5
+
+
+def test_c4_clean_filters_and_rewrites(spark):
+    rows = [(1, GOOD_PAGE), (2, "Lorem ipsum dolor sit amet."), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = curation.c4_clean(df).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["text"] == _py_c4(GOOD_PAGE)
+    assert out[0]["text"].count("\n") == 4
+
+
+def test_c4_bad_words_and_overrides(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD_PAGE), (2, GOOD_PAGE + "\nGambling spam sentence here.")],
+        "doc_id int, text string",
+    )
+    sig_kept = curation.c4_clean(df, bad_words=["gambling"]).collect()
+    assert [r["doc_id"] for r in sig_kept] == [1]
+    # word-boundary: 'gamblingX' must NOT trigger the bad-word page drop
+    df2 = spark.createDataFrame(
+        [(1, GOOD_PAGE + "\nThe gamblingx compound word is fine here.")],
+        "doc_id int, text string",
+    )
+    assert curation.c4_clean(df2, bad_words=["gambling"]).count() == 1
+    # relaxed thresholds keep the two-sentence page
+    df3 = spark.createDataFrame(
+        [(5, "Too few sentences here.\nOnly two of them exist.")],
+        "doc_id int, text string",
+    )
+    assert curation.c4_clean(df3, min_sentences=2).count() == 1
+
+
+def test_c4_stage_in_curate_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD_PAGE), (2, "Lorem ipsum dolor sit amet."), (3, None)],
+        "doc_id int, text string",
+    )
+    out, report = curation.curate_corpus(df, c4=True, with_report=True)
+    assert out.count() == 1
+    stages = [r["stage"] for r in report]
+    assert stages == ["input", "c4_clean"]
+
+
+def test_c4_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, GOOD_PAGE)], "doc_id int, text string")
+    plan = curation.c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure projection+filter, no shuffle
+
+
+# ---------------------------------------------------------------------------
+# Gopher
+# ---------------------------------------------------------------------------
+
+PROSE = (
+    "The quick brown fox jumps over the lazy dog and keeps running "
+    "to be sure that it will have covered enough distance with ease. "
+) * 5  # ~110 words, all rules pass
+
+
+def test_gopher_signals_and_keep(spark):
+    df = spark.createDataFrame([(1, PROSE)], "doc_id int, text string")
+    row = gopher_rules(df).collect()[0]
+    assert row["gopher_n_words"] == 120
+    assert 3.0 <= row["gopher_mean_word_len"] <= 10.0
+    assert row["gopher_symbol_word_ratio"] == 0.0
+    assert row["gopher_alpha_word_frac"] == 1.0
+    assert row["gopher_n_stopwords"] >= 6
+    assert row["gopher_keep"] is True
+
+
+def test_gopher_individual_rules(spark):
+    short = "Just five little words here."
+    symbols = " ".join(["lorem#ipsum#tag"] * 60)
+    bullets = "\n".join(["• bullet item listed"] * 10) + "\n" + PROSE
+    ellipsis = "\n".join(["this sentence trails off..."] * 10)
+    numeric = " ".join(["1234 5678 9012"] * 30)
+    no_stop = " ".join(["zyx wvu tsr qpo nml"] * 20)
+    df = spark.createDataFrame(
+        [
+            (1, short),
+            (2, symbols),
+            (3, bullets),
+            (4, ellipsis),
+            (5, numeric),
+            (6, no_stop),
+            (7, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert rows[1]["rule_word_count"] is False  # < 50 words
+    assert rows[2]["rule_symbol_ratio"] is False  # 2 '#' per 1 word
+    assert rows[3]["rule_bullet_lines"] is False  # 10/15 lines... no:
+    # 10 bullet lines / (10 + prose-as-one-line) = 10/11 > 0.9
+    assert rows[4]["rule_ellipsis_lines"] is False  # 100% > 30%
+    assert rows[5]["rule_alpha_words"] is False  # all-numeric words
+    assert rows[6]["rule_stopwords"] is False
+    assert rows[7]["rule_word_count"] is False  # null text -> 0 words
+    for i in range(1, 8):
+        assert rows[i]["gopher_keep"] is False
+
+
+def test_gopher_threshold_overrides_and_filter(spark):
+    df = spark.createDataFrame(
+        [(1, PROSE), (2, "Count the words of this one.")],
+        "doc_id int, text string",
+    )
+    kept = gopher_filter(df)
+    assert kept.columns == ["doc_id", "text"]
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # disable the word-count rule -> doc 2 passes every remaining rule
+    relaxed = gopher_filter(df, thresholds={"min_words": None, "max_words": None})
+    assert relaxed.count() == 2
+    flagged = gopher_rules(df, thresholds={"min_words": None, "max_words": None})
+    assert "rule_word_count" not in flagged.columns
+
+
+def test_gopher_with_repetition(spark):
+    loop = ("spam ham jam " * 60).strip()  # one dominant trigram
+    df = spark.createDataFrame(
+        [(1, PROSE), (2, loop)], "doc_id int, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, with_repetition=True).collect()
+    }
+    assert rows[1]["gopher_keep"] is True
+    assert rows[2]["rule_top_trigram_char_frac"] is False
+    assert rows[2]["gopher_keep"] is False
+
+
+def test_gopher_plan_is_jvm_only_without_repetition(spark):
+    df = spark.createDataFrame([(1, PROSE)], "doc_id int, text string")
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_gopher_stopword_list_is_papers(spark):
+    assert GOPHER_STOPWORDS == (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )
