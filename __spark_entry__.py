@@ -824,12 +824,30 @@ def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     stats = curation.contamination_stats(docs, bench, n=13)
-    return stats.agg(
+    gram = stats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
         F.sum("n_matched").alias("total_matched"),
         F.max("n_matched").alias("max_matched"),
     )
+    # semantic (embedding-level) decontamination rides the same slot:
+    # benchmark = vec_id % 20 embeddings, exact matmul path (float64),
+    # tau=0.8 sits 0.2 away from every non-self similarity in the data
+    emb = _load(spark, sf_dir, "embeddings")
+    sem = curation.semantic_contamination_stats(
+        emb,
+        emb.filter(F.col("vec_id") % 20 == 0),
+        id_column="vec_id",
+        threshold=0.8,
+    )
+    sem_agg = sem.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("contaminated").cast("bigint")).alias(
+            "n_sem_contaminated"
+        ),
+        F.round(F.avg("bench_max_sim"), 6).alias("avg_max_sim"),
+    )
+    return gram.crossJoin(sem_agg)
 
 
 # Planted PII fixture: built identically in Spark (createDataFrame) and
@@ -2640,13 +2658,26 @@ def _decontam_sql(n: int = 13, bench_mod: int = 25) -> str:
         f"WHERE doc_id % {bench_mod} = 0), "
         "dg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
         "m AS (SELECT doc_id, count(*) AS n_matched FROM dg "
-        "JOIN bg USING (gram) GROUP BY doc_id) "
-        "SELECT count(*)::BIGINT AS n_docs, "
+        "JOIN bg USING (gram) GROUP BY doc_id), "
+        "base AS (SELECT count(*)::BIGINT AS n_docs, "
         "(count(*) FILTER (WHERE coalesce(n_matched, 0) >= 1))::BIGINT "
         "AS n_contaminated, "
         "coalesce(sum(n_matched), 0)::BIGINT AS total_matched, "
         "coalesce(max(n_matched), 0)::BIGINT AS max_matched "
-        "FROM g LEFT JOIN m USING (doc_id)"
+        "FROM g LEFT JOIN m USING (doc_id)), "
+        # semantic replica: exact brute-force max cosine vs the
+        # vec_id%20 benchmark (the Spark side runs the matmul UDF in
+        # float64; both engines cast the float32 parquet to double)
+        "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "eb AS (SELECT v FROM ev WHERE vec_id % 20 = 0), "
+        "sm AS (SELECT ev.vec_id, "
+        "max(list_cosine_similarity(ev.v, eb.v)) AS ms "
+        "FROM ev, eb GROUP BY ev.vec_id), "
+        "sem AS (SELECT count(*)::BIGINT AS n_vecs, "
+        "(count(*) FILTER (WHERE ms >= 0.8))::BIGINT AS "
+        "n_sem_contaminated, round(avg(ms), 6)::DOUBLE AS avg_max_sim "
+        "FROM sm) "
+        "SELECT base.*, sem.* FROM base, sem"
     )
 
 

@@ -57,6 +57,8 @@ __all__ = [
     "contamination_stats",
     "contamination_stats_setfilter",
     "decontaminate",
+    "semantic_contamination_stats",
+    "semantic_decontaminate",
     "PII_PATTERNS",
     "luhn_valid",
     "pii_counts",
@@ -518,6 +520,143 @@ PII_PATTERNS: Dict[str, str] = {
     ),
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
 }
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination_stats(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    embedding_column: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "matmul",
+    n_bits: int = 14,
+    seed: int = 42,
+    max_benchmark_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-level benchmark contamination: for every corpus row,
+    the max cosine similarity to ANY benchmark embedding, plus the
+    ``contaminated`` flag (``max >= threshold``).  This is the semantic
+    complement of the 13-gram rule — it catches paraphrased /
+    reformatted eval leakage that shares no long n-gram (the embedding
+    analog of the decontamination recipes in Brown et al. 2020 app. C;
+    same construction as SemDeDup's cosine screen, Abbas et al. 2023).
+
+    Two physical strategies, both benchmark-small by construction:
+
+    * ``method='matmul'`` (default, EXACT): the benchmark matrix is
+      collected once (guarded by ``max_benchmark_rows``; ~100k × 256-d
+      float64 ≈ 200 MB — eval benchmarks are orders smaller), L2-
+      normalized, and shipped to executors by closure like the IVF-PQ
+      codebooks; ONE Arrow-batched pandas UDF computes a per-batch
+      ``E @ B.T`` row-max.  No shuffle at all — the corpus side is a
+      pure linear scan, so 10^12 rows stream through at matmul speed.
+    * ``method='lsh'`` (approximate, for benchmarks too big to ship):
+      sign-LSH signatures on both sides (``similarity.lsh_signature``),
+      the benchmark side DISTINCT'd + broadcast, bucket-equality join,
+      exact-cosine refine, per-doc max.  Recall follows the sign-LSH
+      collision bound — high at the ~0.95 thresholds this rule runs at;
+      rows with no colliding candidate report a null ``bench_max_sim``.
+
+    Null embeddings yield null similarity and ``contaminated=false``.
+    Appends ``bench_max_sim`` (double) + ``contaminated`` (boolean)."""
+    from great_expectations_spark.functions import similarity as sim
+
+    bench = benchmark_df.select(
+        F.col(embedding_column).alias("__be")
+    ).filter(F.col("__be").isNotNull())
+    if method == "matmul":
+        import numpy as np
+
+        rows = bench.limit(max_benchmark_rows + 1).collect()
+        if len(rows) > max_benchmark_rows:
+            raise ValueError(
+                f"benchmark has more than {max_benchmark_rows} embeddings; "
+                "raise max_benchmark_rows or use method='lsh'"
+            )
+        if not rows:
+            out = df.withColumn(
+                "bench_max_sim", F.lit(None).cast("double")
+            )
+            return out.withColumn("contaminated", F.lit(False))
+        B = np.array([r["__be"] for r in rows], dtype=np.float64)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def max_sim(embs: pd.Series) -> pd.Series:
+            mask = embs.notna()
+            if not mask.any():
+                return pd.Series([None] * len(embs), dtype="float64")
+            E = np.stack(embs[mask].to_numpy()).astype(np.float64)
+            En = E / np.maximum(
+                np.linalg.norm(E, axis=1, keepdims=True), 1e-30
+            )
+            best = (En @ Bn.T).max(axis=1)
+            out = pd.Series([np.nan] * len(embs), dtype="float64")
+            out[mask.to_numpy()] = best
+            return out
+
+        out = df.withColumn(
+            "bench_max_sim",
+            F.when(
+                F.col(embedding_column).isNotNull(),
+                max_sim(F.col(embedding_column)),
+            ),
+        )
+    elif method == "lsh":
+        first = bench.select(F.size("__be").alias("d")).first()
+        if first is None:
+            out = df.withColumn(
+                "bench_max_sim", F.lit(None).cast("double")
+            )
+            return out.withColumn("contaminated", F.lit(False))
+        planes = sim.random_hyperplanes(int(first["d"]), n_bits, seed)
+        bsig = bench.select(
+            "__be", sim.lsh_signature(F.col("__be"), planes).alias("__sig")
+        ).dropDuplicates(["__sig", "__be"])
+        corpus = df.filter(F.col(embedding_column).isNotNull()).select(
+            F.col(id_column).alias("__cid"),
+            F.col(embedding_column).alias("__ce"),
+            sim.lsh_signature(F.col(embedding_column), planes).alias(
+                "__sig"
+            ),
+        )
+        best = (
+            corpus.join(F.broadcast(bsig), "__sig")
+            .select(
+                "__cid",
+                sim.cosine(F.col("__ce"), F.col("__be")).alias("__cos"),
+            )
+            .groupBy("__cid")
+            .agg(F.max("__cos").alias("bench_max_sim"))
+        )
+        out = df.join(
+            best, df[id_column] == best["__cid"], "left"
+        ).drop("__cid")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return out.withColumn(
+        "contaminated",
+        F.coalesce(
+            F.col("bench_max_sim") >= F.lit(float(threshold)), F.lit(False)
+        ),
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame, benchmark_df: DataFrame, **kwargs
+) -> DataFrame:
+    """Drop corpus rows semantically contaminated by the benchmark
+    (the filtering form of :func:`semantic_contamination_stats`)."""
+    flagged = semantic_contamination_stats(df, benchmark_df, **kwargs)
+    return flagged.filter(~F.col("contaminated")).select(*df.columns)
+
 
 def _luhn_pred_col(d: Column) -> Column:
     """Luhn predicate over a digit-string Column — pure SQL
@@ -1016,6 +1155,8 @@ def curate_corpus(
     text_column: str = "text",
     c4: bool = False,
     c4_kwargs: Optional[Dict[str, object]] = None,
+    gopher: bool = False,
+    gopher_kwargs: Optional[Dict[str, object]] = None,
     dedup_method: Optional[str] = None,
     dedup_threshold: float = 0.7,
     dedup_kwargs: Optional[Dict[str, object]] = None,
@@ -1024,6 +1165,9 @@ def curate_corpus(
     benchmark_df: Optional[DataFrame] = None,
     decontam_n: int = 13,
     decontam_min_matches: int = 1,
+    semantic_benchmark_df: Optional[DataFrame] = None,
+    semantic_threshold: float = 0.95,
+    embedding_column: str = "embedding",
     drop_pii_kinds: Optional[List[str]] = None,
     redact_kinds: Optional[List[str]] = None,
     quality_model: Optional[Dict[str, object]] = None,
@@ -1036,7 +1180,8 @@ def curate_corpus(
     with_report: bool = False,
 ) -> Tuple[DataFrame, List[Dict[str, object]]]:
     """One-call training-corpus curation, staged in the canonical
-    pipeline order: **C4 line-clean → dedup → exact-substring removal →
+    pipeline order: **C4 line-clean → Gopher gate → dedup →
+    exact-substring removal → decontaminate (n-gram) → semantic
     decontaminate → drop-PII → redact-PII → quality filter →
     perplexity filter → mixture resample**.  Every
     stage is optional (None
@@ -1050,6 +1195,14 @@ def curate_corpus(
       al. 2020) as the first stage — raw scraped text is cleaned
       BEFORE dedup so boilerplate lines don't manufacture near-dup
       pairs; ``c4_kwargs`` passes rule overrides through.
+    * ``gopher``: enable the :func:`~great_expectations_spark.functions.
+      text.gopher_filter` quality gate (Rae et al. 2021) after C4
+      cleaning; ``gopher_kwargs`` passes ``thresholds`` /
+      ``with_repetition`` through.
+    * ``semantic_benchmark_df``: embedding frame for
+      :func:`semantic_decontaminate` (requires ``embedding_column`` on
+      the corpus); runs after the n-gram rule so both leak channels are
+      closed.
     * ``dedup_method``: ``exact | minhash | ngram | simhash``
       (``functions.dedup.dedup_corpus``) or ``semantic``
       (``similarity.semantic_dedup`` — pass ``embedding_column=`` etc.
@@ -1089,6 +1242,12 @@ def curate_corpus(
     if c4:
         out = c4_clean(out, text_column=text_column, **(c4_kwargs or {}))
         record("c4_clean", out)
+    if gopher:
+        from great_expectations_spark.functions.text import gopher_filter
+
+        out = gopher_filter(out, text_column=text_column,
+                            **(gopher_kwargs or {}))
+        record("gopher", out)
     if dedup_method:
         kw = dict(dedup_kwargs or {})
         if dedup_method == "semantic":
@@ -1132,6 +1291,15 @@ def curate_corpus(
             min_matches=decontam_min_matches,
         )
         record("decontaminate", out)
+    if semantic_benchmark_df is not None:
+        out = semantic_decontaminate(
+            out,
+            semantic_benchmark_df,
+            id_column=id_column,
+            embedding_column=embedding_column,
+            threshold=semantic_threshold,
+        )
+        record("semantic_decontaminate", out)
     if drop_pii_kinds:
         any_pii = None
         for c in pii_counts(F.col(text_column), drop_pii_kinds).values():

@@ -228,3 +228,123 @@ def test_gopher_stopword_list_is_papers(spark):
     assert GOPHER_STOPWORDS == (
         "the", "be", "to", "of", "and", "that", "have", "with",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-level) decontamination
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id int, embedding array<double>"
+    )
+
+
+def test_semantic_matmul_exact(spark):
+    corpus = _emb_df(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact benchmark copy -> 1.0
+            (2, [0.9, 0.1, 0.0]),   # near the first benchmark vector
+            (3, [0.0, 0.0, 1.0]),   # orthogonal to both -> 0.0
+            (4, None),              # null embedding -> null sim, kept
+        ],
+    )
+    bench = _emb_df(spark, [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])])
+    got = {
+        r["doc_id"]: r
+        for r in curation.semantic_contamination_stats(
+            corpus, bench, threshold=0.95
+        ).collect()
+    }
+    assert abs(got[1]["bench_max_sim"] - 1.0) < 1e-12
+    import math
+    expect2 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(got[2]["bench_max_sim"] - expect2) < 1e-12
+    assert abs(got[3]["bench_max_sim"] - 0.0) < 1e-12
+    assert got[4]["bench_max_sim"] is None
+    # cos(doc2, bench100) = 0.9/sqrt(0.82) ~= 0.994 >= 0.95 -> contaminated
+    assert [got[i]["contaminated"] for i in (1, 2, 3, 4)] == [
+        True, True, False, False,
+    ]
+    kept = curation.semantic_decontaminate(corpus, bench, threshold=0.95)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+    assert kept.columns == ["doc_id", "embedding"]
+
+
+def test_semantic_lsh_agrees_on_high_threshold(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 16))
+    rows, bench_rows = [], []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 3:  # benchmark = slightly perturbed copies of 3 vectors
+            bench_rows.append(
+                (100 + i, [float(x) for x in v + rng.normal(scale=1e-4, size=16)])
+            )
+    corpus, bench = _emb_df(spark, rows), _emb_df(spark, bench_rows)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in curation.semantic_contamination_stats(
+            corpus, bench, threshold=0.99
+        ).collect()
+    }
+    approx = {
+        r["doc_id"]: r["contaminated"]
+        for r in curation.semantic_contamination_stats(
+            corpus, bench, threshold=0.99, method="lsh", n_bits=8
+        ).collect()
+    }
+    # near-copies collide on every sign bit -> LSH finds all three
+    assert exact == approx
+    assert sum(exact.values()) == 3
+
+
+def test_semantic_guards(spark):
+    corpus = _emb_df(spark, [(1, [1.0, 0.0])])
+    bench = _emb_df(spark, [(9, [1.0, 0.0]), (10, [0.0, 1.0])])
+    try:
+        curation.semantic_contamination_stats(
+            corpus, bench, max_benchmark_rows=1
+        )
+        assert False, "cap not enforced"
+    except ValueError as e:
+        assert "max_benchmark_rows" in str(e)
+    empty = _emb_df(spark, [])
+    out = curation.semantic_contamination_stats(corpus, empty).collect()
+    assert out[0]["contaminated"] is False
+    assert out[0]["bench_max_sim"] is None
+
+
+def test_semantic_matmul_plan_has_no_shuffle(spark):
+    corpus = _emb_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    bench = _emb_df(spark, [(9, [1.0, 0.0])])
+    flagged = curation.semantic_contamination_stats(corpus, bench)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure linear scan + Arrow UDF
+
+
+def test_curate_corpus_gopher_and_semantic_stages(spark):
+    df = spark.createDataFrame(
+        [
+            (1, PROSE, [1.0, 0.0]),
+            (2, PROSE, [0.0, 1.0]),
+            (3, "too short", [0.5, 0.5]),
+        ],
+        "doc_id int, text string, embedding array<double>",
+    )
+    bench = _emb_df(spark, [(9, [2.0, 0.0])])
+    out, report = curation.curate_corpus(
+        df,
+        gopher=True,
+        semantic_benchmark_df=bench,
+        semantic_threshold=0.99,
+        with_report=True,
+    )
+    assert [r["stage"] for r in report] == [
+        "input", "gopher", "semantic_decontaminate",
+    ]
+    # doc 3 fails gopher; doc 1 is semantically contaminated (cos=1)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2]
