@@ -369,6 +369,35 @@ def main() -> None:
             .collect(),
         ),
         (
+            # C4 line-cleaner + Gopher structural gate, both pure JVM
+            # projections (functions/curation.py c4_stats, functions/
+            # text.py gopher_rules) — one scan, no shuffle
+            "c4_gopher_gate",
+            lambda: gxtext.gopher_rules(
+                curation.c4_stats(documents)
+            )
+            .agg(
+                F.sum(F.col("c4_keep").cast("int")),
+                F.sum(F.col("gopher_keep").cast("int")),
+                F.sum("gopher_n_words"),
+            )
+            .collect(),
+        ),
+        (
+            # semantic decontamination, exact matmul path: benchmark
+            # embeddings collected+normalized once, corpus streams
+            # through one Arrow batch matmul (no shuffle)
+            "semantic_decontam",
+            lambda: curation.semantic_contamination_stats(
+                emb,
+                emb.filter(F.col("vec_id") % 20 == 0),
+                id_column="vec_id",
+                threshold=0.8,
+            )
+            .agg(F.sum(F.col("contaminated").cast("int")))
+            .collect(),
+        ),
+        (
             # sequence packing: distributed two-phase prefix sum over
             # hash buckets (functions/packing.py) — count materializes
             # the per-doc block spans
