@@ -348,3 +348,33 @@ def test_curate_corpus_gopher_and_semantic_stages(spark):
     ]
     # doc 3 fails gopher; doc 1 is semantically contaminated (cos=1)
     assert sorted(r["doc_id"] for r in out.collect()) == [2]
+
+
+def test_c4_gopher_work_under_structured_streaming(spark, tmp_path):
+    """Both gates are stateless projections, so they compose with
+    readStream unchanged — the streaming corpus-curation path."""
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, GOOD_PAGE), (2, "Lorem ipsum dolor sit amet."), (3, PROSE)],
+        "doc_id int, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id int, text string").parquet(src)
+    flagged = gopher_rules(curation.c4_stats(stream)).select(
+        "doc_id", "c4_keep", "gopher_keep"
+    )
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("gx_c4_gopher")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM gx_c4_gopher").collect()
+    }
+    assert rows[1]["c4_keep"] is True and rows[2]["c4_keep"] is False
+    # PROSE is one long unpunctuated-line page: C4 keeps the line (ends
+    # with '.') and Gopher passes it outright
+    assert rows[3]["gopher_keep"] is True

@@ -189,3 +189,71 @@ def test_redact_idempotent_and_scrubs(spark, parts, sep):
     for kind in cur.PII_PATTERNS:
         if kind != "credit_card":
             assert row[f"c_{kind}"] == 0, (kind, row["r"])
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (random pages vs a literal Python oracle)
+# ---------------------------------------------------------------------------
+
+_C4_LINES = [
+    "",                                   # blank
+    "word",                               # 1 word, terminal-less
+    "three short words.",                 # kept
+    "Tiny.",                              # < 3 words
+    "please enable javascript now.",      # line drop word
+    "Does this question count here?",     # kept, '?'
+    "ends with end quote mark words\"",   # kept, '"'
+    "no terminal punctuation on this",    # dropped
+    "  padded   whitespace   line.  ",    # trims, kept
+]
+_C4_PAGE_POISON = ["", "lorem ipsum\n", "code { marker\n"]
+
+c4_page = st.builds(
+    lambda poison, lines: (poison + "\n".join(lines)) if lines or poison else None,
+    st.sampled_from(_C4_PAGE_POISON),
+    st.lists(st.sampled_from(_C4_LINES), min_size=0, max_size=10),
+)
+
+
+def _py_c4_clean(text, min_words=3, min_sentences=5):
+    if text is None:
+        return None
+    kept = []
+    for ln in text.split("\n"):
+        ln = ln.strip()
+        if not ln or not re.search(r'[.?!"]$', ln):
+            continue
+        if len(re.split(r"\s+", ln)) < min_words:
+            continue
+        if "javascript" in ln.lower():
+            continue
+        kept.append(ln)
+    clean = "\n".join(kept)
+    low = text.lower()
+    if "lorem ipsum" in low or "{" in low:
+        return None
+    if len(re.findall(r"[.?!]", clean)) < min_sentences:
+        return None
+    return clean
+
+
+@settings(**SETTINGS)
+@given(
+    pages=st.lists(c4_page, min_size=1, max_size=8),
+    min_words=st.integers(min_value=1, max_value=4),
+    min_sentences=st.integers(min_value=0, max_value=4),
+)
+def test_c4_matches_python(spark, pages, min_words, min_sentences):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "id int, text string"
+    )
+    got = {
+        r["id"]: (r["c4_keep"], r["c4_clean_text"])
+        for r in cur.c4_stats(
+            df, min_words_per_line=min_words, min_sentences=min_sentences
+        ).collect()
+    }
+    for i, p in enumerate(pages):
+        expect = _py_c4_clean(p, min_words, min_sentences)
+        assert got[i][0] == (expect is not None), (i, p)
+        assert got[i][1] == expect, (i, p)
