@@ -273,6 +273,12 @@ def gopher_rules(
     true).  ``thresholds`` overrides any :data:`GOPHER_DEFAULTS` key;
     set a key to None to disable that rule."""
     th = dict(GOPHER_DEFAULTS)
+    unknown = set(thresholds or {}) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(
+            f"unknown gopher threshold keys {sorted(unknown)}; "
+            f"valid: {sorted(GOPHER_DEFAULTS)}"
+        )
     th.update(thresholds or {})
     if with_repetition:
         df = repetition_stats(df, text_column=text_column)

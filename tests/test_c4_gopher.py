@@ -378,3 +378,12 @@ def test_c4_gopher_work_under_structured_streaming(spark, tmp_path):
     # PROSE is one long unpunctuated-line page: C4 keeps the line (ends
     # with '.') and Gopher passes it outright
     assert rows[3]["gopher_keep"] is True
+
+
+def test_gopher_unknown_threshold_key_rejected(spark):
+    df = spark.createDataFrame([(1, PROSE)], "doc_id int, text string")
+    try:
+        gopher_rules(df, thresholds={"min_wordz": 10})
+        assert False, "typo key accepted"
+    except ValueError as e:
+        assert "min_wordz" in str(e)
