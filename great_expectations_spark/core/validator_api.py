@@ -49,6 +49,10 @@ def _rest_arg_keys(name: str) -> List[str]:
     keep working verbatim through the shim."""
     if name == "expect_multicolumn_sum_to_equal":
         return ["sum_total"]
+    if name == "expect_column_quantile_values_to_be_between":
+        # v2 signature takes quantile_ranges second, NOT min/max —
+        # must beat the generic _to_be_between suffix rule below
+        return ["quantile_ranges"]
     if name.endswith("_to_be_between") or name.endswith(
         "_to_be_strictly_between"
     ):

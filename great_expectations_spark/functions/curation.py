@@ -1115,32 +1115,21 @@ def perplexity_score(
 def model_save(spark, model: Dict[str, object], path: str) -> None:
     """Persist a plain-dict model (:func:`train_ngram_lm`,
     :func:`train_quality_classifier`) as JSON through Spark's Hadoop
-    FileSystem — any scheme the session reaches (same mechanism as
-    ``tokenize.bpe_save`` / ``similarity.ivfpq_write``)."""
-    import json
+    FileSystem — any scheme the session reaches (shared helper with
+    ``tokenize.bpe_save``)."""
+    from great_expectations_spark.functions._hadoop_io import (
+        hadoop_json_save,
+    )
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(json.dumps(model).encode("utf-8")))
-    finally:
-        out.close()
+    hadoop_json_save(spark, model, path)
 
 
 def model_load(spark, path: str) -> Dict[str, object]:
-    import json
+    from great_expectations_spark.functions._hadoop_io import (
+        hadoop_json_load,
+    )
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    try:
-        payload = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(payload)
+    return hadoop_json_load(spark, path)
 
 
 # ---------------------------------------------------------------------------

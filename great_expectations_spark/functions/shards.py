@@ -74,7 +74,12 @@ def _assignments(
     bucket_column: Optional[str],
     num_buckets: int,
 ) -> Tuple[DataFrame, int, int]:
-    """(assignments frame, n_shards, total_rows) — one bounded collect."""
+    """(df + ``shard``/``order_idx`` columns, n_shards, total_rows) —
+    one bounded collect.  The assignment rides the input frame itself
+    (no join back on the id), so null or duplicate ids cannot drop or
+    multiply rows; duplicate ids merely make the tie order within their
+    bucket partition-dependent (document ids are unique in any sane
+    corpus — uniqueness is the caller's contract, not enforced here)."""
     if (rows_per_shard is None) == (tokens_per_shard is None):
         raise ValueError(
             "pass exactly one of rows_per_shard / tokens_per_shard"
@@ -98,16 +103,15 @@ def _assignments(
         if bucket_column is not None
         else F.pmod(F.xxhash64(F.col(id_column)), F.lit(num_buckets))
     )
-    slim = df.select(
-        F.col(id_column).alias(_ID),
-        bucket.alias(_BUCKET),
-        weight.alias(_WEIGHT),
-    )
+    for reserved in (_BUCKET, _WEIGHT, _LOCAL, _BASE, "__bb"):
+        if reserved in df.columns:
+            raise ValueError(f"reserved column name in input: {reserved}")
+    work = df.withColumn(_BUCKET, bucket).withColumn(_WEIGHT, weight)
 
     # bounded O(num_buckets) driver step — same shape as
     # packing.pack_concat_chunks phase 1 (one partial-agg row per bucket)
     totals = (
-        slim.groupBy(_BUCKET)
+        work.groupBy(_BUCKET)
         .agg(
             F.sum(_WEIGHT).alias("__sum"),
             F.count(F.lit(1)).alias("__rows"),
@@ -123,15 +127,15 @@ def _assignments(
         1 if total_rows else 0
     )
     bases = df.sparkSession.createDataFrame(
-        offsets, schema=slim.select(_BUCKET).schema.add(_BASE, "long")
+        offsets, schema=work.select(_BUCKET).schema.add(_BASE, "long")
     )
 
     w = (
         Window.partitionBy(_BUCKET)
-        .orderBy(_ID)
+        .orderBy(F.col(id_column))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = slim.withColumn(
+    local = work.withColumn(
         _LOCAL, F.coalesce(F.sum(_WEIGHT).over(w), F.lit(0))
     )
     out = (
@@ -141,16 +145,14 @@ def _assignments(
             "left",
         )
         .withColumn("order_idx", F.col(_BASE) + F.col(_LOCAL))
-        .select(
-            F.col(_ID).alias(id_column),
+        .withColumn(
+            "shard",
             F.least(
                 F.floor(F.col("order_idx") / per_shard),
                 F.lit(max(n_shards - 1, 0)),
-            )
-            .cast("int")
-            .alias("shard"),
-            "order_idx",
+            ).cast("int"),
         )
+        .select(*df.columns, "shard", "order_idx")
     )
     return out, n_shards, total_rows
 
@@ -191,7 +193,7 @@ def shard_assignments(
         bucket_column,
         num_buckets,
     )
-    return out
+    return out.select(id_column, "shard", "order_idx")
 
 
 def write_shards(
@@ -212,12 +214,13 @@ def write_shards(
     ``path/shard=K/`` (one file per shard, canonical in-shard order).
 
     Two full-data exchanges total: the per-bucket window (order
-    assignment, riding the assignment join) and the repartition-by-
-    shard before the write; the shard and row counts come from the
-    assignment phase's bounded per-bucket collect, so no extra
-    driver job scans the corpus.  Returns ``{"n_shards", "rows"}``.
+    assignment, computed ON the payload rows — no join back on the id,
+    so null/duplicate ids can never drop or multiply rows) and the
+    repartition-by-shard before the write; the shard and row counts
+    come from the assignment phase's bounded per-bucket collect, so no
+    extra driver job scans the corpus.  Returns ``{"n_shards", "rows"}``.
     """
-    assigns, n_shards, total_rows = _assignments(
+    assigned, n_shards, total_rows = _assignments(
         df,
         id_column,
         rows_per_shard,
@@ -235,11 +238,10 @@ def write_shards(
             "shard", F.lit(0).cast("int")
         ).write.format(format).mode(mode).save(path)
         return {"n_shards": 0, "rows": 0}
-    joined = df.join(assigns, id_column)
     # each shard hashes to exactly one task → partitionBy emits exactly
     # one file per shard directory; sortWithinPartitions pins the order
     (
-        joined.repartition(n_shards, "shard")
+        assigned.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "order_idx")
         .drop("order_idx")
         .write.format(format)

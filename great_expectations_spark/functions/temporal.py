@@ -233,12 +233,24 @@ def range_join(
         raise ValueError("binned strategy requires bin_width > 0")
 
     w = float(bin_width)
-    bin_of = lambda c: F.floor(c.cast("double") / F.lit(w))  # noqa: E731
+
+    def bin_of(c: Column, datatype) -> Column:
+        # _as_seconds handles TIMESTAMP_NTZ (direct NTZ→DOUBLE casts
+        # are rejected); bin_width is then in seconds for timestamps
+        return F.floor(_as_seconds(c, datatype) / F.lit(w))
+
     iv = intervals.withColumn(
-        "__bin", F.explode(F.sequence(bin_of(F.col(lo_col)),
-                                      bin_of(F.col(hi_col))))
+        "__bin",
+        F.explode(
+            F.sequence(
+                bin_of(F.col(lo_col), intervals.schema[lo_col].dataType),
+                bin_of(F.col(hi_col), intervals.schema[hi_col].dataType),
+            )
+        ),
     )
-    pt = points.withColumn("__bin", bin_of(F.col(point_col)))
+    pt = points.withColumn(
+        "__bin", bin_of(F.col(point_col), points.schema[point_col].dataType)
+    )
     joined = pt.join(iv, ["__bin"]).filter(cond).drop("__bin")
     if how == "inner":
         return joined

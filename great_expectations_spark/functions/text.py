@@ -297,14 +297,16 @@ def gopher_rules(
         lo = th["min_words"] if th["min_words"] is not None else 0
         hi = th["max_words"] if th["max_words"] is not None else 1 << 62
         add("rule_word_count", g("n_words").between(int(lo), int(hi)))
-    if th["min_mean_word_len"] is not None:
-        add(
-            "rule_mean_word_len",
-            g("mean_word_len").between(
-                float(th["min_mean_word_len"]),
-                float(th["max_mean_word_len"]),
-            ),
-        )
+    if th["min_mean_word_len"] is not None or th["max_mean_word_len"] is not None:
+        lo = th["min_mean_word_len"]
+        hi = th["max_mean_word_len"]
+        cond = None
+        if lo is not None:
+            cond = g("mean_word_len") >= float(lo)
+        if hi is not None:
+            upper = g("mean_word_len") <= float(hi)
+            cond = upper if cond is None else (cond & upper)
+        add("rule_mean_word_len", cond)
     if th["max_symbol_word_ratio"] is not None:
         add(
             "rule_symbol_ratio",

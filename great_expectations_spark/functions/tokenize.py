@@ -194,28 +194,19 @@ def bpe_decode_py(ids: List[int], tokenizer: Dict[str, object]) -> str:
 
 def bpe_save(spark, tokenizer: Dict[str, object], path: str) -> None:
     """Persist through Spark's Hadoop FileSystem (any scheme the
-    session reaches — same mechanism as ``similarity.ivfpq_write``)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(json.dumps(tokenizer).encode("utf-8")))
-    finally:
-        out.close()
+    session reaches)."""
+    from great_expectations_spark.functions._hadoop_io import (
+        hadoop_json_save,
+    )
+
+    hadoop_json_save(spark, tokenizer, path)
 
 
 def bpe_load(spark, path: str) -> Dict[str, object]:
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    try:
-        payload = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    t = json.loads(payload)
+    from great_expectations_spark.functions._hadoop_io import (
+        hadoop_json_load,
+    )
+
+    t = hadoop_json_load(spark, path)
     t["merges"] = [tuple(m) for m in t["merges"]]
     return t

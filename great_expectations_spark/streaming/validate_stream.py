@@ -429,6 +429,26 @@ def windowed_categorical_drift(
     )
 
 
+def _stable_run_id(checkpoint_location) -> str:
+    """Run id for the near-dedup band store.  It must be STABLE across
+    process restarts of the SAME query: after a crash the restarted
+    query replays the last uncommitted epoch, and the replay must see
+    its own prior partial band writes as "this run, same epoch"
+    (invisible) — a fresh uuid per invocation would make them look like
+    an earlier run's rows and silently drop the whole replayed batch as
+    duplicates.  The checkpoint location identifies the query (it also
+    owns the epoch sequence); only an ephemeral query with no
+    checkpoint gets a random id."""
+    import hashlib
+    import uuid
+
+    if checkpoint_location:
+        return hashlib.md5(
+            str(checkpoint_location).encode("utf-8")
+        ).hexdigest()
+    return uuid.uuid4().hex
+
+
 def _visible_band_state(
     state_df: DataFrame, run_id: str, epoch_id: int
 ) -> DataFrame:
@@ -489,9 +509,7 @@ def streaming_near_dedup(
 
     Returns the started StreamingQuery.
     """
-    import uuid
-
-    run_id = uuid.uuid4().hex
+    run_id = _stable_run_id(checkpoint_location)
     from great_expectations_spark.functions.dedup import minhash_band_keys
 
     if state_path is None or on_survivors is None:
@@ -668,10 +686,32 @@ def streaming_asof_enrich(
             F.struct(*[F.col(f.name) for f in right_payload_fields])
         ).alias("__pay"),
     )
+    # right rows with null key/ts can never match (the batch operator
+    # filters them identically); LEFT rows with null key/ts are still
+    # emitted — unenriched, bypassing the stateful operator — so the
+    # "every left row exactly once" contract holds (batch parity: a
+    # null-key left row matches nothing because null-key right rows are
+    # gone, and a null-ts left row sorts before every right row)
     u = (
-        l_tagged.unionByName(r_tagged)
-        .filter(F.col("__k").isNotNull() & F.col("__ts").isNotNull())
+        l_tagged.filter(
+            F.col("__k").isNotNull() & F.col("__ts").isNotNull()
+        )
+        .unionByName(
+            r_tagged.filter(
+                F.col("__k").isNotNull() & F.col("__ts").isNotNull()
+            )
+        )
         .withWatermark("__ts", delay_threshold)
+    )
+    null_left = left.filter(
+        F.col(key).isNull() | F.col(ts).isNull()
+    ).select(
+        *[F.col(c) for c in left_names],
+        *[
+            F.lit(None).cast(f.dataType).alias(out_names[f.name])
+            for f in right_payload_fields
+        ],
+        F.lit(False).alias("asof_late"),
     )
 
     tol_ns = None if tolerance is None else int(float(tolerance) * 1e9)
@@ -730,7 +770,23 @@ def streaming_asof_enrich(
         for i, (t, _) in enumerate(rhist):
             if t <= wm_ns:
                 keep_from = i
-        state.update((rhist[keep_from:][-max_history:], hold))
+        pruned = rhist[keep_from:][-max_history:]  # rhist itself stays
+        # full for the match loop below — this batch's flush may match
+        # right rows older than the one the pruned state retains
+        if pruned or hold:
+            state.update((pruned, hold))
+            if hold:
+                # quiet keys must still flush: arm a processing-time
+                # timer so the key wakes on the NEXT micro-batch, checks
+                # the (possibly advanced) watermark, flushes what's ripe
+                # and re-arms.  ProcessingTimeTimeout deliberately, NOT
+                # EventTimeTimeout: the event-time variant makes Spark
+                # pre-filter input rows older than the watermark, which
+                # would silently drop the late rows this operator
+                # promises to emit flagged asof_late
+                state.setTimeoutDuration(1)
+        else:
+            state.remove()  # nothing a future row could ever match
 
         if not flush:
             return
@@ -762,7 +818,7 @@ def streaming_asof_enrich(
             out[c] = pd.to_datetime(out[c], format="ISO8601")
         yield out
 
-    return u.groupBy("__k").applyInPandasWithState(
+    enriched = u.groupBy("__k").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=(
@@ -770,5 +826,6 @@ def streaming_asof_enrich(
             "pend array<struct<t:long, p:string>>"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+    return enriched.unionByName(null_left)

@@ -387,3 +387,20 @@ def test_gopher_unknown_threshold_key_rejected(spark):
         assert False, "typo key accepted"
     except ValueError as e:
         assert "min_wordz" in str(e)
+
+
+def test_gopher_mean_word_len_bounds_disable_independently(spark):
+    long_words = " ".join(["supercalifragilistic"] * 60)  # mean len 20
+    df = spark.createDataFrame([(1, long_words)], "doc_id int, text string")
+    # max disabled -> mean-len 20 passes the remaining min-only rule
+    r1 = gopher_rules(df, thresholds={"max_mean_word_len": None}).collect()[0]
+    assert r1["rule_mean_word_len"] is True
+    # min disabled -> the max rule still fails mean-len 20
+    r2 = gopher_rules(df, thresholds={"min_mean_word_len": None}).collect()[0]
+    assert r2["rule_mean_word_len"] is False
+    # both disabled -> rule gone entirely
+    flagged = gopher_rules(
+        df,
+        thresholds={"min_mean_word_len": None, "max_mean_word_len": None},
+    )
+    assert "rule_mean_word_len" not in flagged.columns

@@ -545,3 +545,62 @@ def test_near_dedup_replay_visibility(spark):
         r["band"] for r in _visible_band_state(state, "runA", 1).collect()
     )
     assert got == [1, 4]
+
+
+def test_near_dedup_replay_after_restart_keeps_batch(spark, tmp_path):
+    """Crash-replay simulation: the state rows a failed attempt wrote
+    for epoch 0 must be INVISIBLE when the restarted query (same
+    checkpoint location => same stable run_id) re-processes epoch 0 —
+    a per-invocation random run_id would make the replayed batch see
+    its own bands as prior registrations and drop every row."""
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.functions.dedup import minhash_band_keys
+    from great_expectations_spark.streaming.validate_stream import (
+        _stable_run_id,
+        streaming_near_dedup,
+    )
+
+    # stable across invocations for the same checkpoint, unique without
+    ckpt = str(tmp_path / "nd_ckpt")
+    assert _stable_run_id(ckpt) == _stable_run_id(ckpt)
+    assert _stable_run_id(ckpt) != _stable_run_id(ckpt + "_other")
+    assert _stable_run_id(None) != _stable_run_id(None)
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts carefully measure the gravitational field of a "
+        "distant moon using handmade instruments and patient arithmetic"
+    )
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10, text)], "doc_id long, ord long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    state = str(tmp_path / "nd_state")
+
+    # simulate the FAILED first attempt: its epoch-0 band keys reached
+    # the state store, but the checkpoint never committed
+    batch = spark.read.parquet(str(src / "b1"))
+    minhash_band_keys(
+        batch, "doc_id", text_column="text", extra_columns=["ord"]
+    ).select("band", "bucket").distinct().withColumn(
+        "run_id", F.lit(_stable_run_id(ckpt))
+    ).withColumn("epoch", F.lit(0)).write.parquet(state)
+
+    # the restarted query replays epoch 0 over the same data
+    survivors = {}
+    stream = spark.readStream.schema(
+        "doc_id long, ord long, text string"
+    ).parquet(str(src) + "/*")
+    q = streaming_near_dedup(
+        stream, "doc_id", "ord", column="text", state_path=state,
+        on_survivors=lambda e, df: survivors.update(
+            {r["doc_id"]: r["text"] for r in df.collect()}
+        ),
+        checkpoint_location=ckpt,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    # the replayed batch keeps its rows (original verdict reproduced)
+    assert set(survivors) == {1}

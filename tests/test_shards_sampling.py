@@ -210,3 +210,26 @@ def test_sampling_validation(spark):
         sa.sample_per_key(df, "src", 0)
     with pytest.raises(ValueError):
         sa.split_train_holdout(df, -0.1)
+
+
+def test_write_shards_keeps_null_and_duplicate_ids(spark, tmp_path):
+    """Assignment rides the payload rows (no join back on the id):
+    null ids and duplicate ids land in the output exactly once each."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (2, "d"), (None, "e")],
+        "doc_id int, text string",
+    )
+    path = str(tmp_path / "nulldup_shards")
+    report = sh.write_shards(df, path, rows_per_shard=2)
+    assert report["rows"] == 5
+    back = spark.read.parquet(path)
+    assert back.count() == 5
+    assert sorted(r["text"] for r in back.collect()) == list("abcde")
+    # shard sizes still respect the bound
+    sizes = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(sizes.values()) == 5 and max(sizes.values()) <= 3

@@ -146,3 +146,11 @@ def test_from_dataset_and_add_expectation(spark):
     assert len(suite.expectations) == 1
     result = b.validate()
     assert result.success is True
+
+
+def test_quantile_ranges_positional_v2_signature(ds):
+    """v2 signature takes quantile_ranges as the second positional —
+    the generic *_to_be_between min/max mapping must not catch it."""
+    qr = {"quantiles": [0.5], "value_ranges": [[1.0, 10.0]]}
+    res = ds.expect_column_quantile_values_to_be_between("x", qr)
+    assert res.success is True

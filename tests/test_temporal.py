@@ -307,8 +307,10 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
         assert rows[ident]["asof_late"] is False
     # the late row emitted best-effort (its match was pruned) and flagged
     assert rows[5]["asof_late"] is True and rows[5]["v"] is None
-    # the newest left is still awaiting the watermark: not emitted
-    assert 4 not in rows
+    # the newest left flushes via the processing-time timer once the
+    # watermark reaches its timestamp — no new data for its key needed
+    # (the round-4 quiet-key fix; it used to sit in state forever)
+    assert rows[4]["v"] == 300.0 and rows[4]["asof_late"] is False
     # right timestamp column survived the JSON round-trip with its type
     assert rows[1]["ts_r"] is not None
 
@@ -380,3 +382,94 @@ def test_asof_join_multiple_by_keys(spark):
         for r in asof_join(t, q, on="t", by=["k1", "k2"]).collect()
     }
     assert rows == {1: 111.0, 2: 222.0, 3: None}
+
+
+def test_streaming_asof_quiet_key_flushes_on_timer(spark, tmp_path):
+    """A key whose pending left rows see no further traffic must still
+    flush when OTHER keys advance the watermark (event-time timeout) —
+    and null-key left rows are emitted unenriched, not dropped."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.streaming.validate_stream import (
+        streaming_asof_enrich,
+    )
+
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+
+    def write(fname, rows, order):
+        with open(os.path.join(src, fname), "w") as f:
+            for side, k, t, ident, v in rows:
+                f.write(_json.dumps(
+                    {"side": side, "k": k, "t": t, "id": ident, "v": v}
+                ) + "\n")
+        stamp = time.time() + order * 100
+        os.utime(os.path.join(src, fname), (stamp, stamp))
+
+    # f1: key 'a' gets one right (t=10) + one left (t=20), plus a
+    # null-key left; 'a' then goes quiet forever
+    write("f1", [(0, "a", 10, None, 100.0), (1, "a", 20, 1, None),
+                 (1, None, 30, 9, None)], 0)
+    # f2/f3: only key 'b' traffic, advancing the watermark past t=20
+    write("f2", [(0, "b", 500, None, 1.0)], 1)
+    write("f3", [(0, "b", 600, None, 2.0)], 2)
+
+    stream = (
+        spark.readStream.schema(
+            "side int, k string, t long, id long, v double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("t")))
+    )
+    lstream = stream.filter(F.col("side") == 1).select("k", "ts", "id")
+    rstream = stream.filter(F.col("side") == 0).select("k", "ts", "v")
+    enriched = streaming_asof_enrich(
+        lstream, rstream, key="k", ts="ts", delay_threshold="0 seconds"
+    )
+    seen = []
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: seen.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["id"]: r for r in (x for batch in seen for x in batch)}
+    # the quiet key's row flushed via the timer, correctly enriched
+    assert 1 in rows, f"quiet-key left row never emitted: {rows}"
+    assert rows[1]["v"] == 100.0
+    assert rows[1]["asof_late"] is False
+    # the null-key left row was emitted unenriched (batch parity)
+    assert 9 in rows
+    assert rows[9]["v"] is None
+    assert rows[9]["k"] is None
+
+
+def test_range_join_binned_timestamp_ntz(spark):
+    """The binned strategy must bin TIMESTAMP(_NTZ) columns through the
+    seconds view (a direct NTZ->DOUBLE cast is rejected by ANSI Spark);
+    bin_width is then in seconds."""
+    pts = spark.sql(
+        "SELECT * FROM VALUES (1, timestamp_ntz'2024-01-01 00:10:00'), "
+        "(2, timestamp_ntz'2024-01-01 05:00:00') AS t(pid, ts)"
+    )
+    iv = spark.sql(
+        "SELECT * FROM VALUES "
+        "(10, timestamp_ntz'2024-01-01 00:00:00', "
+        " timestamp_ntz'2024-01-01 01:00:00') AS t(iid, lo, hi)"
+    )
+    got = range_join(
+        pts, iv, "ts", "lo", "hi", strategy="binned", bin_width=3600,
+        how="left", point_id="pid",
+    )
+    rows = {r["pid"]: r["iid"] for r in got.collect()}
+    assert rows == {1: 10, 2: None}
+    # agreement with the broadcast strategy on the same NTZ frames
+    b = range_join(pts, iv, "ts", "lo", "hi", strategy="broadcast")
+    assert [(r["pid"], r["iid"]) for r in b.collect()] == [(1, 10)]
