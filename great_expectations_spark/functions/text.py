@@ -251,6 +251,88 @@ def gopher_signals(col: Column) -> Dict[str, Column]:
     }
 
 
+def _merge_gopher_thresholds(
+    thresholds: Optional[Dict[str, object]],
+) -> Dict[str, object]:
+    th = dict(GOPHER_DEFAULTS)
+    unknown = set(thresholds or {}) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(
+            f"unknown gopher threshold keys {sorted(unknown)}; "
+            f"valid: {sorted(GOPHER_DEFAULTS)}"
+        )
+    th.update(thresholds or {})
+    return th
+
+
+def _gopher_rule_map(
+    sig: Dict[str, Column], th: Dict[str, object]
+) -> Dict[str, Column]:
+    """Per-rule boolean Columns from signal Columns (structural rules
+    only; null comparisons coalesce to False so a null/empty text fails
+    the gate through its rules, never through a null verdict)."""
+    rules: Dict[str, Column] = {}
+
+    def add(name: str, cond: Optional[Column]) -> None:
+        if cond is not None:
+            rules[name] = F.coalesce(cond, F.lit(False))
+
+    if th["min_words"] is not None or th["max_words"] is not None:
+        lo = th["min_words"] if th["min_words"] is not None else 0
+        hi = th["max_words"] if th["max_words"] is not None else 1 << 62
+        add("rule_word_count", sig["n_words"].between(int(lo), int(hi)))
+    if th["min_mean_word_len"] is not None or th["max_mean_word_len"] is not None:
+        cond = None
+        if th["min_mean_word_len"] is not None:
+            cond = sig["mean_word_len"] >= float(th["min_mean_word_len"])
+        if th["max_mean_word_len"] is not None:
+            upper = sig["mean_word_len"] <= float(th["max_mean_word_len"])
+            cond = upper if cond is None else (cond & upper)
+        add("rule_mean_word_len", cond)
+    if th["max_symbol_word_ratio"] is not None:
+        add(
+            "rule_symbol_ratio",
+            sig["symbol_word_ratio"] <= float(th["max_symbol_word_ratio"]),
+        )
+    if th["max_bullet_line_frac"] is not None:
+        add(
+            "rule_bullet_lines",
+            F.coalesce(sig["bullet_line_frac"], F.lit(0.0))
+            <= float(th["max_bullet_line_frac"]),
+        )
+    if th["max_ellipsis_line_frac"] is not None:
+        add(
+            "rule_ellipsis_lines",
+            F.coalesce(sig["ellipsis_line_frac"], F.lit(0.0))
+            <= float(th["max_ellipsis_line_frac"]),
+        )
+    if th["min_alpha_word_frac"] is not None:
+        add(
+            "rule_alpha_words",
+            sig["alpha_word_frac"] >= float(th["min_alpha_word_frac"]),
+        )
+    if th["min_stopwords"] is not None:
+        add(
+            "rule_stopwords",
+            sig["n_stopwords"] >= int(th["min_stopwords"]),
+        )
+    return rules
+
+
+def gopher_keep_expr(
+    col: Column, thresholds: Optional[Dict[str, object]] = None
+) -> Column:
+    """The Gopher structural gate as ONE boolean Column — usable inside
+    any projection, aggregation, or expectation (the repetition-stat
+    rules need the Arrow pass and live only in :func:`gopher_rules`)."""
+    th = _merge_gopher_thresholds(thresholds)
+    rules = _gopher_rule_map(gopher_signals(col), th)
+    keep = F.lit(True)
+    for cond in rules.values():
+        keep = keep & cond
+    return keep
+
+
 def gopher_rules(
     df: DataFrame,
     text_column: str = "text",
@@ -272,67 +354,16 @@ def gopher_rules(
     repetition rules (null comparisons stay null and are coalesced
     true).  ``thresholds`` overrides any :data:`GOPHER_DEFAULTS` key;
     set a key to None to disable that rule."""
-    th = dict(GOPHER_DEFAULTS)
-    unknown = set(thresholds or {}) - set(GOPHER_DEFAULTS)
-    if unknown:
-        raise ValueError(
-            f"unknown gopher threshold keys {sorted(unknown)}; "
-            f"valid: {sorted(GOPHER_DEFAULTS)}"
-        )
-    th.update(thresholds or {})
+    th = _merge_gopher_thresholds(thresholds)
     if with_repetition:
         df = repetition_stats(df, text_column=text_column)
     sig = gopher_signals(F.col(text_column))
     out = df.select(
         "*", *[c.alias(f"gopher_{k}") for k, c in sig.items()]
     )
-    g = lambda k: F.col(f"gopher_{k}")  # noqa: E731
-    rules: Dict[str, Column] = {}
-
-    def add(name: str, cond: Optional[Column]) -> None:
-        if cond is not None:
-            rules[name] = F.coalesce(cond, F.lit(False))
-
-    if th["min_words"] is not None or th["max_words"] is not None:
-        lo = th["min_words"] if th["min_words"] is not None else 0
-        hi = th["max_words"] if th["max_words"] is not None else 1 << 62
-        add("rule_word_count", g("n_words").between(int(lo), int(hi)))
-    if th["min_mean_word_len"] is not None or th["max_mean_word_len"] is not None:
-        lo = th["min_mean_word_len"]
-        hi = th["max_mean_word_len"]
-        cond = None
-        if lo is not None:
-            cond = g("mean_word_len") >= float(lo)
-        if hi is not None:
-            upper = g("mean_word_len") <= float(hi)
-            cond = upper if cond is None else (cond & upper)
-        add("rule_mean_word_len", cond)
-    if th["max_symbol_word_ratio"] is not None:
-        add(
-            "rule_symbol_ratio",
-            g("symbol_word_ratio") <= float(th["max_symbol_word_ratio"]),
-        )
-    if th["max_bullet_line_frac"] is not None:
-        add(
-            "rule_bullet_lines",
-            F.coalesce(g("bullet_line_frac"), F.lit(0.0))
-            <= float(th["max_bullet_line_frac"]),
-        )
-    if th["max_ellipsis_line_frac"] is not None:
-        add(
-            "rule_ellipsis_lines",
-            F.coalesce(g("ellipsis_line_frac"), F.lit(0.0))
-            <= float(th["max_ellipsis_line_frac"]),
-        )
-    if th["min_alpha_word_frac"] is not None:
-        add(
-            "rule_alpha_words",
-            g("alpha_word_frac") >= float(th["min_alpha_word_frac"]),
-        )
-    if th["min_stopwords"] is not None:
-        add(
-            "rule_stopwords", g("n_stopwords") >= int(th["min_stopwords"])
-        )
+    rules = _gopher_rule_map(
+        {k: F.col(f"gopher_{k}") for k in sig}, th
+    )
     if with_repetition:
         rep_map = {
             "max_dup_line_frac": "dup_line_frac",

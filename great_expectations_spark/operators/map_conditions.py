@@ -464,6 +464,47 @@ def _not_contain_pii(kwargs: Dict[str, Any]) -> CompiledMap:
     return out
 
 
+@register_map("expect_column_values_to_pass_quality_gate")
+def _pass_quality_gate(kwargs: Dict[str, Any]) -> CompiledMap:
+    """Heuristic quality gates as a first-class map expectation (no
+    reference analog — GE validates, it does not curate; this exposes
+    the engine's curation gates through the expectation idiom so a
+    suite can assert e.g. "at least 95% of documents pass the Gopher
+    rules" with standard ``mostly`` semantics).
+
+    ``gate='gopher'`` — the structural Gopher rules
+    (``text.gopher_keep_expr``; ``thresholds=`` overrides/disables per
+    rule); ``gate='c4'`` — the C4 page verdict
+    (``curation.c4_signals()['keep']``; rule kwargs pass through).
+    NULL values leave the denominator (ordinary column-map parity);
+    both gates are pure JVM expressions riding the bundled agg."""
+    column = kwargs["column"]
+    gate = kwargs.get("gate", "gopher")
+    if gate == "gopher":
+        from great_expectations_spark.functions.text import gopher_keep_expr
+
+        keep = gopher_keep_expr(F.col(column), kwargs.get("thresholds"))
+    elif gate == "c4":
+        from great_expectations_spark.functions.curation import c4_signals
+
+        c4_keys = (
+            "min_words_per_line",
+            "min_sentences",
+            "line_drop_words",
+            "page_drop_phrases",
+            "bad_words",
+        )
+        c4kw = {k: kwargs[k] for k in c4_keys if k in kwargs}
+        keep = c4_signals(F.col(column), **c4kw)["keep"]
+    else:
+        raise ValueError(
+            f"gate must be 'gopher' or 'c4', got {gate!r}"
+        )
+    out = _column_map(column, expected=keep)
+    out.required_column_types = (T.StringType,)
+    return out
+
+
 def compile_map_expectation(
     expectation_type: str, kwargs: Dict[str, Any]
 ) -> CompiledMap:

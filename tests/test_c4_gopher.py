@@ -404,3 +404,52 @@ def test_gopher_mean_word_len_bounds_disable_independently(spark):
         thresholds={"min_mean_word_len": None, "max_mean_word_len": None},
     )
     assert "rule_mean_word_len" not in flagged.columns
+
+
+# ---------------------------------------------------------------------------
+# Quality gates as first-class expectations
+# ---------------------------------------------------------------------------
+
+def test_quality_gate_expectation(spark):
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    df = spark.createDataFrame(
+        [(1, PROSE), (2, "too short"), (3, None), (4, GOOD_PAGE)],
+        "doc_id int, text string",
+    )
+    suite = (
+        ExpectationSuite("gates")
+        .add(
+            "expect_column_values_to_pass_quality_gate",
+            column="text", gate="gopher", mostly=0.3,
+        )
+        .add(
+            "expect_column_values_to_pass_quality_gate",
+            column="text", gate="c4", min_sentences=4, mostly=0.5,
+        )
+    )
+    res = SuiteValidator().validate(df, suite, result_format="SUMMARY")
+    by_gate = {
+        r.expectation_config["kwargs"]["gate"]: r for r in res.results
+    }
+    g = by_gate["gopher"]
+    # nulls leave the denominator: 3 considered, PROSE passes
+    assert g.result["element_count"] == 4
+    assert g.result["unexpected_count"] == 2  # 'too short' + GOOD_PAGE
+    assert g.success is True  # 1/3 pass >= mostly 0.3
+    c = by_gate["c4"]
+    # GOOD_PAGE and PROSE pass c4 at min_sentences=4; 'too short' fails
+    assert c.result["unexpected_count"] == 1
+    assert c.success is True
+
+    # unknown gate: surfaced as a failed result with the error captured
+    # (the planner converts compile errors into exception_info, the
+    # reference's catch_exceptions behavior)
+    bad = ExpectationSuite("x").add(
+        "expect_column_values_to_pass_quality_gate",
+        column="text", gate="nope",
+    )
+    bad_res = SuiteValidator().validate(df, bad)
+    assert bad_res.success is False
+    assert "gate" in str(bad_res.results[0].to_json_dict()).lower()
