@@ -505,6 +505,38 @@ def _pass_quality_gate(kwargs: Dict[str, Any]) -> CompiledMap:
     return out
 
 
+@register_map("expect_column_values_to_be_in_language")
+def _be_in_language(kwargs: Dict[str, Any]) -> CompiledMap:
+    """Language membership as a map expectation (no reference analog —
+    the LLM-pipeline counterpart of ``_to_be_in_set``): a value is
+    expected when the Cavnar–Trenkle classifier
+    (``langid.language_id_ct``, 20 languages, Arrow-batched — never
+    per-row Python) predicts one of ``languages``.  ``classifier=
+    'fast'`` swaps in the JVM stopword-argmax heuristic
+    (``text.language_id_fast``) for suites that must stay
+    whole-stage-codegen pure.  NULL values leave the denominator."""
+    column = kwargs["column"]
+    languages = kwargs.get("languages") or kwargs.get("language")
+    if not languages:
+        raise ValueError("languages= is required (a list or one code)")
+    if isinstance(languages, str):
+        languages = [languages]
+    classifier = kwargs.get("classifier", "ct")
+    if classifier == "ct":
+        from great_expectations_spark.functions.langid import language_id_ct
+
+        pred = language_id_ct(F.col(column))
+    elif classifier == "fast":
+        from great_expectations_spark.functions.text import language_id_fast
+
+        pred = language_id_fast(F.col(column))
+    else:
+        raise ValueError(f"classifier must be 'ct' or 'fast': {classifier!r}")
+    out = _column_map(column, expected=pred.isin([str(x) for x in languages]))
+    out.required_column_types = (T.StringType,)
+    return out
+
+
 def compile_map_expectation(
     expectation_type: str, kwargs: Dict[str, Any]
 ) -> CompiledMap:

@@ -453,3 +453,34 @@ def test_quality_gate_expectation(spark):
     bad_res = SuiteValidator().validate(df, bad)
     assert bad_res.success is False
     assert "gate" in str(bad_res.results[0].to_json_dict()).lower()
+
+
+def test_language_expectation(spark):
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog every day "
+                "because it enjoys running through the quiet meadow."),
+            (2, "El perro grande corre por la calle todos los dias con "
+                "mucha alegria y despues duerme la siesta en la casa."),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    suite = ExpectationSuite("lang").add(
+        "expect_column_values_to_be_in_language",
+        column="text", languages=["en"], mostly=0.5,
+    )
+    res = SuiteValidator().validate(df, suite, result_format="SUMMARY")
+    r = res.results[0]
+    assert r.result["unexpected_count"] == 1  # the Spanish doc
+    assert r.success is True  # 1/2 >= 0.5
+    # fast classifier path + single language string form
+    suite2 = ExpectationSuite("lang2").add(
+        "expect_column_values_to_be_in_language",
+        column="text", language="es", classifier="fast",
+    )
+    r2 = SuiteValidator().validate(df, suite2).results[0]
+    assert r2.result["unexpected_count"] == 1  # the English doc
