@@ -484,3 +484,37 @@ def test_language_expectation(spark):
     )
     r2 = SuiteValidator().validate(df, suite2).results[0]
     assert r2.result["unexpected_count"] == 1  # the English doc
+
+
+def test_quality_gate_grouped_mode(spark):
+    """The gate expectations are ordinary map conditions, so they ride
+    validate_by_partition's ONE grouped agg — per-partition verdicts
+    match per-partition full validation."""
+    from great_expectations_spark.checkpoint.runner import (
+        validate_by_partition,
+    )
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    df = spark.createDataFrame(
+        [
+            ("web", PROSE),
+            ("web", "too short"),
+            ("code", "function f() {} // not prose"),
+            ("code", None),
+        ],
+        "source string, text string",
+    )
+    suite = ExpectationSuite("g").add(
+        "expect_column_values_to_pass_quality_gate",
+        column="text", gate="gopher", mostly=0.4,
+    )
+    grouped = validate_by_partition(df, suite, "source")
+    assert set(grouped) == {"web", "code"}
+    v = SuiteValidator()
+    for part in ("web", "code"):
+        full = v.validate(df.filter(F.col("source") == part), suite)
+        g = grouped[part].results[0].result
+        f = full.results[0].result
+        assert g["unexpected_count"] == f["unexpected_count"], part
+        assert grouped[part].success == full.success, part
