@@ -181,3 +181,19 @@ def test_ivfpq_search_plan_is_jvm_only(spark, vecs, tmp_path):
 
     got = [r["vec_id"] for r in out.collect()]
     assert len(got) == 3
+
+
+def test_c4_gopher_pipeline_single_scan(spark):
+    """curate_corpus(c4=True, gopher=True) compiles to ONE scan: a pure
+    projection+filter chain with no Exchange and no Python eval node —
+    the plan that streams 10^12 rows at regex speed."""
+    from great_expectations_spark.functions.curation import curate_corpus
+
+    df = spark.createDataFrame(
+        [(1, "Some perfectly reasonable text that ends with a period.")],
+        "doc_id int, text string",
+    )
+    out, _ = curate_corpus(df, c4=True, gopher=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
