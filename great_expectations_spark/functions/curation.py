@@ -70,6 +70,9 @@ __all__ = [
     "quality_classifier_score",
     "train_ngram_lm",
     "perplexity_score",
+    "train_dsir",
+    "dsir_logweight",
+    "dsir_sample",
     "model_save",
     "model_load",
 ]
@@ -1133,6 +1136,233 @@ def model_load(spark, path: str) -> Dict[str, object]:
 
 
 # ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# public paper: hashed-n-gram bag-of-words importance weights between a
+# small TARGET corpus and the raw pool, then Gumbel-top-k sampling
+# without replacement proportional to the weights).  The standard
+# "make the web pool look like the target distribution" selection step
+# between quality filtering and mixture resampling.
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(key: Column, n_buckets: int) -> Column:
+    """Engine-portable feature bucket in [1, n_buckets]: first 8 hex
+    chars of md5 as a 32-bit integer, mod ``n_buckets`` — replicable in
+    any SQL engine (DuckDB: ``('0x' || substring(md5(k),1,8))::UBIGINT %
+    n + 1``), same construction as the md5-parity sampler."""
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets)) + 1
+
+
+def _dsir_feature_ids(
+    col: Column,
+    n_buckets: int,
+    *,
+    bigrams: bool = True,
+    hash_function: str = "xxhash64",
+) -> Column:
+    """Hashed bag-of-n-gram feature ids (unigrams, plus bigrams when
+    enabled, concatenated into ONE array) in [1, n_buckets] — pure JVM.
+
+    ``hash_function='xxhash64'`` (default) reuses the quality-classifier
+    featurizers; ``'md5'`` is the engine-portable parity mode (slower;
+    for oracle checks and cross-engine reproduction).  Empty/null text
+    ⇒ empty array."""
+    if hash_function == "xxhash64":
+        ids = _word_feature_ids(col, n_buckets)
+        if bigrams:
+            ids = F.concat(ids, _bigram_feature_ids(col, n_buckets))
+        return ids
+    if hash_function != "md5":
+        raise ValueError("hash_function must be 'xxhash64' or 'md5'")
+    words = F.split(normalize_text(col), " ")
+    uni = F.transform(words, lambda w: _md5_bucket(w, n_buckets))
+    empty = F.array().cast("array<bigint>")
+    if bigrams:
+        # \x01 separator so ('ab','c') and ('a','bc') hash differently
+        big = F.transform(
+            F.sequence(F.lit(2), F.size(words)),
+            lambda i: _md5_bucket(
+                F.concat(
+                    F.element_at(words, (i - 1).cast("int")),
+                    F.lit("\x01"),
+                    F.element_at(words, i.cast("int")),
+                ),
+                n_buckets,
+            ),
+        )
+        big = F.when(F.size(words) >= 2, big).otherwise(empty)
+        ids = F.concat(uni, big)
+    else:
+        ids = uni
+    return F.when(
+        col.isNull() | (F.length(F.trim(col)) == 0), empty
+    ).otherwise(ids)
+
+
+def train_dsir(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    *,
+    text_column: str = "text",
+    n_buckets: int = 1 << 14,
+    bigrams: bool = True,
+    alpha: float = 1.0,
+    hash_function: str = "xxhash64",
+) -> Dict[str, object]:
+    """Fit DSIR importance weights: smoothed hashed-n-gram multinomials
+    over the TARGET corpus and the RAW pool, reduced to one per-bucket
+    log-ratio array ``log p̂_target[b] − log p̂_raw[b]`` (Xie et al.
+    2023 §3: the importance weight of a document factorizes over its
+    hashed features, so the model IS this array).
+
+    Training is FULLY DISTRIBUTED — same shape as
+    :func:`train_ngram_lm`: one ``explode`` + map-side-combined
+    ``groupBy(bucket)`` per side; only the ≤ ``n_buckets``-row bucket
+    histograms reach the driver, so both corpora can be arbitrarily
+    large.  Featurization shares the scoring expressions, so
+    train/score hash parity is structural.
+
+    Returns a JSON-serializable dict (persist with :func:`model_save`).
+    """
+
+    def bucket_counts(df: DataFrame) -> list:
+        ids = _dsir_feature_ids(
+            F.col(text_column), n_buckets,
+            bigrams=bigrams, hash_function=hash_function,
+        )
+        rows = (
+            df.select(F.explode(ids).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        counts = [0] * n_buckets
+        for r in rows:
+            counts[int(r["b"]) - 1] = int(r["count"])
+        return counts
+
+    import math
+
+    a = float(alpha)
+    if a <= 0:
+        raise ValueError("alpha must be > 0 (zero-count buckets need mass)")
+    tc = bucket_counts(target_df)
+    rc = bucket_counts(raw_df)
+    tt, rt = float(sum(tc)), float(sum(rc))
+    if tt == 0 or rt == 0:
+        raise ValueError("target/raw corpus produced no features")
+    td, rd = tt + a * n_buckets, rt + a * n_buckets
+    log_ratio = [
+        math.log((tc[b] + a) / td) - math.log((rc[b] + a) / rd)
+        for b in range(n_buckets)
+    ]
+    return {
+        "n_buckets": int(n_buckets),
+        "bigrams": bool(bigrams),
+        "alpha": a,
+        "hash_function": hash_function,
+        "target_tokens": int(tt),
+        "raw_tokens": int(rt),
+        "log_ratio": log_ratio,
+    }
+
+
+def dsir_logweight(col: Column, model: Dict[str, object]) -> Column:
+    """Per-document DSIR log importance weight ``Σ_features
+    log_ratio[h(f)]`` — 100% JVM: the log-ratio array ships as ONE
+    array literal (data, not code; same pattern as
+    :func:`perplexity_score`) indexed with ``element_at`` inside a
+    single ``aggregate`` fold.  One projection, no shuffle, no UDF —
+    the right plan at 10^12 rows.  Null for empty/null text (an empty
+    document carries no evidence; callers drop it or keep it
+    explicitly, never silently at weight e^0=1)."""
+    ratio = array_lit_f64(model["log_ratio"])
+    ids = _dsir_feature_ids(
+        col,
+        int(model["n_buckets"]),
+        bigrams=bool(model["bigrams"]),
+        hash_function=str(model["hash_function"]),
+    )
+    lw = F.aggregate(
+        ids,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(ratio, i.cast("int")),
+    )
+    return F.when(F.size(ids) > 0, lw).otherwise(F.lit(None))
+
+
+def _gumbel_key(id_col: Column, seed: str) -> Column:
+    """Deterministic engine-portable Gumbel(0,1) draw per id: ``u`` from
+    the first 8 md5 hex chars of ``id || seed`` (offset by 0.5/2^32 so
+    u ∈ (0,1) strictly), then ``−ln(−ln u)`` — byte-identical on any
+    engine / cluster size, replayable in SQL."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(seed))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    return -F.log(-F.log(u))
+
+
+def dsir_sample(
+    df: DataFrame,
+    model: Dict[str, object],
+    *,
+    k: Optional[int] = None,
+    fraction: Optional[float] = None,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    seed: str = "",
+    weight_column: Optional[str] = None,
+) -> DataFrame:
+    """Select documents ∝ their DSIR importance weight, without
+    replacement, deterministically (Gumbel-top-k: key = log w(x) +
+    Gumbel(0,1), take the largest keys — exactly sampling-without-
+    replacement proportional to w; the Gumbel draw is a seeded md5 hash
+    of the id, so reruns and engines agree byte-for-byte).
+
+    Exactly one of ``k`` / ``fraction``:
+
+    * ``k`` — exact top-k by key (``ORDER BY ... LIMIT k`` ⇒ Spark's
+      TakeOrdered: per-partition heaps + driver merge, no full sort;
+      right for k up to ~10^6).
+    * ``fraction`` — scale path for huge selections: one
+      ``approxQuantile`` pass finds the key cutoff, one filtered scan
+      keeps rows above it.  Fully distributed (nothing driver-side but
+      the cutoff scalar); kept count is approximate within the
+      quantile sketch's relative error.
+
+    Rows with null/empty text carry no weight and are dropped.  Pass
+    ``weight_column`` to keep the per-row log-weight in the output."""
+    if (k is None) == (fraction is None):
+        raise ValueError("pass exactly one of k= / fraction=")
+    lw = dsir_logweight(F.col(text_column), model)
+    key = lw + _gumbel_key(F.col(id_column), seed)
+    keep_w = weight_column or "__dsir_logw"
+    scored = df.withColumn(keep_w, lw).withColumn("__dsir_key", key).filter(
+        F.col(keep_w).isNotNull()
+    )
+    if k is not None:
+        out = (
+            scored.orderBy(F.desc("__dsir_key"), F.col(id_column))
+            .limit(int(k))
+        )
+    else:
+        if not (0.0 < float(fraction) <= 1.0):
+            raise ValueError("fraction must be in (0, 1]")
+        cutoff = scored.stat.approxQuantile(
+            "__dsir_key", [1.0 - float(fraction)], 0.001
+        )[0]
+        out = scored.filter(F.col("__dsir_key") >= F.lit(float(cutoff)))
+    out = out.drop("__dsir_key")
+    return out if weight_column else out.drop(keep_w)
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus curation pipeline
 # ---------------------------------------------------------------------------
 
@@ -1163,6 +1393,8 @@ def curate_corpus(
     quality_threshold: float = 0.5,
     perplexity_model: Optional[Dict[str, object]] = None,
     perplexity_max: float = 1000.0,
+    dsir_model: Optional[Dict[str, object]] = None,
+    dsir_keep: Optional[float] = None,
     mixture_column: Optional[str] = None,
     mixture_weights: Optional[Dict[str, float]] = None,
     seed: str = "",
@@ -1172,7 +1404,7 @@ def curate_corpus(
     pipeline order: **C4 line-clean → Gopher gate → dedup →
     exact-substring removal → decontaminate (n-gram) → semantic
     decontaminate → drop-PII → redact-PII → quality filter →
-    perplexity filter → mixture resample**.  Every
+    perplexity filter → DSIR selection → mixture resample**.  Every
     stage is optional (None
     ⇒ skipped) and lazily composed — with ``with_report=False`` the
     whole pipeline is ONE logical plan and Spark runs it in however few
@@ -1210,6 +1442,10 @@ def curate_corpus(
     * ``perplexity_model``: a :func:`train_ngram_lm` model; rows whose
       LM perplexity exceeds ``perplexity_max`` drop (the CCNet keep-
       the-low-tail recipe).
+    * ``dsir_model`` + ``dsir_keep``: :func:`train_dsir` importance
+      resampling toward the target distribution — an int keeps exactly
+      k documents (Gumbel-top-k), a float keeps that fraction via the
+      distributed quantile-cutoff path.
     * ``mixture_column`` + ``mixture_weights``: deterministic
       :func:`mix_sample` to target domain proportions.
     """
@@ -1313,6 +1549,20 @@ def curate_corpus(
             <= F.lit(float(perplexity_max))
         )
         record("perplexity_filter", out)
+    if dsir_model is not None:
+        if dsir_keep is None:
+            raise ValueError("dsir_model requires dsir_keep (int k or "
+                             "float fraction)")
+        kw = (
+            {"k": int(dsir_keep)}
+            if isinstance(dsir_keep, int) and not isinstance(dsir_keep, bool)
+            else {"fraction": float(dsir_keep)}
+        )
+        out = dsir_sample(
+            out, dsir_model,
+            id_column=id_column, text_column=text_column, seed=seed, **kw,
+        )
+        record("dsir", out)
     if mixture_weights:
         if not mixture_column:
             raise ValueError("mixture_weights requires mixture_column")
