@@ -905,6 +905,10 @@ _MIX_WEIGHTS = [
     ("src4", 0.1),
 ]
 
+_DSIR_BUCKETS = 256
+_DSIR_K = 50
+_DSIR_SEED = "dsir"
+
 
 def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture resampling (functions/curation.py): documents
@@ -924,14 +928,25 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_columns=["doc_id"],
         seed="mix",
     )
-    return (
-        kept.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("kept"),
-            F.sum("doc_id").alias("key_sum"),
-        )
-        .orderBy("source")
+    mix_rows = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("key_sum"),
     )
+    # DSIR importance resampling rides the same row shape: membership of
+    # the Gumbel-top-k selection is pinned by (count, doc_id sum).  md5
+    # parity mode end to end — train (target = lang='en' docs vs the
+    # whole pool), per-doc log-weight, seeded Gumbel key — so the DuckDB
+    # replica reproduces the selected SET byte-identically.
+    model = curation.train_dsir(
+        docs.filter(F.col("lang") == "en"), docs,
+        n_buckets=_DSIR_BUCKETS, hash_function="md5",
+    )
+    sel = curation.dsir_sample(docs, model, k=_DSIR_K, seed=_DSIR_SEED)
+    dsir_row = sel.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("key_sum"),
+    ).select(F.lit("zz_dsir").alias("source"), "kept", "key_sum")
+    return mix_rows.unionAll(dsir_row).orderBy("source")
 
 
 def _ann_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2724,11 +2739,24 @@ def _pii_sql() -> str:
 def _mix_sample_sql() -> str:
     """DuckDB replica of the mixture-resampling entry: the same
     max-retention rate math (T = min(n_g / w_g), rate = w_g·T / n_g) and
-    the same md5-threshold keep rule, so membership is byte-identical."""
+    the same md5-threshold keep rule, so membership is byte-identical.
+    Stacked 'zz_dsir' row: a FULL-algorithm DSIR replica (normalize →
+    md5-bucketed unigram+bigram features → add-alpha log-ratio between
+    the lang='en' target and the pool → per-doc weight → seeded Gumbel
+    key → top-k) pinning the selected set by (count, doc_id sum)."""
     weights = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
     u = (
         "('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 8))::UBIGINT"
         " / 4294967296.0"
+    )
+    b, a, k = _DSIR_BUCKETS, 1.0, _DSIR_K
+    bucket = (
+        "(('0x' || substring(md5({key}), 1, 8))::UBIGINT"
+        f" % {b})::BIGINT + 1"
+    )
+    gumbel_u = (
+        "((('0x' || substring(md5(doc_id::VARCHAR || "
+        f"'{_DSIR_SEED}'), 1, 8))::UBIGINT + 0.5) / 4294967296.0)"
     )
     return (
         f"WITH w(source, wt) AS (VALUES {weights}), "
@@ -2736,11 +2764,43 @@ def _mix_sample_sql() -> str:
         "JOIN w USING (source) GROUP BY source), "
         "t AS (SELECT min(n / wt) AS tot FROM c JOIN w USING (source)), "
         "r AS (SELECT source, least(1.0, wt * tot / n) AS rate "
-        "FROM c JOIN w USING (source), t) "
-        "SELECT d.source, count(*)::BIGINT AS kept, "
+        "FROM c JOIN w USING (source), t), "
+        "mix AS (SELECT d.source, count(*)::BIGINT AS kept, "
         "sum(doc_id)::BIGINT AS key_sum "
         f"FROM documents d JOIN r USING (source) WHERE {u} < rate "
-        "GROUP BY d.source ORDER BY d.source"
+        "GROUP BY d.source), "
+        "norm AS (SELECT doc_id, lang, "
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt "
+        "FROM documents WHERE text IS NOT NULL "
+        "AND length(trim(text)) > 0), "
+        "ws AS (SELECT doc_id, lang, string_split(nt, ' ') AS v "
+        "FROM norm), "
+        "feats AS (SELECT doc_id, lang, unnest(list_concat("
+        + "list_transform(v, x -> " + bucket.format(key="x") + "), "
+        + "CASE WHEN len(v) >= 2 THEN list_transform(range(2, len(v)+1), "
+        + "i -> "
+        + bucket.format(key="v[i-1] || chr(1) || v[i]")
+        + ") ELSE [] END)) AS bk FROM ws), "
+        "tc AS (SELECT bk, count(*)::DOUBLE AS c FROM feats "
+        "WHERE lang = 'en' GROUP BY bk), "
+        "rc AS (SELECT bk, count(*)::DOUBLE AS c FROM feats GROUP BY bk), "
+        "tt AS (SELECT sum(c) AS s FROM tc), "
+        "rt AS (SELECT sum(c) AS s FROM rc), "
+        "ratio AS (SELECT g.bk, "
+        f"ln((coalesce(tc.c, 0) + {a}) / ((SELECT s FROM tt) + {a} * {b}))"
+        f" - ln((coalesce(rc.c, 0) + {a}) / ((SELECT s FROM rt) + {a} * {b}))"
+        " AS lr "
+        f"FROM (SELECT unnest(range(1, {b} + 1))::BIGINT AS bk) g "
+        "LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk)), "
+        "lw AS (SELECT f.doc_id, sum(ratio.lr) AS logw FROM feats f "
+        "JOIN ratio ON f.bk = ratio.bk GROUP BY f.doc_id), "
+        f"keyed AS (SELECT doc_id, logw - ln(-ln({gumbel_u})) AS key "
+        "FROM lw), "
+        f"sel AS (SELECT doc_id FROM keyed ORDER BY key DESC, doc_id "
+        f"LIMIT {k}), "
+        "dsir AS (SELECT 'zz_dsir' AS source, count(*)::BIGINT AS kept, "
+        "sum(doc_id)::BIGINT AS key_sum FROM sel) "
+        "SELECT * FROM mix UNION ALL SELECT * FROM dsir ORDER BY source"
     )
 
 

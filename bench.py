@@ -299,6 +299,18 @@ def main() -> None:
         curation.perplexity_score(F.col("text"), ppl_model).alias("p")
     ).agg(F.avg("p"), F.min("p"), F.max("p"))
 
+    # DSIR importance selection (Xie et al. 2023): model trained once,
+    # untimed (persisted-artifact shape, like the LM above); the timed
+    # region is corpus scoring + Gumbel-top-k — one JVM projection and
+    # one TakeOrdered, the 10^12-row plan
+    dsir_model = curation.train_dsir(
+        documents.filter(F.col("doc_id") % 2 == 0), documents,
+        n_buckets=1 << 14,
+    )
+    dsir_selected = curation.dsir_sample(
+        documents, dsir_model, k=1000, seed="bench"
+    ).select(F.count(F.lit(1)), F.sum("doc_id"))
+
     # cold entry: first Python-worker startup + JIT, single-shot as before
     run_once("dedup_minhash", run_minhash)
 
@@ -486,6 +498,13 @@ def main() -> None:
             # trained once outside the timed region like any deployed LM
             "perplexity_score",
             lambda: ppl_scored.collect(),
+        ),
+        (
+            # DSIR selection: log-ratio array-literal fold + seeded
+            # Gumbel keys + TakeOrdered top-k (functions/curation.py
+            # dsir_sample); training is outside the timed region
+            "dsir_select",
+            lambda: dsir_selected.collect(),
         ),
     ]
     for _ in range(REPEATS):

@@ -963,16 +963,23 @@ def quality_classifier_score(col: Column, model: Dict[str, object]) -> Column:
 def _bigram_feature_ids(col: Column, n_buckets: int) -> Column:
     """Hashed (prev, word) pair ids in [1, n_buckets] — pure JVM,
     ``xxhash64`` over both words so the pair bucket differs from either
-    unigram bucket.  Empty array for texts with < 2 words."""
+    unigram bucket.  Empty array for texts with < 2 words.
+
+    Pairing is ``zip_with`` over two SLICES of the word array, not an
+    index fold that ``element_at``'s into it inside the lambda — the
+    slice arguments are evaluated once, so cost is O(tokens) even on
+    the interpreted path (higher-order functions are CodegenFallback:
+    under a non-codegen parent like TakeOrderedAndProject the index-
+    fold shape re-evaluates the ``split`` per element, O(tokens²) —
+    measured 40× slower on the DSIR top-k; same lesson as
+    :func:`perplexity_score` note (3))."""
     words = F.split(normalize_text(col), " ")
-    ids = F.transform(
-        F.sequence(F.lit(2), F.size(words)),
-        lambda i: F.pmod(
-            F.xxhash64(
-                F.element_at(words, (i - 1).cast("int")),
-                F.element_at(words, i.cast("int")),
-            ),
-            F.lit(n_buckets),
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    ids = F.zip_with(
+        F.slice(words, F.lit(1), m),
+        F.slice(words, F.lit(2), m),
+        lambda prev, cur: F.pmod(
+            F.xxhash64(prev, cur), F.lit(n_buckets)
         )
         + 1,
     )
@@ -1179,16 +1186,15 @@ def _dsir_feature_ids(
     uni = F.transform(words, lambda w: _md5_bucket(w, n_buckets))
     empty = F.array().cast("array<bigint>")
     if bigrams:
-        # \x01 separator so ('ab','c') and ('a','bc') hash differently
-        big = F.transform(
-            F.sequence(F.lit(2), F.size(words)),
-            lambda i: _md5_bucket(
-                F.concat(
-                    F.element_at(words, (i - 1).cast("int")),
-                    F.lit("\x01"),
-                    F.element_at(words, i.cast("int")),
-                ),
-                n_buckets,
+        # \x01 separator so ('ab','c') and ('a','bc') hash differently;
+        # zip_with over slices, not an index fold — see
+        # _bigram_feature_ids for the O(tokens²) interpreted-path trap
+        m = F.greatest(F.size(words) - 1, F.lit(0))
+        big = F.zip_with(
+            F.slice(words, F.lit(1), m),
+            F.slice(words, F.lit(2), m),
+            lambda prev, cur: _md5_bucket(
+                F.concat(prev, F.lit("\x01"), cur), n_buckets
             ),
         )
         big = F.when(F.size(words) >= 2, big).otherwise(empty)
@@ -1340,11 +1346,22 @@ def dsir_sample(
     ``weight_column`` to keep the per-row log-weight in the output."""
     if (k is None) == (fraction is None):
         raise ValueError("pass exactly one of k= / fraction=")
-    lw = dsir_logweight(F.col(text_column), model)
-    key = lw + _gumbel_key(F.col(id_column), seed)
     keep_w = weight_column or "__dsir_logw"
-    scored = df.withColumn(keep_w, lw).withColumn("__dsir_key", key).filter(
-        F.col(keep_w).isNotNull()
+    # Null-weight rows (empty/null text) are excluded by the CHEAP text
+    # predicate — it pushes to the scan as a DataFilter, instead of
+    # inlining the whole scoring fold into a Filter node that would
+    # evaluate it a second time per row on the interpreted path (the
+    # fold is CodegenFallback under TakeOrderedAndProject).  The key
+    # also references the materialized log-weight COLUMN, keeping the
+    # model array literal in the plan tree once.
+    txt = F.col(text_column)
+    scored = (
+        df.filter(txt.isNotNull() & (F.length(F.trim(txt)) > 0))
+        .withColumn(keep_w, dsir_logweight(txt, model))
+        .withColumn(
+            "__dsir_key",
+            F.col(keep_w) + _gumbel_key(F.col(id_column), seed),
+        )
     )
     if k is not None:
         out = (
