@@ -1371,10 +1371,13 @@ def dsir_sample(
     else:
         if not (0.0 < float(fraction) <= 1.0):
             raise ValueError("fraction must be in (0, 1]")
-        cutoff = scored.stat.approxQuantile(
+        qs = scored.stat.approxQuantile(
             "__dsir_key", [1.0 - float(fraction)], 0.001
-        )[0]
-        out = scored.filter(F.col("__dsir_key") >= F.lit(float(cutoff)))
+        )
+        if not qs:  # every row had null/empty text
+            out = scored
+        else:
+            out = scored.filter(F.col("__dsir_key") >= F.lit(float(qs[0])))
     out = out.drop("__dsir_key")
     return out if weight_column else out.drop(keep_w)
 

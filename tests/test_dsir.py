@@ -260,3 +260,10 @@ def test_curate_corpus_dsir_stage(spark, model):
     assert [r["stage"] for r in report] == ["input", "dsir"]
     with pytest.raises(ValueError, match="dsir_keep"):
         curation.curate_corpus(rdf, dsir_model=model)
+
+
+def test_fraction_mode_empty_corpus(spark, model):
+    empty = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    assert curation.dsir_sample(empty, model, fraction=0.5).count() == 0
