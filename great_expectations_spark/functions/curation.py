@@ -1173,8 +1173,10 @@ def _dsir_feature_ids(
 
     ``hash_function='xxhash64'`` (default) reuses the quality-classifier
     featurizers; ``'md5'`` is the engine-portable parity mode (slower;
-    for oracle checks and cross-engine reproduction).  Empty/null text
-    ⇒ empty array."""
+    for oracle checks and cross-engine reproduction).  Null or
+    space-only text ⇒ empty array (``trim`` strips ASCII spaces —
+    strings of OTHER whitespace normalize to ''-tokens, identically in
+    Spark and SQL replicas)."""
     if hash_function == "xxhash64":
         ids = _word_feature_ids(col, n_buckets)
         if bigrams:
@@ -1232,29 +1234,34 @@ def train_dsir(
     Returns a JSON-serializable dict (persist with :func:`model_save`).
     """
 
-    def bucket_counts(df: DataFrame) -> list:
-        ids = _dsir_feature_ids(
-            F.col(text_column), n_buckets,
-            bigrams=bigrams, hash_function=hash_function,
-        )
-        rows = (
-            df.select(F.explode(ids).alias("b"))
-            .groupBy("b")
-            .count()
-            .collect()
-        )
-        counts = [0] * n_buckets
-        for r in rows:
-            counts[int(r["b"]) - 1] = int(r["count"])
-        return counts
-
     import math
 
     a = float(alpha)
     if a <= 0:
         raise ValueError("alpha must be > 0 (zero-count buckets need mass)")
-    tc = bucket_counts(target_df)
-    rc = bucket_counts(raw_df)
+    ids = _dsir_feature_ids(
+        F.col(text_column), n_buckets,
+        bigrams=bigrams, hash_function=hash_function,
+    )
+    # ONE job for both corpora: union with a side tag, one map-side-
+    # combined groupBy(bucket) with conditional counts — both scans run
+    # in the same stage instead of two serial jobs
+    tagged = target_df.select(
+        ids.alias("__ids"), F.lit(1).alias("__t")
+    ).unionByName(raw_df.select(ids.alias("__ids"), F.lit(0).alias("__t")))
+    rows = (
+        tagged.select(F.explode("__ids").alias("b"), "__t")
+        .groupBy("b")
+        .agg(
+            F.sum("__t").alias("tc"),
+            F.sum(F.lit(1) - F.col("__t")).alias("rc"),
+        )
+        .collect()
+    )
+    tc, rc = [0] * n_buckets, [0] * n_buckets
+    for r in rows:
+        tc[int(r["b"]) - 1] = int(r["tc"])
+        rc[int(r["b"]) - 1] = int(r["rc"])
     tt, rt = float(sum(tc)), float(sum(rc))
     if tt == 0 or rt == 0:
         raise ValueError("target/raw corpus produced no features")
@@ -1295,7 +1302,13 @@ def dsir_logweight(col: Column, model: Dict[str, object]) -> Column:
         F.lit(0.0),
         lambda acc, i: acc + F.element_at(ratio, i.cast("int")),
     )
-    return F.when(F.size(ids) > 0, lw).otherwise(F.lit(None))
+    # null-guard on the CHEAP text predicate (the exact condition
+    # _dsir_feature_ids empties the array on), not on size(ids): the
+    # fold is CodegenFallback, so a size(ids) guard would featurize the
+    # text a second time per row with no subexpression sharing
+    return F.when(
+        col.isNull() | (F.length(F.trim(col)) == 0), F.lit(None)
+    ).otherwise(lw)
 
 
 def _gumbel_key(id_col: Column, seed: str) -> Column:
@@ -1340,7 +1353,9 @@ def dsir_sample(
       ``approxQuantile`` pass finds the key cutoff, one filtered scan
       keeps rows above it.  Fully distributed (nothing driver-side but
       the cutoff scalar); kept count is approximate within the
-      quantile sketch's relative error.
+      quantile sketch's relative error.  The quantile pass is an
+      eager action over ``df`` — persist an expensive upstream
+      pipeline first, or it is computed twice.
 
     Rows with null/empty text carry no weight and are dropped.  Pass
     ``weight_column`` to keep the per-row log-weight in the output."""
@@ -1428,9 +1443,13 @@ def curate_corpus(
     stage is optional (None
     ⇒ skipped) and lazily composed — with ``with_report=False`` the
     whole pipeline is ONE logical plan and Spark runs it in however few
-    jobs the actions demand; ``with_report=True`` counts rows after
-    each stage (one job per enabled stage) and returns the attrition
-    table ``[{stage, rows, retained}]``.
+    jobs the actions demand, with two exceptions that run small jobs at
+    COMPOSITION time: the mixture stage's per-group count aggregate,
+    and a float ``dsir_keep``'s ``approxQuantile`` cutoff pass (which
+    executes every upstream stage once; pass an int k for a fully lazy
+    DSIR stage, or persist upstream first).  ``with_report=True``
+    counts rows after each stage (one job per enabled stage) and
+    returns the attrition table ``[{stage, rows, retained}]``.
 
     * ``c4``: enable :func:`c4_clean` line-level cleaning (Raffel et
       al. 2020) as the first stage — raw scraped text is cleaned
@@ -1578,9 +1597,16 @@ def curate_corpus(
             if isinstance(dsir_keep, int) and not isinstance(dsir_keep, bool)
             else {"fraction": float(dsir_keep)}
         )
+        # domain-separated seed: both this stage's Gumbel draw and the
+        # mixture stage's keep-draw hash md5(id || seed); with the SAME
+        # seed the two draws are the identical number, the Gumbel key is
+        # monotone in it, and the mixture stage would systematically
+        # drop DSIR survivors (measured: a 0.2-weight group kept ZERO
+        # docs instead of its target share)
         out = dsir_sample(
             out, dsir_model,
-            id_column=id_column, text_column=text_column, seed=seed, **kw,
+            id_column=id_column, text_column=text_column,
+            seed=f"dsir|{seed}", **kw,
         )
         record("dsir", out)
     if mixture_weights:
@@ -1591,7 +1617,7 @@ def curate_corpus(
             mixture_column,
             mixture_weights,
             key_columns=[id_column],
-            seed=seed,
+            seed=f"mix|{seed}",
         )
         record("mixture", out)
     return out, report

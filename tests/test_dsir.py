@@ -32,13 +32,22 @@ RAW = [
     (15, "a lazy dog and a quick fox play in the park"),
     (16, ""),
     (17, None),
+    # whitespace edges: leading \n survives Spark's space-only trim and
+    # normalizes to a leading ''-token — the replica must match that,
+    # not Python str.strip()'s unicode-whitespace semantics
+    (18, "\nthe quick fox\tjumps again"),
+    (19, "   "),
 ]
 
 
 def _norm_words(t: str) -> list:
+    """EXACT replica of Spark normalize_text + split: trim strips
+    ASCII SPACES only (not \\n/\\t), Java \\s is the ASCII class."""
     import re
 
-    return re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+    return re.sub(
+        "[ \t\n\x0b\f\r]+", " ", t.strip(" ").lower()
+    ).split(" ")
 
 
 def _md5_bucket_py(key: str, n: int) -> int:
@@ -46,7 +55,7 @@ def _md5_bucket_py(key: str, n: int) -> int:
 
 
 def _features_py(t, n_buckets: int, bigrams: bool = True) -> list:
-    if t is None or not t.strip():
+    if t is None or not t.strip(" "):
         return []
     ws = _norm_words(t)
     ids = [_md5_bucket_py(w, n_buckets) for w in ws]
@@ -133,7 +142,7 @@ def test_target_like_docs_outweigh_off_target(spark):
     vocabularies together; the 64-bucket parity model above is too
     small for a semantic assertion.)"""
     tdf = spark.createDataFrame(TARGET, "doc_id long, text string")
-    rdf = spark.createDataFrame(RAW, "doc_id long, text string")
+    rdf = spark.createDataFrame(RAW[:6], "doc_id long, text string")
     m = curation.train_dsir(
         tdf, rdf, n_buckets=1 << 12, hash_function="md5"
     )
@@ -210,7 +219,7 @@ def test_fraction_mode_keeps_highest_weight_tail(spark, model):
     kept = curation.dsir_sample(
         rdf, model, fraction=0.5, seed="f", weight_column="logw"
     ).collect()
-    assert 2 <= len(kept) <= 4  # 6 scoreable docs, sketch-approximate
+    assert 2 <= len(kept) <= 5  # 7 scoreable docs, sketch-approximate
     # every kept doc's key clears every dropped doc's key
     ratio = _train_py(TARGET, RAW, N_BUCKETS)
     key = {
@@ -267,3 +276,25 @@ def test_fraction_mode_empty_corpus(spark, model):
         [(1, ""), (2, None)], "doc_id long, text string"
     )
     assert curation.dsir_sample(empty, model, fraction=0.5).count() == 0
+
+
+def test_curate_corpus_dsir_and_mixture_seeds_are_independent(spark):
+    """Regression: dsir_sample's Gumbel draw and mix_sample's keep-draw
+    both hash md5(id || seed); with the same seed the mixture stage
+    systematically drops DSIR survivors (a 0.2-weight group kept ZERO
+    docs).  curate_corpus must domain-separate the two stage seeds."""
+    rows = [(i, f"alpha w{i % 7} beta", "a") for i in range(0, 200)]
+    rows += [(i, f"alpha w{i % 7} beta", "b") for i in range(200, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    m = curation.train_dsir(df, df, n_buckets=64, hash_function="md5")
+    out, _ = curation.curate_corpus(
+        df,
+        dsir_model=m, dsir_keep=200,
+        mixture_column="source", mixture_weights={"a": 0.8, "b": 0.2},
+        seed="x",
+    )
+    n_b = out.filter(F.col("source") == "b").count()
+    # flat model => DSIR keeps ~100 per source; the 0.2-weight group's
+    # mixture keep-rate is ~0.25 of its survivors => ~25 expected, and
+    # ANY correlation collapse shows up as 0
+    assert n_b >= 10
