@@ -298,3 +298,35 @@ def test_curate_corpus_dsir_and_mixture_seeds_are_independent(spark):
     # mixture keep-rate is ~0.25 of its survivors => ~25 expected, and
     # ANY correlation collapse shows up as 0
     assert n_b >= 10
+
+
+def test_dsir_scoring_composes_with_structured_streaming(spark, tmp_path, model):
+    """dsir_logweight is a stateless projection, so streaming corpora
+    can be scored (and threshold-filtered) with readStream unchanged —
+    the streaming arm of the curation pipeline.  (Gumbel-top-k is a
+    global sort and stays batch-side by design.)"""
+    src = str(tmp_path / "dsir_src")
+    spark.createDataFrame(
+        RAW[:4], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    scored = stream.select(
+        "doc_id", curation.dsir_logweight(F.col("text"), model).alias("lw")
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("gx_dsir_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: r["lw"]
+        for r in spark.sql("SELECT * FROM gx_dsir_stream").collect()
+    }
+    ratio = _train_py(TARGET, RAW, N_BUCKETS)
+    for did, t in RAW[:4]:
+        assert got[did] == pytest.approx(
+            _logw_py(t, ratio, N_BUCKETS), rel=1e-12
+        )
