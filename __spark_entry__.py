@@ -932,6 +932,25 @@ def _mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept"),
         F.sum("doc_id").alias("key_sum"),
     )
+    # token-weighted mixture (weight_by='tokens'): same md5 keep rule,
+    # rate math over token masses — rows prefixed 'tok_' in the frame
+    tok_kept = curation.mix_sample(
+        docs, "source", dict(_MIX_WEIGHTS),
+        key_columns=["doc_id"], seed="tokmix", weight_by="tokens",
+    )
+    tok_rows = (
+        tok_kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("doc_id").alias("key_sum"),
+        )
+        .select(
+            F.concat(F.lit("tok_"), F.col("source")).alias("source"),
+            "kept",
+            "key_sum",
+        )
+    )
+    mix_rows = mix_rows.unionAll(tok_rows)
     # DSIR importance resampling rides the same row shape: membership of
     # the Gumbel-top-k selection is pinned by (count, doc_id sum).  md5
     # parity mode end to end — train (target = lang='en' docs vs the
@@ -2740,10 +2759,12 @@ def _mix_sample_sql() -> str:
     """DuckDB replica of the mixture-resampling entry: the same
     max-retention rate math (T = min(n_g / w_g), rate = w_g·T / n_g) and
     the same md5-threshold keep rule, so membership is byte-identical.
-    Stacked 'zz_dsir' row: a FULL-algorithm DSIR replica (normalize →
-    md5-bucketed unigram+bigram features → add-alpha log-ratio between
-    the lang='en' target and the pool → per-doc weight → seeded Gumbel
-    key → top-k) pinning the selected set by (count, doc_id sum)."""
+    Stacked 'tok_*' rows: the token-weighted mixture mode (rate math
+    over whitespace-token masses, same keep rule).  Stacked 'zz_dsir'
+    row: a FULL-algorithm DSIR replica (normalize → md5-bucketed
+    unigram+bigram features → add-alpha log-ratio between the lang='en'
+    target and the pool → per-doc weight → seeded Gumbel key → top-k)
+    pinning the selected set by (count, doc_id sum)."""
     weights = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
     u = (
         "('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 8))::UBIGINT"
@@ -2769,6 +2790,20 @@ def _mix_sample_sql() -> str:
         "sum(doc_id)::BIGINT AS key_sum "
         f"FROM documents d JOIN r USING (source) WHERE {u} < rate "
         "GROUP BY d.source), "
+        "dtok AS (SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok "
+        "FROM documents), "
+        "ctok AS (SELECT source, sum(ntok)::DOUBLE AS n FROM dtok "
+        "JOIN w USING (source) GROUP BY source), "
+        "ttok AS (SELECT min(n / wt) AS tot FROM ctok "
+        "JOIN w USING (source)), "
+        "rtok AS (SELECT source, least(1.0, wt * tot / n) AS rate "
+        "FROM ctok JOIN w USING (source), ttok), "
+        "tokmix AS (SELECT 'tok_' || d.source AS source, "
+        "count(*)::BIGINT AS kept, sum(doc_id)::BIGINT AS key_sum "
+        "FROM dtok d JOIN rtok ON d.source = rtok.source "
+        "WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'tokmix'), 1, 8))"
+        "::UBIGINT / 4294967296.0 < rate GROUP BY d.source), "
         "norm AS (SELECT doc_id, lang, "
         "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt "
         "FROM documents WHERE text IS NOT NULL "
@@ -2800,7 +2835,8 @@ def _mix_sample_sql() -> str:
         f"LIMIT {k}), "
         "dsir AS (SELECT 'zz_dsir' AS source, count(*)::BIGINT AS kept, "
         "sum(doc_id)::BIGINT AS key_sum FROM sel) "
-        "SELECT * FROM mix UNION ALL SELECT * FROM dsir ORDER BY source"
+        "SELECT * FROM mix UNION ALL SELECT * FROM tokmix "
+        "UNION ALL SELECT * FROM dsir ORDER BY source"
     )
 
 

@@ -791,9 +791,22 @@ def mix_sample(
     *,
     key_columns: Optional[List[str]] = None,
     seed: str = "",
+    weight_by: str = "rows",
+    text_column: str = "text",
+    token_count_column: Optional[str] = None,
 ) -> DataFrame:
     """Deterministically subsample ``df`` so group proportions match
     ``target_weights`` (maximum-retention solution).
+
+    ``weight_by='rows'`` (default) balances DOCUMENT counts;
+    ``weight_by='tokens'`` balances TOKEN mass — the unit real mixture
+    budgets are written in (The Pile / DoReMi weights are token
+    shares).  Token mode measures each group's mass with
+    ``text.token_count(text_column)`` (or a precomputed
+    ``token_count_column``), applies the same max-retention rate math
+    to the masses, and keeps rows by the same uniform md5 draw — rows
+    are thinned independently of their own length, so the kept token
+    mass per group converges to ``w_g · T`` in expectation.
 
     Keep decision: ``u(row) < rate(group)`` where ``u`` is the first 8
     hex chars of ``md5(key || seed)`` scaled to [0,1) — the same
@@ -803,9 +816,9 @@ def mix_sample(
     defaults to all non-group columns' concat; pass the stable unique
     id for production use.
 
-    One tiny ``groupBy(group).count()`` agg (driver-collected — group
-    count is the number of DOMAINS, not rows), then a single filtered
-    scan.  No shuffle of the data itself.
+    One tiny ``groupBy(group)`` agg (driver-collected — group count is
+    the number of DOMAINS, not rows), then a single filtered scan.  No
+    shuffle of the data itself.
     """
     key_columns = key_columns or [
         c for c in df.columns if c != group_column
@@ -817,11 +830,22 @@ def mix_sample(
             "row of a group would share one md5 draw and the group would "
             "be kept or dropped wholesale"
         )
+    if weight_by == "rows":
+        mass = F.count(F.lit(1))
+    elif weight_by == "tokens":
+        from great_expectations_spark.functions.text import token_count
+
+        tok = (
+            F.col(token_count_column)
+            if token_count_column
+            else token_count(F.col(text_column))
+        )
+        mass = F.sum(F.coalesce(tok, F.lit(0)))
+    else:
+        raise ValueError("weight_by must be 'rows' or 'tokens'")
     counts = {
         r[group_column]: r["n"]
-        for r in df.groupBy(group_column)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in df.groupBy(group_column).agg(mass.alias("n")).collect()
     }
     rates, _ = mixture_rates(counts, target_weights)
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_columns])
@@ -1432,6 +1456,7 @@ def curate_corpus(
     dsir_keep: Optional[float] = None,
     mixture_column: Optional[str] = None,
     mixture_weights: Optional[Dict[str, float]] = None,
+    mixture_weight_by: str = "rows",
     seed: str = "",
     with_report: bool = False,
 ) -> Tuple[DataFrame, List[Dict[str, object]]]:
@@ -1486,7 +1511,9 @@ def curate_corpus(
       k documents (Gumbel-top-k), a float keeps that fraction via the
       distributed quantile-cutoff path.
     * ``mixture_column`` + ``mixture_weights``: deterministic
-      :func:`mix_sample` to target domain proportions.
+      :func:`mix_sample` to target domain proportions;
+      ``mixture_weight_by='tokens'`` balances token mass instead of
+      document counts (the unit real mixture budgets are written in).
     """
     report: List[Dict[str, object]] = []
     first: List[Optional[int]] = [None]
@@ -1618,6 +1645,8 @@ def curate_corpus(
             mixture_weights,
             key_columns=[id_column],
             seed=f"mix|{seed}",
+            weight_by=mixture_weight_by,
+            text_column=text_column,
         )
         record("mixture", out)
     return out, report

@@ -855,3 +855,47 @@ def test_lm_model_roundtrip(spark, tmp_path):
     a = doc.select(cur.perplexity_score(F.col("text"), model).alias("p")).first()["p"]
     b = doc.select(cur.perplexity_score(F.col("text"), loaded).alias("p")).first()["p"]
     assert a == b
+
+
+def test_mix_sample_token_weighted_python_replica(spark):
+    """weight_by='tokens': rate math over token masses, same md5 keep
+    rule — exact membership vs a literal replica, and the kept TOKEN
+    mass (not doc count) tracks the target weights."""
+    # 'a' docs are 10x longer than 'b' docs: doc-balanced != token-balanced
+    rows = [(i, "a", "w " * 40) for i in range(300)]
+    rows += [(i, "b", "w " * 4) for i in range(300, 600)]
+    df = spark.createDataFrame(rows, "id long, source string, text string")
+    weights = {"a": 0.5, "b": 0.5}
+    out = cur.mix_sample(
+        df, "source", weights, key_columns=["id"], seed="t",
+        weight_by="tokens",
+    )
+    kept = sorted(r["id"] for r in out.collect())
+    masses = {"a": 300 * 40, "b": 300 * 4}
+    rates, _ = cur.mixture_rates(masses, weights)
+    expect = [
+        i for i, src, _ in rows
+        if int(hashlib.md5(f"{i}t".encode()).hexdigest()[:8], 16) / 2**32
+        < rates[src]
+    ]
+    assert kept == sorted(expect)
+    # b's mass is the binding constraint: ALL b docs kept, a thinned ~10x
+    n_a = sum(1 for i in kept if i < 300)
+    n_b = sum(1 for i in kept if i >= 300)
+    assert n_b == 300
+    assert 15 <= n_a <= 45  # rate 0.1 of 300 docs
+    # kept token mass roughly balanced between the groups
+    mass_a, mass_b = n_a * 40, n_b * 4
+    assert 0.5 <= mass_a / mass_b <= 2.0
+    # precomputed-column path gives identical membership
+    df2 = df.withColumn(
+        "ntok", F.when(F.col("source") == "a", 40).otherwise(4)
+    )
+    out2 = cur.mix_sample(
+        df2, "source", weights, key_columns=["id"], seed="t",
+        weight_by="tokens", token_count_column="ntok",
+    )
+    assert sorted(r["id"] for r in out2.collect()) == kept
+    with pytest.raises(ValueError):
+        cur.mix_sample(df, "source", weights, key_columns=["id"],
+                       weight_by="chars")
