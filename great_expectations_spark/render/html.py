@@ -265,6 +265,55 @@ def render_index_html(
     return _page(title, "\n".join(parts))
 
 
+def render_curation_report_html(
+    report: List[Dict[str, Any]], title: str = "corpus curation"
+) -> str:
+    """Data Docs page for a ``curate_corpus(..., with_report=True)``
+    attrition table: per-stage surviving rows, retention vs input, and
+    per-stage drop, with an inline-SVG bar chart of survivors by stage
+    (same dependency-free chart the expectation pages use).  No
+    reference analog (GE validates, it does not curate) — rendered in
+    the reference's Data Docs idiom."""
+    parts = [f"<h1>{_esc(title, 200)}</h1>"]
+    if report:
+        first = max(int(report[0].get("rows", 0)), 1)
+        parts.append(
+            f'<p class="meta">{len(report) - 1} stages, '
+            f"{_esc(report[0].get('rows'))} input rows → "
+            f"{_esc(report[-1].get('rows'))} kept "
+            f"({_esc(round(100 * report[-1].get('rows', 0) / first, 2))}"
+            "%)</p>"
+        )
+        parts.append(
+            _svg_bars(
+                [str(r.get("stage")) for r in report],
+                [float(r.get("rows", 0)) for r in report],
+            )
+        )
+        parts.append(
+            "<table><thead><tr><th>stage</th><th>rows</th>"
+            "<th>retained</th><th>dropped here</th></tr></thead><tbody>"
+        )
+        prev = None
+        for r in report:
+            rows = int(r.get("rows", 0))
+            dropped = "" if prev is None else f"{prev - rows:,}"
+            parts.append(
+                f"<tr><td>{_esc(r.get('stage'))}</td>"
+                f"<td>{rows:,}</td>"
+                f"<td>{_esc(round(100 * float(r.get('retained', 0)), 2))}"
+                f"%</td><td>{dropped}</td></tr>"
+            )
+            prev = rows
+        parts.append("</tbody></table>")
+    else:
+        parts.append(
+            '<p class="meta">empty report — run curate_corpus with '
+            "with_report=True</p>"
+        )
+    return _page(title, "\n".join(parts))
+
+
 class HtmlDocsAction:
     """Checkpoint action: maintain a browsable Data Docs SITE (the
     reference's UpdateDataDocsAction + SiteBuilder): every validated

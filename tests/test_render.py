@@ -256,3 +256,27 @@ def test_render_distribution_charts():
     from great_expectations_spark.render.html import _chart_of
     assert _chart_of({"observed_value": 1}) == ""
     assert _chart_of({"details": {"observed_partition": {"weights": []}}}) == ""
+
+
+def test_render_curation_report_html():
+    from great_expectations_spark.render.html import (
+        render_curation_report_html,
+    )
+
+    report = [
+        {"stage": "input", "rows": 1000, "retained": 1.0},
+        {"stage": "c4_clean", "rows": 800, "retained": 0.8},
+        {"stage": "dedup[minhash]", "rows": 600, "retained": 0.6},
+        {"stage": "mixture", "rows": 300, "retained": 0.3},
+    ]
+    html = render_curation_report_html(report, title="run-42")
+    assert "run-42" in html
+    assert "3 stages, 1000 input rows" in html
+    assert "300" in html and "30.0%" in html
+    assert "dedup[minhash]" in html
+    assert html.count("<tr>") == 5  # header + 4 stage rows
+    assert "<svg" in html and html.count("<rect") == 4
+    assert "200" in html  # dropped-here for c4_clean
+    # empty report doesn't raise
+    empty = render_curation_report_html([])
+    assert "empty report" in empty
