@@ -257,3 +257,90 @@ def test_c4_matches_python(spark, pages, min_words, min_sentences):
         expect = _py_c4_clean(p, min_words, min_sentences)
         assert got[i][0] == (expect is not None), (i, p)
         assert got[i][1] == expect, (i, p)
+
+
+# whitespace-adversarial text: Spark trim() strips ASCII spaces ONLY,
+# \n/\t survive into normalize and become ''-tokens — the replica must
+# reproduce that exactly (lowercase-only alphabet so Python str.lower
+# and Java toLowerCase agree)
+ws_text = st.text(
+    alphabet="ab1é .\n\t", min_size=0, max_size=24
+)
+maybe_ws_text = st.one_of(st.none(), ws_text)
+
+_DSIR_B = 32
+
+
+def _dsir_feats_py(t):
+    if t is None or not t.strip(" "):
+        return []
+    ws = re.sub("[ \t\n\x0b\f\r]+", " ", t.strip(" ").lower()).split(" ")
+    bucket = lambda k: (
+        int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % _DSIR_B + 1
+    )
+    return [bucket(w) for w in ws] + [
+        bucket(ws[i - 1] + "\x01" + ws[i]) for i in range(1, len(ws))
+    ]
+
+
+@settings(**SETTINGS)
+@given(
+    target=st.lists(maybe_ws_text, min_size=0, max_size=5),
+    raw=st.lists(maybe_ws_text, min_size=0, max_size=8),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_dsir_selection_matches_python(spark, target, raw, k):
+    """train → log-weight → Gumbel-top-k equals a from-scratch Python
+    DSIR on arbitrary whitespace-adversarial corpora (md5 parity
+    mode)."""
+    import math
+
+    # an anchor doc keeps both corpora featurizable (the no-features
+    # ValueError path is unit-tested separately)
+    target = target + ["anchor word"]
+    raw = raw + ["anchor word"]
+    tdf = spark.createDataFrame(
+        list(enumerate(target)), "doc_id long, text string"
+    )
+    rdf = spark.createDataFrame(
+        list(enumerate(raw)), "doc_id long, text string"
+    )
+    model = cur.train_dsir(
+        tdf, rdf, n_buckets=_DSIR_B, hash_function="md5"
+    )
+
+    # python model
+    tc, rc = [0] * _DSIR_B, [0] * _DSIR_B
+    for t in target:
+        for b in _dsir_feats_py(t):
+            tc[b - 1] += 1
+    for t in raw:
+        for b in _dsir_feats_py(t):
+            rc[b - 1] += 1
+    tt, rt = sum(tc), sum(rc)
+    ratio = [
+        math.log((tc[b] + 1.0) / (tt + _DSIR_B))
+        - math.log((rc[b] + 1.0) / (rt + _DSIR_B))
+        for b in range(_DSIR_B)
+    ]
+    for got, want in zip(model["log_ratio"], ratio):
+        assert abs(got - want) < 1e-12
+
+    got_ids = {
+        r["doc_id"]
+        for r in cur.dsir_sample(
+            rdf, model, k=k, id_column="doc_id", seed="p"
+        ).collect()
+    }
+    keyed = []
+    for i, t in enumerate(raw):
+        feats = _dsir_feats_py(t)
+        if not feats:
+            continue
+        lw = sum(ratio[b - 1] for b in feats)
+        u = (
+            int(hashlib.md5(f"{i}p".encode()).hexdigest()[:8], 16) + 0.5
+        ) / 2**32
+        keyed.append((lw - math.log(-math.log(u)), -i))
+    keyed.sort(reverse=True)
+    assert got_ids == {-i for _, i in keyed[:k]}
