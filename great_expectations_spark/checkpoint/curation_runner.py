@@ -80,18 +80,30 @@ def curate_by_partition(
     run_id: Optional[str] = None,
     output_format: str = "parquet",
     write_docs: bool = False,
+    persist_input: bool = True,
 ) -> Dict[str, Any]:
     """Curate every partition of ``df``, resuming past ``done`` ones.
 
     Per partition: ``curate_corpus(part_df, with_report=True,
     **curate_kwargs)`` → write the survivors to
-    ``{output_path}/{partition_column}=<value>/`` (overwrite ⇒ retry-
-    idempotent) → record a manifest entry whose payload is the
-    attrition report.  Returns a summary dict with per-partition
-    entries.  ``write_docs=True`` additionally renders each
-    partition's attrition report as a Data Docs HTML page under
-    ``{checkpoint_dir}/docs/``.
+    ``{output_path}/{partition_column}=<escaped value>/`` (hive-style
+    percent-escaping for path-hostile values; NULL uses Hive's
+    ``__HIVE_DEFAULT_PARTITION__``; overwrite ⇒ retry-idempotent) →
+    record a manifest entry whose payload is the attrition report.
+    Returns a summary dict with per-partition entries.
+
+    The resume identity (``config_hash``) covers ``curate_kwargs`` AND
+    the output location/format — rerunning against a different
+    ``output_path`` recomputes everything, so a ``done`` entry always
+    means "THIS output exists".  ``persist_input`` caches each
+    partition's input for the duration of its run (the per-stage report
+    counts and the final write otherwise each rescan the source).
+    ``write_docs=True`` additionally renders each partition's attrition
+    report as a Data Docs HTML page under ``{checkpoint_dir}/docs/`` —
+    docs rendering is best-effort and never fails the partition.
     """
+    from urllib.parse import quote
+
     from great_expectations_spark.checkpoint.runner import (
         _collect_partition_values,
     )
@@ -103,24 +115,50 @@ def curate_by_partition(
             "with_report is owned by curate_by_partition (the report IS "
             "the manifest payload)"
         )
-    cfg_hash = curation_config_hash(curate_kwargs)
+    cfg_hash = curation_config_hash(
+        {
+            **curate_kwargs,
+            "__output_path__": output_path,
+            "__output_format__": output_format,
+        }
+    )
     manifest = CheckpointManifest(checkpoint_dir)
     run_id = run_id or str(uuid.uuid4())
 
     partitions = _collect_partition_values(df, partition_column)
     done = manifest.completed_partitions(cfg_hash)
+    # intersect with the CURRENT partition list: stale manifest entries
+    # for partitions absent from this df must not appear in the summary
+    current = {str(p) for p in partitions}
+    done = {pid: e for pid, e in done.items() if pid in current}
     todo = [p for p in partitions if str(p) not in done]
     logger.info(
         "curation checkpoint: %d partitions, %d already done, %d to run",
         len(partitions), len(done), len(todo),
     )
 
+    def _dir_token(value: Any) -> str:
+        # Hive partition-path conventions: NULL sentinel; percent-escape
+        # separators and other path-hostile characters (Spark's
+        # partition discovery unescapes them on read)
+        if value is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        return quote(str(value), safe="")
+
     entries: List[ManifestEntry] = list(done.values())
     for value in todo:
         started = datetime.datetime.now(datetime.timezone.utc)
-        part_df = df.filter(F.col(partition_column) == F.lit(value))
+        pc = F.col(partition_column)
+        # null-safe match: `col == lit(None)` is never true in SQL
+        # semantics, which would silently curate an empty frame for the
+        # NULL partition and drop its rows from the corpus
+        part_df = df.filter(
+            pc.isNull() if value is None else pc.eqNullSafe(F.lit(value))
+        )
+        if persist_input:
+            part_df = part_df.persist()
         part_dir = os.path.join(
-            output_path, f"{partition_column}={value}"
+            output_path, f"{partition_column}={_dir_token(value)}"
         )
         try:
             out, report = curate_corpus(
@@ -153,22 +191,35 @@ def curate_by_partition(
                 manifest.record(entry, json.dumps({"report": report}))
             )
             if write_docs:
-                from great_expectations_spark.render.html import (
-                    render_curation_report_html,
-                )
+                # best-effort, OUTSIDE the failure path: a docs hiccup
+                # after a successful record must not re-record the
+                # partition as failed (the parquet and manifest are
+                # already committed) — same never-fail contract as the
+                # validation runner's post-validation actions
+                try:
+                    from great_expectations_spark.render.html import (
+                        render_curation_report_html,
+                    )
 
-                docs_dir = os.path.join(checkpoint_dir, "docs")
-                os.makedirs(docs_dir, exist_ok=True)
-                page = render_curation_report_html(
-                    report,
-                    title=f"curation {partition_column}={value}",
-                )
-                with open(
-                    os.path.join(docs_dir, f"curation_{value}.html"),
-                    "w",
-                    encoding="utf-8",
-                ) as f:
-                    f.write(page)
+                    docs_dir = os.path.join(checkpoint_dir, "docs")
+                    os.makedirs(docs_dir, exist_ok=True)
+                    page = render_curation_report_html(
+                        report,
+                        title=f"curation {partition_column}={value}",
+                    )
+                    with open(
+                        os.path.join(
+                            docs_dir,
+                            f"curation_{_dir_token(value)}.html",
+                        ),
+                        "w",
+                        encoding="utf-8",
+                    ) as f:
+                        f.write(page)
+                except Exception:  # noqa: BLE001 — docs never fail the run
+                    logger.exception(
+                        "docs rendering failed for partition %s", value
+                    )
         except Exception as exc:  # noqa: BLE001 — survive partition failure
             finished = datetime.datetime.now(datetime.timezone.utc)
             entry = ManifestEntry(
@@ -190,6 +241,9 @@ def curate_by_partition(
             logger.exception(
                 "curation failed for partition %s", value
             )
+        finally:
+            if persist_input:
+                part_df.unpersist()
 
     by_status: Dict[str, int] = {}
     for e in entries:

@@ -843,10 +843,29 @@ def mix_sample(
         mass = F.sum(F.coalesce(tok, F.lit(0)))
     else:
         raise ValueError("weight_by must be 'rows' or 'tokens'")
-    counts = {
-        r[group_column]: r["n"]
-        for r in df.groupBy(group_column).agg(mass.alias("n")).collect()
-    }
+    rows = (
+        df.groupBy(group_column)
+        .agg(mass.alias("n"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    counts = {r[group_column]: r["n"] for r in rows}
+    if weight_by == "tokens":
+        # distinguish "group absent" (mixture_rates' error) from "group
+        # present but every document empty/whitespace" — the latter
+        # worked under weight_by='rows' and deserves its own message
+        hollow = [
+            r[group_column]
+            for r in rows
+            if r["n_rows"] > 0
+            and not counts[r[group_column]]
+            and target_weights.get(r[group_column], 0) > 0
+        ]
+        if hollow:
+            raise ValueError(
+                f"weight_by='tokens': groups {hollow} have rows but ZERO "
+                "token mass (every document empty/whitespace) — drop "
+                "them from target_weights or use weight_by='rows'"
+            )
     rates, _ = mixture_rates(counts, target_weights)
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_columns])
     u = F.conv(F.substring(F.md5(F.concat(key, F.lit(seed))), 1, 8), 16, 10).cast(

@@ -120,3 +120,83 @@ def test_config_hash_tokens_and_guardrails(spark, docs, tmp_path):
             docs, "source", str(tmp_path / "o"), str(tmp_path / "c"),
             curate_kwargs={"with_report": True},
         )
+
+
+def test_null_partition_value_is_curated_not_dropped(spark, tmp_path):
+    """`col == lit(None)` is never true — the NULL partition must use a
+    null-safe match and Hive's __HIVE_DEFAULT_PARTITION__ directory."""
+    rows = [(1, "alpha text", "a"), (2, "beta text", None),
+            (3, "beta text two", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    summary = cr.curate_by_partition(
+        df, "source", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        curate_kwargs={},
+    )
+    assert summary["by_status"] == {"done": 2}
+    null_part = spark.read.parquet(
+        str(tmp_path / "out" / "source=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert null_part.count() == 2
+    entry = {e["partition_id"]: e for e in summary["entries"]}["None"]
+    assert entry["rows"] == 2
+
+
+def test_path_hostile_partition_values_are_escaped(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "alpha text", "2024/01"), (2, "beta text", "a b")],
+        "doc_id long, text string, source string",
+    )
+    summary = cr.curate_by_partition(
+        df, "source", str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        curate_kwargs={}, write_docs=True,
+    )
+    assert summary["by_status"] == {"done": 2}
+    assert os.path.isdir(str(tmp_path / "out" / "source=2024%2F01"))
+    docs = sorted(os.listdir(str(tmp_path / "ckpt" / "docs")))
+    assert docs == ["curation_2024%2F01.html", "curation_a%20b.html"]
+    # Spark's partition discovery unescapes hive-style encoding
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert {r["source"] for r in back.select("source").collect()} == {
+        "2024/01", "a b",
+    }
+
+
+def test_config_hash_covers_output_location(spark, docs, tmp_path):
+    """'done' must mean THIS output exists: a different output_path or
+    format recomputes instead of resuming."""
+    ckpt = str(tmp_path / "ckpt")
+    s1 = cr.curate_by_partition(
+        docs, "source", str(tmp_path / "out1"), ckpt, curate_kwargs=KW
+    )
+    s2 = cr.curate_by_partition(
+        docs, "source", str(tmp_path / "out2"), ckpt, curate_kwargs=KW
+    )
+    assert s1["config_hash"] != s2["config_hash"]
+    assert s2["executed"] == 3 and s2["resumed"] == 0
+    assert os.path.isdir(str(tmp_path / "out2" / "source=a"))
+
+
+def test_stale_done_entries_not_counted(spark, docs, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cr.curate_by_partition(docs, "source", out, ckpt, curate_kwargs=KW)
+    shrunk = docs.filter(F.col("source") != "c")
+    s = cr.curate_by_partition(shrunk, "source", out, ckpt,
+                               curate_kwargs=KW)
+    assert s["partitions"] == 2
+    assert s["resumed"] == 2 and s["executed"] == 0
+    assert s["by_status"] == {"done": 2}
+    assert {e["partition_id"] for e in s["entries"]} == {"a", "b"}
+
+
+def test_token_mode_zero_mass_group_error_is_clear(spark):
+    from great_expectations_spark.functions import curation as cur_mod
+
+    df = spark.createDataFrame(
+        [(1, "real words here", "a"), (2, "   ", "b"), (3, "", "b")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="ZERO token mass"):
+        cur_mod.mix_sample(
+            df, "source", {"a": 0.5, "b": 0.5}, key_columns=["doc_id"],
+            weight_by="tokens",
+        )
