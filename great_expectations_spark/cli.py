@@ -300,6 +300,44 @@ def _cmd_compare(args) -> int:
     return 1 if diff["regressed"] else 0
 
 
+def _cmd_curate(args) -> int:
+    """Resumable checkpointed curation run (curate_by_partition): exit 0
+    when every partition is done, 1 when any partition failed (re-run to
+    retry only those)."""
+    from great_expectations_spark.checkpoint.curation_runner import (
+        curate_by_partition,
+    )
+
+    spark = _build_spark(args)
+    try:
+        df = _load_df(spark, args)
+        kwargs: dict = {}
+        if args.config:
+            with open(args.config, encoding="utf-8") as f:
+                kwargs = json.load(f)
+            if not isinstance(kwargs, dict):
+                print("curate: --config must hold a JSON object",
+                      file=sys.stderr)
+                return 2
+        summary = curate_by_partition(
+            df,
+            args.partition_column,
+            args.out,
+            args.checkpoint_dir,
+            curate_kwargs=kwargs,
+            output_format=args.output_format,
+            write_docs=args.docs,
+        )
+        print(json.dumps(
+            {k: v for k, v in summary.items() if k != "entries"},
+            indent=1, sort_keys=True,
+        ))
+        return 0 if summary["by_status"].get("failed", 0) == 0 else 1
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="great_expectations_spark",
@@ -416,6 +454,30 @@ def build_parser() -> argparse.ArgumentParser:
         "--json", action="store_true", help="JSON instead of markdown"
     )
     cmp_p.set_defaults(fn=_cmd_compare)
+
+    cu = sub.add_parser(
+        "curate",
+        help="resumable per-partition corpus curation "
+             "(checkpoint manifest; re-run retries failures only)",
+    )
+    add_spark_args(cu)
+    add_data_args(cu)
+    cu.add_argument("--partition-column", required=True)
+    cu.add_argument("--out", required=True, help="curated output root")
+    cu.add_argument(
+        "--checkpoint-dir", required=True, help="manifest directory"
+    )
+    cu.add_argument(
+        "--config",
+        help="JSON file of curate_corpus kwargs (stages/thresholds); "
+             "DataFrame-valued stages are API-only",
+    )
+    cu.add_argument("--output-format", default="parquet")
+    cu.add_argument(
+        "--docs", action="store_true",
+        help="render per-partition attrition HTML under the checkpoint",
+    )
+    cu.set_defaults(fn=_cmd_curate)
     return parser
 
 

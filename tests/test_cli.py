@@ -287,3 +287,34 @@ def test_compare_verb(spark, data_path, tmp_path, capsys):
                "--before", "b", "--after", "a", "--json"])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["counts"].get("fixed") == 1
+
+
+def test_curate_verb(spark, tmp_path, capsys):
+    data = str(tmp_path / "docs.parquet")
+    rows = []
+    for src in ("a", "b"):
+        for i in range(5):
+            rows.append(Row(doc_id=len(rows), text=f"{src} doc {i}",
+                            source=src))
+        rows.append(Row(doc_id=len(rows), text=f"{src} doc 0", source=src))
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(data)
+    cfg = str(tmp_path / "curate.json")
+    with open(cfg, "w") as f:
+        json.dump({"dedup_method": "exact"}, f)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rc = _run([
+        "curate", "--data", data, "--partition-column", "source",
+        "--out", out, "--checkpoint-dir", ckpt, "--config", cfg, "--docs",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["by_status"] == {"done": 2}
+    assert spark.read.parquet(out + "/source=a").count() == 5
+    # resume is a no-op second time
+    rc2 = _run([
+        "curate", "--data", data, "--partition-column", "source",
+        "--out", out, "--checkpoint-dir", ckpt, "--config", cfg,
+    ])
+    assert rc2 == 0
+    summary2 = json.loads(capsys.readouterr().out)
+    assert summary2["executed"] == 0 and summary2["resumed"] == 2
