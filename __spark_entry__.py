@@ -514,17 +514,25 @@ def _contiguous_linenumber(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both physical strategies of the referential check, each oracle-
+    # checked: 'join' (row-level LEFT ANTI, broadcast-when-small) and
+    # 'aggregate' (distinct-(key,count) reduction before the anti-join —
+    # the 10^12-row shuffle shape; query_ops.py r4 session 10)
     df = _load(spark, sf_dir, "lineitem")
-    suite = ExpectationSuite("q").add(
-        "expect_column_values_to_exist_in_other_table",
-        column="l_orderkey",
-        other_table=_load(spark, sf_dir, "orders"),
-        other_column="o_orderkey",
-    )
-    res = SuiteValidator().validate(df, suite, result_format="BASIC")
+    rows = []
+    for strategy in ("join", "aggregate"):
+        suite = ExpectationSuite("q").add(
+            "expect_column_values_to_exist_in_other_table",
+            column="l_orderkey",
+            other_table=_load(spark, sf_dir, "orders"),
+            other_column="o_orderkey",
+            strategy=strategy,
+        )
+        res = SuiteValidator().validate(df, suite, result_format="BASIC")
+        rows.append((strategy, res.results[0].result["unexpected_count"]))
     return spark.createDataFrame(
-        [(res.results[0].result["unexpected_count"],)], "orphan_rows bigint"
-    )
+        rows, "strategy string, orphan_rows bigint"
+    ).orderBy("strategy")
 
 
 def _rowcount_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2255,9 +2263,15 @@ def oracle_sql() -> dict[str, str]:
             "  FROM ref r JOIN psi s USING (part) ORDER BY r.part"
         ),
         "anti_join_lineitem_orders": (
-            "SELECT count(*)::BIGINT AS orphan_rows FROM lineitem l WHERE "
-            "l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o "
-            "WHERE o.o_orderkey = l.l_orderkey)"
+            # one row per engine strategy; the orphan count is strategy-
+            # independent by construction, so both rows carry the same SQL
+            "WITH orphans AS ("
+            "  SELECT count(*)::BIGINT AS orphan_rows FROM lineitem l WHERE "
+            "  l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders "
+            "  o WHERE o.o_orderkey = l.l_orderkey)"
+            ") SELECT s.strategy, orphans.orphan_rows FROM orphans, "
+            "(SELECT 'aggregate' AS strategy UNION ALL SELECT 'join') s "
+            "ORDER BY s.strategy"
         ),
         "rowcount_compare": (
             "SELECT (SELECT count(*) FROM lineitem)::BIGINT AS self_rows, "

@@ -65,37 +65,78 @@ def value_counts(
     )
 
 
+def _approx_top_k_expr(column: str, k: int, max_items_tracked: int):
+    if not 0 < k <= max_items_tracked:
+        raise ValueError(
+            f"need 0 < k <= max_items_tracked, got k={k}, "
+            f"max_items_tracked={max_items_tracked}"
+        )
+    quoted = "`" + column.replace("`", "``") + "`"
+    return F.expr(
+        f"approx_top_k({quoted}, {int(k)}, {int(max_items_tracked)})"
+    )
+
+
+def approx_value_counts(
+    df: DataFrame,
+    column: str,
+    k: int = 100,
+    max_items_tracked: int = 100_000,
+    domain: Optional[Column] = None,
+) -> DataFrame:
+    """Sketch-based top-k value counts (Spark 4 ``approx_top_k``, a
+    mergeable frequent-items sketch).
+
+    The 10^12-row shape for "what are the hot values": each task folds
+    its rows into one bounded sketch, so ONE sketch per upstream
+    partition crosses the wire instead of a ``(value, count)`` pair per
+    distinct value — no groupBy shuffle at all.  Counts are EXACT while
+    the column's true cardinality stays <= ``max_items_tracked`` (the
+    sketch never evicts); beyond that they are frequency estimates with
+    a documented over-count bound, which is the right trade for "top
+    values of a high-cardinality column" at scale — the exact
+    :func:`value_counts` stays the parity path.
+    """
+    scoped = _apply_domain(df, domain).filter(F.col(column).isNotNull())
+    return (
+        scoped.agg(
+            _approx_top_k_expr(column, k, max_items_tracked).alias("__tk")
+        )
+        .select(F.explode("__tk").alias("__e"))
+        .select(
+            F.col("__e.item").alias(column),
+            F.col("__e.count").alias("count"),
+        )
+        .orderBy(F.col("count").desc(), column)
+    )
+
+
 @register_query_job("expect_column_most_common_value_to_be_in_set")
 def _most_common_in_set(kwargs: Dict[str, Any]) -> CompiledJob:
+    """Mode membership.  ``approximate=True`` swaps the exact
+    groupBy-then-argmax for ONE ``approx_top_k`` sketch aggregation —
+    no shuffle of distinct values, one bounded sketch per task on the
+    wire, and a grouped hook that evaluates every partition's mode in a
+    single job.  Exact while true cardinality <= ``max_items_tracked``
+    (default 100k); above that the mode of a heavy-tailed column is
+    still found with high probability, but counts become estimates, so
+    the exact path stays the default."""
     column = kwargs["column"]
     value_set = set(kwargs.get("value_set") or [])
     ties_okay = bool(kwargs.get("ties_okay", False))
+    approximate = bool(kwargs.get("approximate", False))
+    max_items_tracked = int(kwargs.get("max_items_tracked", 100_000))
+    mode_cap = 1000
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
-        counts = value_counts(df, column, domain)
-        # argmax with ties, two tiny jobs over the (already reduced) counts
-        counts = counts.persist()
-        try:
-            top = counts.agg(F.max("count").alias("m")).first()
-            if top is None or top["m"] is None:
-                return {"success": True, "result": {"observed_value": []}}
-            # bounded collect: an all-distinct column makes EVERY value a
-            # mode (count == 1 everywhere) — cap the tie set instead of
-            # shipping the whole column to the driver
-            mode_cap = 1000
-            mode_rows = (
-                counts.filter(F.col("count") == top["m"])
-                .limit(mode_cap + 1)
-                .collect()
+    def _judge(modes: List[Any]) -> Dict[str, Any]:
+        if not modes:
+            # no non-null rows: vacuous pass, same as the exact path
+            return {"success": True, "result": {"observed_value": []}}
+        if len(modes) > mode_cap:
+            raise ValueError(
+                f"more than {mode_cap} values tie for most-common in "
+                f"{column!r} — the column has no meaningful mode"
             )
-            if len(mode_rows) > mode_cap:
-                raise ValueError(
-                    f"more than {mode_cap} values tie for most-common in "
-                    f"{column!r} — the column has no meaningful mode"
-                )
-            modes = [r[column] for r in mode_rows]
-        finally:
-            counts.unpersist()
         modes_sorted = sorted(modes, key=lambda v: (v is None, v))
         if ties_okay:
             # any tied mode in the set counts
@@ -108,7 +149,76 @@ def _most_common_in_set(kwargs: Dict[str, Any]) -> CompiledJob:
             "result": {"observed_value": modes_sorted},
         }
 
-    return CompiledJob(run=run)
+    def _modes_from_topk(items: List[Any]) -> List[Any]:
+        """Sketch rows (struct item/count) -> tied argmax."""
+        if not items:
+            return []
+        best = max(e["count"] for e in items)
+        return [e["item"] for e in items if e["count"] == best]
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        if approximate:
+            row = (
+                _apply_domain(df, domain)
+                .filter(F.col(column).isNotNull())
+                .agg(
+                    _approx_top_k_expr(
+                        column, min(mode_cap + 1, max_items_tracked),
+                        max_items_tracked,
+                    ).alias("__tk")
+                )
+                .first()
+            )
+            return _judge(_modes_from_topk(list(row["__tk"] or [])))
+        counts = value_counts(df, column, domain)
+        # argmax with ties, two tiny jobs over the (already reduced) counts
+        counts = counts.persist()
+        try:
+            top = counts.agg(F.max("count").alias("m")).first()
+            if top is None or top["m"] is None:
+                return {"success": True, "result": {"observed_value": []}}
+            # bounded collect: an all-distinct column makes EVERY value a
+            # mode (count == 1 everywhere) — cap the tie set instead of
+            # shipping the whole column to the driver
+            mode_rows = (
+                counts.filter(F.col("count") == top["m"])
+                .limit(mode_cap + 1)
+                .collect()
+            )
+            modes = [r[column] for r in mode_rows]
+        finally:
+            counts.unpersist()
+        return _judge(modes)
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        """ONE sketch job for every partition's mode (approximate mode
+        only — validate_by_partition falls back to per-partition exact
+        jobs otherwise): groupBy(partition).agg(approx_top_k) ships one
+        bounded sketch per (task, partition) pair."""
+        if not approximate:
+            raise NotImplementedError(
+                "grouped most-common needs approximate=True"
+            )
+        rows = (
+            _apply_domain(df, domain)
+            .filter(F.col(column).isNotNull())
+            .groupBy(partition_column)
+            .agg(
+                _approx_top_k_expr(
+                    column, min(mode_cap + 1, max_items_tracked),
+                    max_items_tracked,
+                ).alias("__tk")
+            )
+            .collect()
+        )
+        return {
+            r[partition_column]: _judge(_modes_from_topk(list(r["__tk"] or [])))
+            for r in rows
+        }
+
+    return CompiledJob(run=run, grouped=grouped if approximate else None)
 
 
 # --- z-score (ref: column_values_z_score.py:86-146 — two-phase: scalar
@@ -572,16 +682,85 @@ def _queried_value_frequency(kwargs: Dict[str, Any]) -> CompiledJob:
 # this as a QueryExpectation, query_metrics/query_template_values.py) -----
 
 
+def distinct_key_counts(
+    base: DataFrame, column: str, group_cols: Optional[List[str]] = None
+) -> DataFrame:
+    """Fact rows -> one row per distinct ``(group..., key)`` carrying the
+    fact row count (``__gx_key``, ``__gx_cnt``).  Map-side partial
+    aggregation is what makes the follow-on referential anti-join shuffle
+    distinct-key-sized and skew-proof; module-level so the plan-guard
+    tests can assert that shape on the exact construction the
+    expectation runs."""
+    return base.groupBy(
+        *(group_cols or []), F.col(column).alias("__gx_key")
+    ).agg(F.count(F.lit(1)).alias("__gx_cnt"))
+
+
 @register_query_job("expect_column_values_to_exist_in_other_table")
 def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
     """Every non-null value of ``column`` must exist in
-    ``other_table.other_column`` — LEFT ANTI join; the small side is
-    broadcast when it fits, AQE handles skew otherwise."""
+    ``other_table.other_column``.
+
+    ``strategy``:
+
+    * ``'join'`` — reference-parity LEFT ANTI join of the fact rows
+      against the deduplicated referenced keys.  When the referenced
+      side broadcasts this is map-side with NO shuffle of the fact
+      table, which is optimal; without a broadcast it wire-shuffles
+      every fact row.
+    * ``'aggregate'`` — the 10^12-row path: reduce the fact side to
+      distinct ``(key, row_count)`` pairs first (map-side partial
+      aggregation combines a hot key per upstream partition — skew
+      never concentrates on one reducer), anti-join ONLY the distinct
+      keys, and weight violations by the carried counts.  The shuffle
+      carries one ~16-byte row per distinct key instead of every fact
+      row; for a fact table with any key repetition (lineitem→orders
+      is ~4 rows/key; conversation turns → conv registry is
+      turns-per-conversation) this cuts shuffle volume by both the
+      repetition factor and the row width.
+    * ``'auto'`` (default) — ``'join'`` when the referenced side
+      broadcasts (nothing beats a shuffle-free map-side anti-join),
+      ``'aggregate'`` otherwise (a big-big anti-join must shuffle, so
+      shuffle the smallest exact reduction of the data).
+
+    A Bloom prefilter is deliberately NOT offered here: bloom false
+    positives would *hide* missing keys (the filter answers "might
+    exist", so an absent key can pass), which is also why Spark's own
+    runtime bloom-filter injection skips anti-joins.
+    """
     column = kwargs["column"]
     other = kwargs["other_table"]  # DataFrame or table name
     other_column = kwargs["other_column"]
     mostly = float(kwargs.get("mostly", 1.0))
     broadcast_other = kwargs.get("broadcast_other")
+    strategy = str(kwargs.get("strategy", "auto"))
+    if strategy not in ("auto", "join", "aggregate"):
+        raise ValueError(
+            "strategy must be 'auto', 'join' or 'aggregate', got "
+            f"{strategy!r}"
+        )
+
+    def _keys_side(spark) -> tuple:
+        """(deduplicated referenced keys, was_broadcast)."""
+        other_df = other if isinstance(other, DataFrame) else spark.table(other)
+        keys = other_df.select(
+            F.col(other_column).alias("__gx_key")
+        ).dropDuplicates(["__gx_key"])
+        small = broadcast_other or (
+            broadcast_other is None and _estimate_small(keys)
+        )
+        return (F.broadcast(keys) if small else keys), bool(small)
+
+    def _expand_partial(rows: List[Any], limit: int) -> List[Any]:
+        """Key rows with counts -> value list with multiplicity (the
+        shape the row-level anti-join produces), capped at limit."""
+        vals: List[Any] = []
+        for r in rows:
+            take = min(int(r["__gx_cnt"]), limit - len(vals))
+            vals.extend([r["__gx_key"]] * take)
+            if len(vals) >= limit:
+                break
+        return vals
 
     def run(
         df: DataFrame,
@@ -591,24 +770,55 @@ def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
     ) -> Dict[str, Any]:
         result_format = parse_result_format(result_format or "BASIC")
         scoped = _apply_domain(df, domain)
-        other_df = other if isinstance(other, DataFrame) else spark.table(other)
-        keys = other_df.select(
-            F.col(other_column).alias("__gx_key")
-        ).dropDuplicates(["__gx_key"])
-        if broadcast_other or (
-            broadcast_other is None and _estimate_small(keys)
-        ):
-            keys = F.broadcast(keys)
-        base = scoped.filter(F.col(column).isNotNull())
-        missing = base.join(
-            keys, base[column] == keys["__gx_key"], "left_anti"
+        keys, small = _keys_side(spark)
+        use_agg = strategy == "aggregate" or (
+            strategy == "auto" and not small
         )
+        base = scoped.filter(F.col(column).isNotNull())
         counts = scoped.agg(
             F.count(F.lit(1)).alias("element_count"),
             F.count(F.col(column)).alias("nonnull_count"),
         ).first()
-        unexpected_count = missing.count()
         unexpected_list: List[Any] = []
+        if use_agg:
+            fk = distinct_key_counts(base, column)
+            missing_keys = fk.join(keys, "__gx_key", "left_anti")
+            row = missing_keys.agg(
+                F.coalesce(F.sum("__gx_cnt"), F.lit(0)).alias("u")
+            ).first()
+            unexpected_count = int(row["u"])
+            if (
+                unexpected_count
+                and result_format["result_format"] != "BOOLEAN_ONLY"
+            ):
+                limit = (
+                    unexpected_count
+                    if result_format["result_format"] == "COMPLETE"
+                    else result_format["partial_unexpected_count"]
+                )
+                unexpected_list = _expand_partial(
+                    missing_keys.select("__gx_key", "__gx_cnt")
+                    .limit(limit)
+                    .collect(),
+                    limit,
+                )
+            return format_map_output(
+                result_format,
+                success=map_expectation_success(
+                    int(counts["element_count"]),
+                    int(counts["nonnull_count"]),
+                    unexpected_count,
+                    mostly,
+                ),
+                element_count=int(counts["element_count"]),
+                nonnull_count=int(counts["nonnull_count"]),
+                unexpected_count=unexpected_count,
+                unexpected_list=unexpected_list,
+            )
+        missing = base.join(
+            keys, base[column] == keys["__gx_key"], "left_anti"
+        )
+        unexpected_count = missing.count()
         if (
             unexpected_count
             and result_format["result_format"] != "BOOLEAN_ONLY"
@@ -640,17 +850,16 @@ def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
         df: DataFrame, spark, domain, partition_column: str
     ) -> Dict[Any, Dict[str, Any]]:
         """All partitions in TWO jobs: one grouped count pass, one grouped
-        anti-join — job count is independent of partition count."""
+        anti-join — job count is independent of partition count.  Under
+        ``strategy='aggregate'`` (or auto without a broadcast) the
+        anti-join shuffles distinct ``(partition, key, count)`` triples
+        instead of fact rows, same as the ungrouped path."""
         result_format = parse_result_format("BASIC")
         scoped = _apply_domain(df, domain)
-        other_df = other if isinstance(other, DataFrame) else spark.table(other)
-        keys = other_df.select(
-            F.col(other_column).alias("__gx_key")
-        ).dropDuplicates(["__gx_key"])
-        if broadcast_other or (
-            broadcast_other is None and _estimate_small(keys)
-        ):
-            keys = F.broadcast(keys)
+        keys, small = _keys_side(spark)
+        use_agg = strategy == "aggregate" or (
+            strategy == "auto" and not small
+        )
         counts = {
             r[partition_column]: r
             for r in scoped.groupBy(partition_column).agg(
@@ -659,15 +868,25 @@ def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
             ).collect()
         }
         base = scoped.filter(F.col(column).isNotNull())
-        missing = {
-            r[partition_column]: int(r["u"])
-            for r in base.join(
-                keys, base[column] == keys["__gx_key"], "left_anti"
-            )
-            .groupBy(partition_column)
-            .agg(F.count(F.lit(1)).alias("u"))
-            .collect()
-        }
+        if use_agg:
+            fk = distinct_key_counts(base, column, [partition_column])
+            missing = {
+                r[partition_column]: int(r["u"])
+                for r in fk.join(keys, "__gx_key", "left_anti")
+                .groupBy(partition_column)
+                .agg(F.sum("__gx_cnt").alias("u"))
+                .collect()
+            }
+        else:
+            missing = {
+                r[partition_column]: int(r["u"])
+                for r in base.join(
+                    keys, base[column] == keys["__gx_key"], "left_anti"
+                )
+                .groupBy(partition_column)
+                .agg(F.count(F.lit(1)).alias("u"))
+                .collect()
+            }
         out: Dict[Any, Dict[str, Any]] = {}
         for part, row in counts.items():
             element_count = int(row["element_count"])
