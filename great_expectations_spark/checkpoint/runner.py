@@ -115,6 +115,8 @@ def run_checkpoint(
     run_id: Optional[str] = None,
     actions: Optional[List["CheckpointAction"]] = None,
     parameter_store: Optional[Any] = None,
+    sketch_columns: Optional[List[str]] = None,
+    sketch_lg_k: int = 12,
 ) -> Dict[str, Any]:
     """Validate every partition, resuming past ``done`` ones. Returns a
     summary dict with per-partition manifest entries.
@@ -123,6 +125,12 @@ def run_checkpoint(
     partition's validation — store results/metrics, notify on failure —
     mirroring the reference's post-validation action list
     (``checkpoint/actions.py:826,976``); action errors never fail the run.
+
+    ``sketch_columns`` opts columns into incremental distinct counting:
+    one mergeable HLL sketch per (new partition, column) is persisted
+    under the checkpoint dir (``checkpoint/sketches.py``) in ONE extra
+    grouped job, and the summary carries ``distinct_estimates`` — the
+    union over ALL stored partitions, old ones never re-scanned.
     """
     from great_expectations_spark.checkpoint.actions import (
         ActionContext,
@@ -228,7 +236,7 @@ def run_checkpoint(
         entries = [one(p) for p in todo]
 
     all_done = manifest.completed_partitions(suite_hash)
-    return {
+    summary = {
         "run_id": run_id,
         "suite_hash": suite_hash,
         "partitions_total": len(partitions),
@@ -244,6 +252,19 @@ def run_checkpoint(
         ),
         "entries": [e.to_json_dict() for e in entries],
     }
+    if sketch_columns:
+        from great_expectations_spark.checkpoint.sketches import (
+            PartitionSketchStore,
+        )
+
+        store = PartitionSketchStore(checkpoint_dir, lg_k=sketch_lg_k)
+        summary["sketch_partitions_computed"] = store.update(
+            df, partition_column, sketch_columns, partitions=partitions
+        )
+        summary["distinct_estimates"] = store.merged_distinct(
+            df.sparkSession, sketch_columns
+        )
+    return summary
 
 
 # ---------------------------------------------------------------------------
