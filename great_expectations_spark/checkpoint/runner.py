@@ -33,7 +33,7 @@ import datetime
 import logging
 import uuid
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,6 +117,7 @@ def run_checkpoint(
     parameter_store: Optional[Any] = None,
     sketch_columns: Optional[List[str]] = None,
     sketch_lg_k: int = 12,
+    sketch_kinds: Sequence[str] = ("hll",),
 ) -> Dict[str, Any]:
     """Validate every partition, resuming past ``done`` ones. Returns a
     summary dict with per-partition manifest entries.
@@ -126,11 +127,13 @@ def run_checkpoint(
     mirroring the reference's post-validation action list
     (``checkpoint/actions.py:826,976``); action errors never fail the run.
 
-    ``sketch_columns`` opts columns into incremental distinct counting:
-    one mergeable HLL sketch per (new partition, column) is persisted
+    ``sketch_columns`` opts columns into incremental table stats: one
+    mergeable sketch per (new partition, column, kind) is persisted
     under the checkpoint dir (``checkpoint/sketches.py``) in ONE extra
-    grouped job, and the summary carries ``distinct_estimates`` — the
-    union over ALL stored partitions, old ones never re-scanned.
+    grouped job, and the summary carries the merged answers over ALL
+    stored partitions — old ones never re-scanned.  ``sketch_kinds``
+    picks from ``('hll', 'moments', 'topk')`` → summary keys
+    ``distinct_estimates`` / ``stats_estimates`` / ``top_values``.
     """
     from great_expectations_spark.checkpoint.actions import (
         ActionContext,
@@ -259,11 +262,21 @@ def run_checkpoint(
 
         store = PartitionSketchStore(checkpoint_dir, lg_k=sketch_lg_k)
         summary["sketch_partitions_computed"] = store.update(
-            df, partition_column, sketch_columns, partitions=partitions
+            df, partition_column, sketch_columns, partitions=partitions,
+            kinds=sketch_kinds,
         )
-        summary["distinct_estimates"] = store.merged_distinct(
-            df.sparkSession, sketch_columns
-        )
+        if "hll" in sketch_kinds:
+            summary["distinct_estimates"] = store.merged_distinct(
+                df.sparkSession, sketch_columns
+            )
+        if "moments" in sketch_kinds:
+            summary["stats_estimates"] = store.merged_moments(
+                sketch_columns
+            )
+        if "topk" in sketch_kinds:
+            summary["top_values"] = store.merged_topk(
+                df.sparkSession, sketch_columns
+            )
     return summary
 
 

@@ -1,40 +1,59 @@
-"""Per-partition mergeable HLL distinct sketches for incremental runs.
+"""Per-partition mergeable sketches for incremental table stats.
 
-The 10^12-row problem this solves: a table-level distinct count
-(``approx_count_distinct``) must re-scan EVERY partition on every run,
-so a resumed/incremental validation pays the whole table again for one
-number.  DataSketches HLL sketches (Spark 4 ``hll_sketch_agg`` /
-``hll_union_agg``, JVM-side) are mergeable: this store computes ONE
-bounded sketch per (partition, column) for partitions it has not seen,
-persists them next to the checkpoint manifest (same atomic-rename,
-one-file-per-partition layout — object-store safe), and answers the
-table-level question by unioning stored sketches — a driver-side merge
-of ``num_partitions`` × ~``2^lg_k``-byte blobs, no re-scan of validated
-data.  Estimates are exact while per-partition cardinality stays in the
-sketch's sparse mode, and within ~1.6%/sqrt(2^lg_k) beyond it.
+The 10^12-row problem this solves: table-level statistics (distinct
+count, mean/stddev, min/max, hot values) must re-scan EVERY partition on
+every run, so a resumed/incremental validation pays the whole table
+again for a handful of numbers.  This store computes ONE bounded sketch
+per (partition, column) for partitions it has not seen — in one grouped
+Spark job — persists them next to the checkpoint manifest (same
+atomic-rename one-file-per-partition layout, object-store safe), and
+answers table-level questions by MERGING stored sketches, never
+re-scanning validated data.  Three mergeable kinds:
 
-Reference analogue: none (the reference recomputes from scratch per
-run); the manifest-resume design follows ``checkpoint/manifest.py``
-(north rule: "resumable from checkpoint with per-partition lineage +
-metrics").
+* ``hll`` — DataSketches HLL (Spark 4 ``hll_sketch_agg`` /
+  ``hll_union_agg``): distinct count.  Exact while a partition stays in
+  sparse mode, ~1.6%/sqrt(2^lg_k) beyond.
+* ``moments`` — (count, mean, M2, min, max, sum) per column; merged with
+  the Chan et al. parallel-variance combine (numerically stable — no
+  sum-of-squares cancellation).  Exact.
+* ``topk`` — ``approx_top_k_accumulate`` frequent-items state; merged
+  with ``approx_top_k_combine``.  Exact while true cardinality fits
+  ``topk_max_items``.
+
+This is the north star's "single-pass combine of per-partition sketches
+(count/sum/M2, distinct, heavy hitters)" made RESUMABLE: the sketch is
+the checkpoint.  Reference analogue: none (the reference recomputes
+from scratch per run); the resume design follows
+``checkpoint/manifest.py``.
 """
 
 from __future__ import annotations
 
 import base64
 import json
+import math
 import os
 from functools import reduce
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from great_expectations_spark.checkpoint.manifest import _safe
 
+KINDS = ("hll", "moments", "topk")
+
 # hll_sketch_agg accepts these Spark SQL types natively; anything else is
 # cast to string first (stable distinct-by-representation semantics)
 _NATIVE_TYPES = {"int", "bigint", "string", "binary"}
+
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _quote(column: str) -> str:
+    return "`" + column.replace("`", "``") + "`"
 
 
 def _sketch_input(df: DataFrame, column: str):
@@ -45,6 +64,16 @@ def _sketch_input(df: DataFrame, column: str):
     return col if dtype in _NATIVE_TYPES else col.cast("string")
 
 
+def _check_numeric(df: DataFrame, column: str) -> None:
+    dtype = dict(df.dtypes).get(column)
+    if dtype is None:
+        raise ValueError(f"column {column!r} not in DataFrame")
+    if dtype not in _NUMERIC_TYPES and not dtype.startswith("decimal"):
+        raise ValueError(
+            f"moments sketch needs a numeric column, {column!r} is {dtype}"
+        )
+
+
 def _null_safe_isin(column, values: Sequence[Any]):
     """Partition membership that keeps a NULL partition addressable
     (``isin`` drops it; ``eqNullSafe`` per value keeps the predicate
@@ -53,36 +82,79 @@ def _null_safe_isin(column, values: Sequence[Any]):
     return reduce(lambda a, b: a | b, conds)
 
 
+def _merge_moments(
+    a: Optional[Dict[str, float]], b: Dict[str, float]
+) -> Dict[str, float]:
+    """Chan et al. pairwise combine of (count, mean, M2, min, max, sum)."""
+    if a is None or not a.get("count"):
+        return dict(b)
+    if not b.get("count"):
+        return dict(a)
+    na, nb = a["count"], b["count"]
+    n = na + nb
+    delta = b["mean"] - a["mean"]
+    return {
+        "count": n,
+        "mean": a["mean"] + delta * nb / n,
+        "m2": a["m2"] + b["m2"] + delta * delta * na * nb / n,
+        "min": min(a["min"], b["min"]),
+        "max": max(a["max"], b["max"]),
+        "sum": a["sum"] + b["sum"],
+    }
+
+
+# NOTE the approx_top_k state struct carries the item type in its SCHEMA
+# (the itemDataType field's type; its value is always null), so the
+# struct DDL must be captured per column at accumulate time and replayed
+# exactly at combine time — a fixed DDL deserializes garbage.
+
+
 class PartitionSketchStore:
     """One JSON record per partition under ``<checkpoint_dir>/sketches/``,
-    holding base64 HLL sketch blobs per column; write-to-temp + atomic
-    rename, resume by listing — the manifest's coordination-free model."""
+    holding the partition's sketch blobs per column; write-to-temp +
+    atomic rename, resume by listing — the manifest's coordination-free
+    model.  A later ``update`` asking for kinds/columns a stored record
+    lacks recomputes just those partitions."""
 
-    def __init__(self, checkpoint_dir: str, lg_k: int = 12) -> None:
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        lg_k: int = 12,
+        topk_max_items: int = 10_000,
+    ) -> None:
         if not 4 <= int(lg_k) <= 21:
             raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
         self.lg_k = int(lg_k)
+        self.topk_max_items = int(topk_max_items)
         self.directory = os.path.join(checkpoint_dir, "sketches")
         os.makedirs(self.directory, exist_ok=True)
 
     def _path(self, partition_id: str) -> str:
         return os.path.join(self.directory, f"{_safe(partition_id)}.json")
 
-    def stored_partitions(self) -> Dict[str, str]:
-        """{partition_id: record path} for every readable record."""
-        out: Dict[str, str] = {}
+    # -- records ---------------------------------------------------------
+
+    def _raw_records(self) -> Dict[str, Dict[str, Any]]:
+        out: Dict[str, Dict[str, Any]] = {}
         for name in sorted(os.listdir(self.directory)):
             if not name.endswith(".json"):
                 continue
-            path = os.path.join(self.directory, name)
             try:
-                with open(path) as f:
-                    out[json.load(f)["partition_id"]] = path
+                with open(os.path.join(self.directory, name)) as f:
+                    data = json.load(f)
+                out[data["partition_id"]] = data
             except (ValueError, KeyError, OSError):
                 continue  # partial/corrupt record: treat as not-stored
         return out
 
+    def stored_partitions(self) -> Dict[str, str]:
+        """{partition_id: record path} for every readable record."""
+        return {
+            pid: self._path(pid) for pid in self._raw_records()
+        }
+
     def load(self, partition_id: str) -> Dict[str, bytes]:
+        """HLL blobs per column for one partition (legacy-shaped API)."""
         with open(self._path(partition_id)) as f:
             data = json.load(f)
         if int(data["lg_k"]) != self.lg_k:
@@ -92,29 +164,35 @@ class PartitionSketchStore:
                 "with different lg_k must not be silently merged"
             )
         return {
-            c: base64.b64decode(b)
-            for c, b in data["columns"].items()
+            c: base64.b64decode(b) for c, b in data.get("hll", {}).items()
         }
 
-    def record(
-        self, partition_id: str, column_sketches: Dict[str, bytes]
-    ) -> None:
-        payload = json.dumps(
-            {
-                "partition_id": str(partition_id),
-                "lg_k": self.lg_k,
-                "columns": {
-                    c: base64.b64encode(b).decode("ascii")
-                    for c, b in column_sketches.items()
-                },
-            },
-            sort_keys=True,
-        )
+    def _record(self, partition_id: str, payload: Dict[str, Any]) -> None:
+        payload = dict(payload)
+        payload["partition_id"] = str(partition_id)
+        payload["lg_k"] = self.lg_k
+        payload["topk_max_items"] = self.topk_max_items
         path = self._path(str(partition_id))
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            f.write(payload)
+            f.write(json.dumps(payload, sort_keys=True))
         os.replace(tmp, path)
+
+    @staticmethod
+    def _covers(
+        record: Dict[str, Any],
+        columns: Sequence[str],
+        kinds: Sequence[str],
+    ) -> bool:
+        """Does a stored record already answer (columns × kinds)?  An
+        empty-partition record covers everything (there was no data when
+        it was sketched; partitions are immutable in this model, like
+        the manifest's)."""
+        if record.get("empty"):
+            return True
+        return all(
+            c in record.get(kind, {}) for kind in kinds for c in columns
+        )
 
     # -- compute ---------------------------------------------------------
 
@@ -124,47 +202,133 @@ class PartitionSketchStore:
         partition_column: str,
         columns: Sequence[str],
         partitions: Optional[Sequence[Any]] = None,
+        kinds: Sequence[str] = ("hll",),
     ) -> List[str]:
-        """Compute + persist sketches for partitions NOT yet stored, in
-        ONE grouped Spark job regardless of partition count.  Returns the
-        partition ids computed this call (empty on a fully-resumed run —
-        zero Spark jobs touch the data then)."""
+        """Compute + persist the requested sketch kinds for partitions
+        whose stored record does not already cover them, in ONE grouped
+        Spark job regardless of partition count.  Returns the partition
+        ids computed this call (empty on a fully-resumed run — zero
+        Spark jobs touch the data then)."""
         from great_expectations_spark.checkpoint.runner import (
             _collect_partition_values,
         )
 
+        bad = [k for k in kinds if k not in KINDS]
+        if bad:
+            raise ValueError(f"unknown sketch kinds {bad}; pick from {KINDS}")
         parts = (
             list(partitions)
             if partitions is not None
             else _collect_partition_values(df, partition_column)
         )
-        stored = self.stored_partitions()
-        todo = [p for p in parts if str(p) not in stored]
+        records = self._raw_records()
+        todo = [
+            p
+            for p in parts
+            if str(p) not in records
+            or not self._covers(records[str(p)], columns, kinds)
+        ]
         if not todo:
             return []
-        aggs = [
-            F.hll_sketch_agg(_sketch_input(df, c), self.lg_k).alias(c)
-            for c in columns
-        ]
-        rows = (
+
+        aggs: List[Any] = []
+        if "hll" in kinds:
+            aggs += [
+                F.hll_sketch_agg(_sketch_input(df, c), self.lg_k).alias(
+                    f"__hll_{c}"
+                )
+                for c in columns
+            ]
+        if "moments" in kinds:
+            for c in columns:
+                _check_numeric(df, c)
+                x = F.col(c).cast("double")
+                aggs += [
+                    F.count(x).alias(f"__n_{c}"),
+                    F.avg(x).alias(f"__mean_{c}"),
+                    (F.var_pop(x) * F.count(x)).alias(f"__m2_{c}"),
+                    F.min(x).alias(f"__min_{c}"),
+                    F.max(x).alias(f"__max_{c}"),
+                    F.sum(x).alias(f"__sum_{c}"),
+                ]
+        if "topk" in kinds:
+            aggs += [
+                F.expr(
+                    f"approx_top_k_accumulate({_quote(c)}, "
+                    f"{self.topk_max_items})"
+                ).alias(f"__tk_{c}")
+                for c in columns
+            ]
+
+        agg_df = (
             df.filter(_null_safe_isin(F.col(partition_column), todo))
             .groupBy(partition_column)
             .agg(*aggs)
-            .collect()
         )
+        topk_ddl = {
+            c: agg_df.schema[f"__tk_{c}"].dataType.simpleString()
+            for c in columns
+        } if "topk" in kinds else {}
+        rows = agg_df.collect()
         seen = set()
         for r in rows:
             pid = str(r[partition_column])
-            self.record(
-                pid,
-                {c: bytes(r[c]) for c in columns if r[c] is not None},
-            )
+            payload: Dict[str, Any] = dict(records.get(pid, {}))
+            payload.pop("empty", None)
+            if "hll" in kinds:
+                payload.setdefault("hll", {}).update(
+                    {
+                        c: base64.b64encode(bytes(r[f"__hll_{c}"])).decode()
+                        for c in columns
+                        if r[f"__hll_{c}"] is not None
+                    }
+                )
+            if "moments" in kinds:
+                payload.setdefault("moments", {}).update(
+                    {
+                        c: {
+                            "count": int(r[f"__n_{c}"]),
+                            "mean": float(r[f"__mean_{c}"] or 0.0),
+                            "m2": float(r[f"__m2_{c}"] or 0.0),
+                            "min": (
+                                None
+                                if r[f"__min_{c}"] is None
+                                else float(r[f"__min_{c}"])
+                            ),
+                            "max": (
+                                None
+                                if r[f"__max_{c}"] is None
+                                else float(r[f"__max_{c}"])
+                            ),
+                            "sum": float(r[f"__sum_{c}"] or 0.0),
+                        }
+                        for c in columns
+                    }
+                )
+            if "topk" in kinds:
+                payload.setdefault("topk", {}).update(
+                    {
+                        c: {
+                            "sketch": base64.b64encode(
+                                bytes(r[f"__tk_{c}"]["sketch"])
+                            ).decode(),
+                            "max_items": int(
+                                r[f"__tk_{c}"]["maxItemsTracked"]
+                            ),
+                            "item_ddl": r[f"__tk_{c}"]["itemDataTypeDDL"],
+                            "state_ddl": topk_ddl[c],
+                        }
+                        for c in columns
+                        if r[f"__tk_{c}"] is not None
+                    }
+                )
+            self._record(pid, payload)
             seen.add(pid)
         # a partition whose rows are all filtered away still gets an
         # (empty) record so resume never recomputes it
         for p in todo:
             if str(p) not in seen:
-                self.record(str(p), {})
+                self._record(str(p), {"empty": True})
         return [str(p) for p in todo]
 
     # -- merge -----------------------------------------------------------
@@ -172,8 +336,8 @@ class PartitionSketchStore:
     def merged_distinct(
         self, spark: SparkSession, columns: Sequence[str]
     ) -> Dict[str, int]:
-        """Union every stored partition's sketches -> table-level distinct
-        estimate per column.  One tiny Spark job over
+        """Union every stored partition's HLL sketches -> table-level
+        distinct estimate per column.  One tiny Spark job over
         ``num_partitions`` driver-loaded blobs; the data itself is never
         re-scanned."""
         blobs: List[tuple] = []
@@ -182,7 +346,7 @@ class PartitionSketchStore:
             blobs.append(tuple(sk.get(c) for c in columns))
         if not blobs:
             return {c: 0 for c in columns}
-        schema = ", ".join(f"`{c}` binary" for c in columns)
+        schema = ", ".join(f"{_quote(c)} binary" for c in columns)
         df = spark.createDataFrame(blobs, schema)
         row = df.agg(
             *[
@@ -191,3 +355,90 @@ class PartitionSketchStore:
             ]
         ).first()
         return {c: int(row[c] or 0) for c in columns}
+
+    def merged_moments(
+        self, columns: Sequence[str]
+    ) -> Dict[str, Dict[str, float]]:
+        """Driver-side Chan combine of stored moments -> per-column
+        {count, sum, mean, min, max, stddev (population), variance}.
+        Exact; no Spark job at all."""
+        acc: Dict[str, Optional[Dict[str, float]]] = {c: None for c in columns}
+        for record in self._raw_records().values():
+            for c in columns:
+                m = record.get("moments", {}).get(c)
+                if m and m["count"]:
+                    acc[c] = _merge_moments(acc[c], m)
+        out: Dict[str, Dict[str, float]] = {}
+        for c in columns:
+            m = acc[c]
+            if m is None:
+                out[c] = {
+                    "count": 0, "sum": 0.0, "mean": None, "min": None,
+                    "max": None, "variance": None, "stddev": None,
+                }
+                continue
+            var = m["m2"] / m["count"] if m["count"] else None
+            out[c] = {
+                "count": int(m["count"]),
+                "sum": m["sum"],
+                "mean": m["mean"],
+                "min": m["min"],
+                "max": m["max"],
+                "variance": var,
+                "stddev": math.sqrt(var) if var is not None else None,
+            }
+        return out
+
+    def merged_topk(
+        self, spark: SparkSession, columns: Sequence[str], k: int = 10
+    ) -> Dict[str, List[Tuple[Any, int]]]:
+        """Combine stored frequent-items states -> top-k (value, count)
+        per column.  One tiny Spark job; exact while true cardinality
+        fits ``topk_max_items``."""
+        per_col: Dict[str, List[tuple]] = {c: [] for c in columns}
+        ddls: Dict[str, str] = {}
+        for record in self._raw_records().values():
+            for c in columns:
+                st = record.get("topk", {}).get(c)
+                if st:
+                    if int(st["max_items"]) != self.topk_max_items:
+                        raise ValueError(
+                            f"stored topk for {c!r} used max_items="
+                            f"{st['max_items']}, store expects "
+                            f"{self.topk_max_items}"
+                        )
+                    if ddls.setdefault(c, st["state_ddl"]) != st["state_ddl"]:
+                        raise ValueError(
+                            f"stored topk states for {c!r} disagree on the "
+                            "item type — the column's type changed between "
+                            "runs; rebuild the sketch store"
+                        )
+                    per_col[c].append(
+                        (
+                            base64.b64decode(st["sketch"]),
+                            int(st["max_items"]),
+                            None,  # itemDataType: type lives in the schema
+                            st["item_ddl"],
+                        )
+                    )
+        out: Dict[str, List[Tuple[Any, int]]] = {}
+        for c in columns:
+            states = per_col[c]
+            if not states:
+                out[c] = []
+                continue
+            # coalesce(1): a zero-row task would hand approx_top_k_combine
+            # an empty partial buffer whose item type is still null, which
+            # its serializer cannot represent (MatchError in Spark 4.1) —
+            # one partition of a handful of states sidesteps it for free
+            df = spark.createDataFrame(
+                [(s,) for s in states], f"st {ddls[c]}"
+            ).coalesce(1)
+            row = df.agg(
+                F.expr(
+                    "approx_top_k_estimate(approx_top_k_combine(st, "
+                    f"{self.topk_max_items}), {int(k)})"
+                ).alias("tk")
+            ).first()
+            out[c] = [(e["item"], int(e["count"])) for e in row["tk"] or []]
+        return out

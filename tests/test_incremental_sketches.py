@@ -100,3 +100,74 @@ def test_run_checkpoint_carries_distinct_estimates(spark, days, tmp_path):
 def test_empty_store_returns_zero(spark, tmp_path):
     store = PartitionSketchStore(str(tmp_path))
     assert store.merged_distinct(spark, ["whatever"]) == {"whatever": 0}
+    assert store.merged_topk(spark, ["whatever"]) == {"whatever": []}
+    assert store.merged_moments(["whatever"])["whatever"]["count"] == 0
+
+
+def test_merged_moments_exact_vs_whole_table(spark, days, tmp_path):
+    store = PartitionSketchStore(str(tmp_path))
+    store.update(days, "day", ["n"], kinds=("moments",))
+    got = store.merged_moments(["n"])["n"]
+    exact = days.agg(
+        F.count("n").alias("c"), F.sum("n").alias("s"),
+        F.avg("n").alias("m"), F.var_pop("n").alias("v"),
+        F.min("n").alias("lo"), F.max("n").alias("hi"),
+    ).first()
+    assert got["count"] == exact["c"]
+    assert got["sum"] == float(exact["s"])
+    assert got["mean"] == pytest.approx(float(exact["m"]))
+    assert got["variance"] == pytest.approx(float(exact["v"]))
+    assert (got["min"], got["max"]) == (float(exact["lo"]), float(exact["hi"]))
+
+
+def test_merged_topk_exact_within_tracking(spark, days, tmp_path):
+    store = PartitionSketchStore(str(tmp_path), topk_max_items=100)
+    store.update(days, "day", ["conv_id"], kinds=("topk",))
+    top = store.merged_topk(spark, ["conv_id"], k=3)["conv_id"]
+    # c5..c9 appear twice (both days), everything else once
+    assert all(cnt == 2 and item in {f"c{i}" for i in range(5, 10)}
+               for item, cnt in top)
+    assert len(top) == 3
+
+
+def test_kind_upgrade_recomputes_only_missing_kind(spark, days, tmp_path):
+    store = PartitionSketchStore(str(tmp_path))
+    assert len(store.update(days, "day", ["conv_id"], kinds=("hll",))) == 3
+    # same columns, new kind: every partition needs the topk state
+    assert len(
+        store.update(days, "day", ["conv_id"], kinds=("topk",))
+    ) == 3
+    # both kinds now covered — nothing recomputes, both answers live
+    assert store.update(
+        days, "day", ["conv_id"], kinds=("hll", "topk")
+    ) == []
+    assert store.merged_distinct(spark, ["conv_id"])["conv_id"] == 16
+    assert store.merged_topk(spark, ["conv_id"], k=1)["conv_id"][0][1] == 2
+
+
+def test_moments_rejects_non_numeric(spark, days, tmp_path):
+    store = PartitionSketchStore(str(tmp_path))
+    with pytest.raises(ValueError, match="numeric"):
+        store.update(days, "day", ["conv_id"], kinds=("moments",))
+
+
+def test_run_checkpoint_all_kinds(spark, days, tmp_path):
+    from great_expectations_spark.checkpoint.runner import run_checkpoint
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_not_be_null", column="n"
+    )
+    nn = days.filter(F.col("day").isNotNull())
+    out = run_checkpoint(
+        nn, suite, "day", str(tmp_path / "ck"),
+        sketch_columns=["n"], sketch_kinds=("hll", "moments", "topk"),
+    )
+    exact = nn.agg(
+        F.countDistinct("n").alias("d"), F.avg("n").alias("m"),
+    ).first()
+    assert out["distinct_estimates"]["n"] == exact["d"]
+    assert out["stats_estimates"]["n"]["mean"] == pytest.approx(
+        float(exact["m"])
+    )
+    assert out["top_values"]["n"]  # non-empty (value 10 appears twice)
