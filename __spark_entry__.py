@@ -1150,7 +1150,18 @@ def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _days_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-contiguity aggregate: missing days between min/max ts."""
+    """Calendar contiguity + the incremental partition-sketch store
+    (checkpoint/sketches.py, r4 session 10), stacked as (metric, value)
+    rows so every sketch kind keeps an oracle row: merged-HLL distinct
+    (exact in sparse mode at this cardinality), merged-moments count,
+    merged-top-k heaviest frequency, and the resume contract (second
+    update computes zero partitions)."""
+    import tempfile
+
+    from great_expectations_spark.checkpoint.sketches import (
+        PartitionSketchStore,
+    )
+
     df = _load(spark, sf_dir, "events")
     suite = ExpectationSuite("q").add(
         "expect_column_to_have_no_days_missing", column="ts", threshold=0
@@ -1159,10 +1170,28 @@ def _days_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = res.results[0]
     if r.exception_info["raised_exception"]:
         raise RuntimeError(r.exception_info["exception_message"])
+    rows = [
+        ("days_missing", int(r.result["observed_value"])),
+        ("days_missing_ok", int(bool(r.success))),
+    ]
+    dfp = df.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    with tempfile.TemporaryDirectory() as d:
+        store = PartitionSketchStore(d, lg_k=12, topk_max_items=10_000)
+        store.update(dfp, "day", ["user_id"], kinds=("hll",))
+        store.update(dfp, "day", ["value"], kinds=("moments", "topk"))
+        resumed = store.update(dfp, "day", ["user_id"], kinds=("hll",))
+        est = store.merged_distinct(spark, ["user_id"])["user_id"]
+        mom = store.merged_moments(["value"])["value"]
+        topk = store.merged_topk(spark, ["value"], k=100)["value"]
+        rows += [
+            ("sk_distinct_user_id", int(est)),
+            ("sk_count_value", int(mom["count"])),
+            ("sk_top1_value_count", max(c for _, c in topk)),
+            ("sk_resume_recomputed", len(resumed)),
+        ]
     return spark.createDataFrame(
-        [(int(r.result["observed_value"]), bool(r.success))],
-        "missing_days bigint, success boolean",
-    )
+        rows, "metric string, value bigint"
+    ).orderBy("metric")
 
 
 def _grouped_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2147,10 +2176,24 @@ def oracle_sql() -> dict[str, str]:
             "sum(n)::BIGINT AS n_rows FROM sz"
         ),
         "days_missing_events": (
-            "SELECT (date_diff('day', min(ts::DATE), max(ts::DATE)) - "
-            "(count(DISTINCT ts::DATE) - 1))::BIGINT AS missing_days, "
-            "date_diff('day', min(ts::DATE), max(ts::DATE)) = "
-            "count(DISTINCT ts::DATE) - 1 AS success FROM events"
+            # stacked: calendar contiguity + the sketch store's merged
+            # answers (HLL sparse-mode exact at this cardinality; moments
+            # and top-k frequency integer-exact; resume computes nothing)
+            "SELECT 'days_missing' AS metric, "
+            "(date_diff('day', min(ts::DATE), max(ts::DATE)) - "
+            "(count(DISTINCT ts::DATE) - 1))::BIGINT AS value FROM events "
+            "UNION ALL SELECT 'days_missing_ok', "
+            "(date_diff('day', min(ts::DATE), max(ts::DATE)) = "
+            "count(DISTINCT ts::DATE) - 1)::INT::BIGINT FROM events "
+            "UNION ALL SELECT 'sk_distinct_user_id', "
+            "count(DISTINCT user_id)::BIGINT FROM events "
+            "UNION ALL SELECT 'sk_count_value', count(value)::BIGINT "
+            "FROM events "
+            "UNION ALL SELECT 'sk_top1_value_count', (SELECT max(c) FROM "
+            "(SELECT count(*)::BIGINT AS c FROM events WHERE value IS NOT "
+            "NULL GROUP BY value)) "
+            "UNION ALL SELECT 'sk_resume_recomputed', 0::BIGINT "
+            "ORDER BY metric"
         ),
         "rbp_profile_orders": (
             "WITH yearly AS (SELECT year(o_orderdate) AS y, "
