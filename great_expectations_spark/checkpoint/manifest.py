@@ -41,6 +41,10 @@ class ManifestEntry:
     success: Optional[bool]
     result_path: Optional[str] = None
     error: Optional[str] = None
+    # content fingerprint ("rowcount:bit_xor-of-row-hashes") recorded when
+    # the run used detect_changes — lets a resume re-validate partitions
+    # whose DATA changed (late arrivals), not just unseen ones
+    fingerprint: Optional[str] = None
 
     def to_json_dict(self) -> Dict[str, Any]:
         return dict(self.__dict__)

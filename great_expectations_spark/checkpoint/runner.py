@@ -104,6 +104,32 @@ def _collect_partition_values(
     )
 
 
+def partition_fingerprints(
+    df: DataFrame, partition_column: str
+) -> Dict[str, str]:
+    """Content fingerprint per partition in ONE grouped job:
+    ``"rowcount:sum(xxhash64(all columns))"``.  Order- and
+    partitioning-independent (sum commutes) and duplicate-sensitive —
+    bit_xor would cancel row-multiplicity changes pairwise (two extra
+    copies of a row fingerprint identically to zero), so the hashes are
+    SUMMED as decimal(38,0), which holds 10^12 rows of 64-bit hashes
+    without tripping ANSI overflow.  JVM-only.  This is change DETECTION
+    for resume (late-arriving data), not an integrity MAC."""
+    cols = [F.col(c) for c in df.columns]
+    rows = (
+        df.groupBy(partition_column)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("__h"),
+        )
+        .collect()
+    )
+    return {
+        str(r[partition_column]): f"{int(r['__n'])}:{int(r['__h'])}"
+        for r in rows
+    }
+
+
 def run_checkpoint(
     df: DataFrame,
     suite: ExpectationSuite,
@@ -118,6 +144,7 @@ def run_checkpoint(
     sketch_columns: Optional[List[str]] = None,
     sketch_lg_k: int = 12,
     sketch_kinds: Sequence[str] = ("hll",),
+    detect_changes: bool = False,
 ) -> Dict[str, Any]:
     """Validate every partition, resuming past ``done`` ones. Returns a
     summary dict with per-partition manifest entries.
@@ -134,6 +161,14 @@ def run_checkpoint(
     stored partitions — old ones never re-scanned.  ``sketch_kinds``
     picks from ``('hll', 'moments', 'topk')`` → summary keys
     ``distinct_estimates`` / ``stats_estimates`` / ``top_values``.
+
+    ``detect_changes=True`` drops the partitions-are-immutable
+    assumption: one extra grouped job fingerprints every partition's
+    content (:func:`partition_fingerprints`), a ``done`` partition whose
+    fingerprint no longer matches its manifest record is RE-validated
+    (late-arriving data), and the sketch store re-sketches it too — the
+    merged table stats follow the data instead of freezing at first
+    sight of each partition.
     """
     from great_expectations_spark.checkpoint.actions import (
         ActionContext,
@@ -147,7 +182,20 @@ def run_checkpoint(
 
     partitions = _collect_partition_values(df, partition_column)
     done = manifest.completed_partitions(suite_hash)
-    todo = [p for p in partitions if str(p) not in done]
+    fingerprints: Dict[str, str] = (
+        partition_fingerprints(df, partition_column)
+        if detect_changes
+        else {}
+    )
+    todo = [
+        p
+        for p in partitions
+        if str(p) not in done
+        or (
+            detect_changes
+            and done[str(p)].fingerprint != fingerprints.get(str(p))
+        )
+    ]
     logger.info(
         "checkpoint: %d partitions, %d already done, %d to validate",
         len(partitions), len(done), len(todo),
@@ -184,6 +232,7 @@ def run_checkpoint(
                 duration_sec=round(duration, 3),
                 rows_per_sec=round(rows / duration, 1) if duration else 0.0,
                 success=bool(result.success),
+                fingerprint=fingerprints.get(str(partition_value)),
             )
             recorded = manifest.record(entry, result.to_json())
             run_actions(
@@ -264,6 +313,7 @@ def run_checkpoint(
         summary["sketch_partitions_computed"] = store.update(
             df, partition_column, sketch_columns, partitions=partitions,
             kinds=sketch_kinds,
+            fingerprints=fingerprints if detect_changes else None,
         )
         if "hll" in sketch_kinds:
             summary["distinct_estimates"] = store.merged_distinct(

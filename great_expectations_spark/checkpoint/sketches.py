@@ -203,12 +203,18 @@ class PartitionSketchStore:
         columns: Sequence[str],
         partitions: Optional[Sequence[Any]] = None,
         kinds: Sequence[str] = ("hll",),
+        fingerprints: Optional[Dict[str, str]] = None,
     ) -> List[str]:
         """Compute + persist the requested sketch kinds for partitions
         whose stored record does not already cover them, in ONE grouped
         Spark job regardless of partition count.  Returns the partition
         ids computed this call (empty on a fully-resumed run — zero
-        Spark jobs touch the data then)."""
+        Spark jobs touch the data then).
+
+        ``fingerprints`` (from :func:`runner.partition_fingerprints`)
+        opts into change detection: a stored record whose fingerprint no
+        longer matches is recomputed from scratch — its OTHER kinds are
+        dropped too, since they sketched the old data."""
         from great_expectations_spark.checkpoint.runner import (
             _collect_partition_values,
         )
@@ -222,10 +228,19 @@ class PartitionSketchStore:
             else _collect_partition_values(df, partition_column)
         )
         records = self._raw_records()
+
+        def _stale(pid: str) -> bool:
+            return (
+                fingerprints is not None
+                and records.get(pid, {}).get("fingerprint")
+                != fingerprints.get(pid)
+            )
+
         todo = [
             p
             for p in parts
             if str(p) not in records
+            or _stale(str(p))
             or not self._covers(records[str(p)], columns, kinds)
         ]
         if not todo:
@@ -273,8 +288,14 @@ class PartitionSketchStore:
         seen = set()
         for r in rows:
             pid = str(r[partition_column])
-            payload: Dict[str, Any] = dict(records.get(pid, {}))
+            # a changed partition starts from a fresh payload: kinds not
+            # recomputed this call sketched the OLD data and must go
+            payload: Dict[str, Any] = (
+                {} if _stale(pid) else dict(records.get(pid, {}))
+            )
             payload.pop("empty", None)
+            if fingerprints is not None and pid in fingerprints:
+                payload["fingerprint"] = fingerprints[pid]
             if "hll" in kinds:
                 payload.setdefault("hll", {}).update(
                     {

@@ -97,6 +97,89 @@ def test_run_checkpoint_carries_distinct_estimates(spark, days, tmp_path):
     assert again["distinct_estimates"]["conv_id"] == 15
 
 
+def test_fingerprint_change_resketches_and_revalidates(spark, tmp_path):
+    """Late-arriving data: detect_changes re-validates only the changed
+    partition, the sketch store drops and recomputes its record, and
+    the merged stats follow the new data."""
+    from great_expectations_spark.checkpoint.runner import (
+        partition_fingerprints,
+        run_checkpoint,
+    )
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    v1 = spark.createDataFrame(
+        [("d0", "c0"), ("d0", "c1"), ("d1", "c2")],
+        "day string, conv_id string",
+    )
+    # d0 gains a late row; d1 unchanged
+    v2 = spark.createDataFrame(
+        [("d0", "c0"), ("d0", "c1"), ("d0", "c9"), ("d1", "c2")],
+        "day string, conv_id string",
+    )
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_not_be_null", column="conv_id"
+    )
+    ckpt = str(tmp_path / "ck")
+    out1 = run_checkpoint(
+        v1, suite, "day", ckpt, sketch_columns=["conv_id"],
+        detect_changes=True,
+    )
+    assert out1["partitions_validated_now"] == 2
+    assert out1["distinct_estimates"]["conv_id"] == 3
+    out2 = run_checkpoint(
+        v2, suite, "day", ckpt, sketch_columns=["conv_id"],
+        detect_changes=True,
+    )
+    assert out2["partitions_validated_now"] == 1  # only d0
+    assert out2["sketch_partitions_computed"] == ["d0"]
+    assert out2["distinct_estimates"]["conv_id"] == 4
+    # unchanged data: full resume, nothing recomputed anywhere
+    out3 = run_checkpoint(
+        v2, suite, "day", ckpt, sketch_columns=["conv_id"],
+        detect_changes=True,
+    )
+    assert out3["partitions_validated_now"] == 0
+    assert out3["sketch_partitions_computed"] == []
+    # fingerprints are partitioning-independent (XOR commutes)
+    assert partition_fingerprints(v2, "day") == partition_fingerprints(
+        v2.repartition(7), "day"
+    )
+
+
+def test_fingerprint_change_drops_other_kinds(spark, tmp_path):
+    """A changed partition's stale kinds must not survive: after the
+    fingerprinted recompute of 'hll', the old 'topk' record is gone and
+    a follow-up topk request recomputes it from the NEW data."""
+    from great_expectations_spark.checkpoint.runner import (
+        partition_fingerprints,
+    )
+
+    v1 = spark.createDataFrame(
+        [("p", "a"), ("p", "a"), ("p", "b")], "part string, v string"
+    )
+    v2 = spark.createDataFrame(
+        [("p", "b"), ("p", "b"), ("p", "b")], "part string, v string"
+    )
+    store = PartitionSketchStore(str(tmp_path))
+    store.update(
+        v1, "part", ["v"], kinds=("hll", "topk"),
+        fingerprints=partition_fingerprints(v1, "part"),
+    )
+    assert store.merged_topk(spark, ["v"], k=1)["v"] == [("a", 2)]
+    # data changed: hll-only update must drop the stale topk too
+    assert store.update(
+        v2, "part", ["v"], kinds=("hll",),
+        fingerprints=partition_fingerprints(v2, "part"),
+    ) == ["p"]
+    assert store.merged_topk(spark, ["v"], k=1)["v"] == []
+    store.update(
+        v2, "part", ["v"], kinds=("topk",),
+        fingerprints=partition_fingerprints(v2, "part"),
+    )
+    assert store.merged_topk(spark, ["v"], k=1)["v"] == [("b", 3)]
+    assert store.merged_distinct(spark, ["v"])["v"] == 1
+
+
 def test_empty_store_returns_zero(spark, tmp_path):
     store = PartitionSketchStore(str(tmp_path))
     assert store.merged_distinct(spark, ["whatever"]) == {"whatever": 0}
