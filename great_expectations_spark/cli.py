@@ -80,6 +80,17 @@ def _cmd_validate(args) -> int:
                 partition_column=args.partition_column,
                 checkpoint_dir=args.checkpoint_dir,
                 result_format=args.result_format,
+                detect_changes=bool(
+                    getattr(args, "detect_changes", False)
+                ),
+                sketch_columns=(
+                    args.sketch_columns.split(",")
+                    if getattr(args, "sketch_columns", None)
+                    else None
+                ),
+                sketch_kinds=tuple(
+                    getattr(args, "sketch_kinds", "hll").split(",")
+                ),
             )
             payload = summary
             success = bool(summary.get("success"))
@@ -373,6 +384,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="validate per partition via the resumable checkpoint runner",
     )
     v.add_argument("--checkpoint-dir", help="manifest dir for resume")
+    v.add_argument(
+        "--detect-changes",
+        action="store_true",
+        help="fingerprint partitions; re-validate ones whose data changed",
+    )
+    v.add_argument(
+        "--sketch-columns",
+        help="comma-separated columns for incremental table stats",
+    )
+    v.add_argument(
+        "--sketch-kinds",
+        default="hll",
+        help="comma-separated from hll,moments,topk (default hll)",
+    )
     v.add_argument("--docs-dir", help="also render HTML docs here")
     v.set_defaults(fn=_cmd_validate)
 

@@ -118,6 +118,36 @@ def test_validate_per_partition_checkpoint(data_path, tmp_path):
     assert len(summary["entries"]) == 2
 
 
+def test_validate_checkpoint_sketches_and_detect_changes(
+    data_path, tmp_path
+):
+    suite = ExpectationSuite("per_part")
+    suite.add("expect_column_values_to_not_be_null", column="kind")
+    suite_path = str(tmp_path / "pp.json")
+    open(suite_path, "w").write(suite.to_json())
+    out_path = str(tmp_path / "summary.json")
+    argv = [
+        "validate", "--data", data_path, "--suite", suite_path,
+        "--partition-column", "day",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--detect-changes",
+        "--sketch-columns", "kind",
+        "--sketch-kinds", "hll,topk",
+        "--out", out_path,
+    ]
+    assert _run(argv) == 0
+    summary = json.loads(open(out_path).read())
+    assert summary["success"] is True
+    assert len(summary["sketch_partitions_computed"]) == 2
+    assert summary["distinct_estimates"]["kind"] >= 1
+    assert summary["top_values"]["kind"]
+    # unchanged rerun: fingerprints match, nothing revalidated/resketched
+    assert _run(argv) == 0
+    summary2 = json.loads(open(out_path).read())
+    assert summary2["partitions_validated_now"] == 0
+    assert summary2["sketch_partitions_computed"] == []
+
+
 def test_profile_assistant_and_rule_config(data_path, tmp_path):
     out = str(tmp_path / "assistant.json")
     assert (
