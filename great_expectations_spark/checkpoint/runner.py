@@ -108,24 +108,31 @@ def partition_fingerprints(
     df: DataFrame, partition_column: str
 ) -> Dict[str, str]:
     """Content fingerprint per partition in ONE grouped job:
-    ``"rowcount:sum(xxhash64(all columns))"``.  Order- and
-    partitioning-independent (sum commutes) and duplicate-sensitive —
-    bit_xor would cancel row-multiplicity changes pairwise (two extra
-    copies of a row fingerprint identically to zero), so the hashes are
-    SUMMED as decimal(38,0), which holds 10^12 rows of 64-bit hashes
-    without tripping ANSI overflow.  JVM-only.  This is change DETECTION
-    for resume (late-arriving data), not an integrity MAC."""
+    ``"rowcount:bit_xor(h):sum(h mod p)"`` over ``h = xxhash64(all
+    columns)``.  Order- and partitioning-independent (both combines
+    commute).  Three terms because each alone has a blind spot: bit_xor
+    cancels row-multiplicity changes pairwise (two extra copies of a
+    row XOR to nothing), a plain bigint sum of hashes trips ANSI
+    overflow, and a decimal(38,0) sum avoids overflow but runs ~5-10×
+    slower than the whole scan at 32 threads (measured: Spark's decimal
+    sum leaves whole-stage codegen) — so the duplicate-sensitive term
+    sums ``h mod 1000003``, bounded by partition_rows*1e6 (safe under
+    ANSI to ~9*10^12 rows per partition).  JVM-only.  This is change
+    DETECTION for resume (late-arriving data), not an integrity MAC."""
     cols = [F.col(c) for c in df.columns]
+    h = F.xxhash64(*cols)
     rows = (
         df.groupBy(partition_column)
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("__h"),
+            F.bit_xor(h).alias("__x"),
+            F.sum(F.pmod(h, F.lit(1000003))).alias("__m"),
         )
         .collect()
     )
     return {
-        str(r[partition_column]): f"{int(r['__n'])}:{int(r['__h'])}"
+        str(r[partition_column]):
+        f"{int(r['__n'])}:{int(r['__x'])}:{int(r['__m'])}"
         for r in rows
     }
 

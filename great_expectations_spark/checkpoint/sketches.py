@@ -30,6 +30,7 @@ from scratch per run); the resume design follows
 from __future__ import annotations
 
 import base64
+import hashlib
 import json
 import math
 import os
@@ -134,7 +135,11 @@ class PartitionSketchStore:
 
     # -- records ---------------------------------------------------------
 
-    def _raw_records(self) -> Dict[str, Dict[str, Any]]:
+    def _scan_records(self) -> Dict[str, Dict[str, Any]]:
+        """{filename: record} for every LIVE record — files named in any
+        compacted record's ``folded`` list are ignored even before they
+        are garbage-collected, which is what makes compaction
+        crash-safe (see :meth:`compact`)."""
         out: Dict[str, Dict[str, Any]] = {}
         for name in sorted(os.listdir(self.directory)):
             if not name.endswith(".json"):
@@ -142,10 +147,20 @@ class PartitionSketchStore:
             try:
                 with open(os.path.join(self.directory, name)) as f:
                     data = json.load(f)
-                out[data["partition_id"]] = data
+                if "partition_id" not in data:
+                    continue
+                out[name] = data
             except (ValueError, KeyError, OSError):
                 continue  # partial/corrupt record: treat as not-stored
-        return out
+        folded: set = set()
+        for data in out.values():
+            folded.update(data.get("folded", []))
+        return {n: d for n, d in out.items() if n not in folded}
+
+    def _raw_records(self) -> Dict[str, Dict[str, Any]]:
+        return {
+            d["partition_id"]: d for d in self._scan_records().values()
+        }
 
     def stored_partitions(self) -> Dict[str, str]:
         """{partition_id: record path} for every readable record."""
@@ -195,6 +210,104 @@ class PartitionSketchStore:
         )
 
     # -- compute ---------------------------------------------------------
+
+    def _build_aggs(
+        self, df: DataFrame, columns: Sequence[str], kinds: Sequence[str]
+    ) -> List[Any]:
+        aggs: List[Any] = []
+        if "hll" in kinds:
+            aggs += [
+                F.hll_sketch_agg(_sketch_input(df, c), self.lg_k).alias(
+                    f"__hll_{c}"
+                )
+                for c in columns
+            ]
+        if "moments" in kinds:
+            for c in columns:
+                _check_numeric(df, c)
+                x = F.col(c).cast("double")
+                aggs += [
+                    F.count(x).alias(f"__n_{c}"),
+                    F.avg(x).alias(f"__mean_{c}"),
+                    (F.var_pop(x) * F.count(x)).alias(f"__m2_{c}"),
+                    F.min(x).alias(f"__min_{c}"),
+                    F.max(x).alias(f"__max_{c}"),
+                    F.sum(x).alias(f"__sum_{c}"),
+                ]
+        if "topk" in kinds:
+            aggs += [
+                F.expr(
+                    f"approx_top_k_accumulate({_quote(c)}, "
+                    f"{self.topk_max_items})"
+                ).alias(f"__tk_{c}")
+                for c in columns
+            ]
+        return aggs
+
+    @staticmethod
+    def _topk_ddls(
+        agg_df: DataFrame, columns: Sequence[str], kinds: Sequence[str]
+    ) -> Dict[str, str]:
+        if "topk" not in kinds:
+            return {}
+        return {
+            c: agg_df.schema[f"__tk_{c}"].dataType.simpleString()
+            for c in columns
+        }
+
+    @staticmethod
+    def _merge_row_into_payload(
+        payload: Dict[str, Any],
+        r: Any,
+        columns: Sequence[str],
+        kinds: Sequence[str],
+        topk_ddl: Dict[str, str],
+    ) -> None:
+        if "hll" in kinds:
+            payload.setdefault("hll", {}).update(
+                {
+                    c: base64.b64encode(bytes(r[f"__hll_{c}"])).decode()
+                    for c in columns
+                    if r[f"__hll_{c}"] is not None
+                }
+            )
+        if "moments" in kinds:
+            payload.setdefault("moments", {}).update(
+                {
+                    c: {
+                        "count": int(r[f"__n_{c}"]),
+                        "mean": float(r[f"__mean_{c}"] or 0.0),
+                        "m2": float(r[f"__m2_{c}"] or 0.0),
+                        "min": (
+                            None
+                            if r[f"__min_{c}"] is None
+                            else float(r[f"__min_{c}"])
+                        ),
+                        "max": (
+                            None
+                            if r[f"__max_{c}"] is None
+                            else float(r[f"__max_{c}"])
+                        ),
+                        "sum": float(r[f"__sum_{c}"] or 0.0),
+                    }
+                    for c in columns
+                }
+            )
+        if "topk" in kinds:
+            payload.setdefault("topk", {}).update(
+                {
+                    c: {
+                        "sketch": base64.b64encode(
+                            bytes(r[f"__tk_{c}"]["sketch"])
+                        ).decode(),
+                        "max_items": int(r[f"__tk_{c}"]["maxItemsTracked"]),
+                        "item_ddl": r[f"__tk_{c}"]["itemDataTypeDDL"],
+                        "state_ddl": topk_ddl[c],
+                    }
+                    for c in columns
+                    if r[f"__tk_{c}"] is not None
+                }
+            )
 
     def update(
         self,
@@ -246,47 +359,14 @@ class PartitionSketchStore:
         if not todo:
             return []
 
-        aggs: List[Any] = []
-        if "hll" in kinds:
-            aggs += [
-                F.hll_sketch_agg(_sketch_input(df, c), self.lg_k).alias(
-                    f"__hll_{c}"
-                )
-                for c in columns
-            ]
-        if "moments" in kinds:
-            for c in columns:
-                _check_numeric(df, c)
-                x = F.col(c).cast("double")
-                aggs += [
-                    F.count(x).alias(f"__n_{c}"),
-                    F.avg(x).alias(f"__mean_{c}"),
-                    (F.var_pop(x) * F.count(x)).alias(f"__m2_{c}"),
-                    F.min(x).alias(f"__min_{c}"),
-                    F.max(x).alias(f"__max_{c}"),
-                    F.sum(x).alias(f"__sum_{c}"),
-                ]
-        if "topk" in kinds:
-            aggs += [
-                F.expr(
-                    f"approx_top_k_accumulate({_quote(c)}, "
-                    f"{self.topk_max_items})"
-                ).alias(f"__tk_{c}")
-                for c in columns
-            ]
-
         agg_df = (
             df.filter(_null_safe_isin(F.col(partition_column), todo))
             .groupBy(partition_column)
-            .agg(*aggs)
+            .agg(*self._build_aggs(df, columns, kinds))
         )
-        topk_ddl = {
-            c: agg_df.schema[f"__tk_{c}"].dataType.simpleString()
-            for c in columns
-        } if "topk" in kinds else {}
-        rows = agg_df.collect()
+        topk_ddl = self._topk_ddls(agg_df, columns, kinds)
         seen = set()
-        for r in rows:
+        for r in agg_df.collect():
             pid = str(r[partition_column])
             # a changed partition starts from a fresh payload: kinds not
             # recomputed this call sketched the OLD data and must go
@@ -296,53 +376,7 @@ class PartitionSketchStore:
             payload.pop("empty", None)
             if fingerprints is not None and pid in fingerprints:
                 payload["fingerprint"] = fingerprints[pid]
-            if "hll" in kinds:
-                payload.setdefault("hll", {}).update(
-                    {
-                        c: base64.b64encode(bytes(r[f"__hll_{c}"])).decode()
-                        for c in columns
-                        if r[f"__hll_{c}"] is not None
-                    }
-                )
-            if "moments" in kinds:
-                payload.setdefault("moments", {}).update(
-                    {
-                        c: {
-                            "count": int(r[f"__n_{c}"]),
-                            "mean": float(r[f"__mean_{c}"] or 0.0),
-                            "m2": float(r[f"__m2_{c}"] or 0.0),
-                            "min": (
-                                None
-                                if r[f"__min_{c}"] is None
-                                else float(r[f"__min_{c}"])
-                            ),
-                            "max": (
-                                None
-                                if r[f"__max_{c}"] is None
-                                else float(r[f"__max_{c}"])
-                            ),
-                            "sum": float(r[f"__sum_{c}"] or 0.0),
-                        }
-                        for c in columns
-                    }
-                )
-            if "topk" in kinds:
-                payload.setdefault("topk", {}).update(
-                    {
-                        c: {
-                            "sketch": base64.b64encode(
-                                bytes(r[f"__tk_{c}"]["sketch"])
-                            ).decode(),
-                            "max_items": int(
-                                r[f"__tk_{c}"]["maxItemsTracked"]
-                            ),
-                            "item_ddl": r[f"__tk_{c}"]["itemDataTypeDDL"],
-                            "state_ddl": topk_ddl[c],
-                        }
-                        for c in columns
-                        if r[f"__tk_{c}"] is not None
-                    }
-                )
+            self._merge_row_into_payload(payload, r, columns, kinds, topk_ddl)
             self._record(pid, payload)
             seen.add(pid)
         # a partition whose rows are all filtered away still gets an
@@ -351,6 +385,164 @@ class PartitionSketchStore:
             if str(p) not in seen:
                 self._record(str(p), {"empty": True})
         return [str(p) for p in todo]
+
+    # -- streaming accumulation ------------------------------------------
+
+    def accumulate_batch(
+        self,
+        batch_df: DataFrame,
+        partition_column: str,
+        columns: Sequence[str],
+        batch_id: Any,
+        kinds: Sequence[str] = ("hll",),
+    ) -> List[str]:
+        """Streaming entry point (call from ``foreachBatch``): persist
+        THIS micro-batch's per-partition sketches under composite ids
+        ``<partition>@@b<batch_id>``.  A replayed batch atomically
+        overwrites its own records, so the store stays exact under
+        Structured Streaming's at-least-once ``foreachBatch`` contract;
+        ``merged_*`` already unions every stored record, so stream
+        contributions need no merge code at all.  Record count grows by
+        partitions-per-batch each epoch — run :meth:`compact`
+        periodically to fold it back to one.
+
+        Do NOT mix with fingerprinted batch :meth:`update` calls in the
+        same store: batch records re-sketch whole partitions, which
+        would double-count the stream's contribution."""
+        bad = [k for k in kinds if k not in KINDS]
+        if bad:
+            raise ValueError(f"unknown sketch kinds {bad}; pick from {KINDS}")
+        agg_df = batch_df.groupBy(partition_column).agg(
+            *self._build_aggs(batch_df, columns, kinds)
+        )
+        topk_ddl = self._topk_ddls(agg_df, columns, kinds)
+        written: List[str] = []
+        for r in agg_df.collect():
+            pid = f"{r[partition_column]}@@b{batch_id}"
+            payload: Dict[str, Any] = {}
+            self._merge_row_into_payload(payload, r, columns, kinds, topk_ddl)
+            self._record(pid, payload)
+            written.append(pid)
+        return written
+
+    def foreach_batch_writer(
+        self,
+        partition_column: str,
+        columns: Sequence[str],
+        kinds: Sequence[str] = ("hll",),
+        compact_every: Optional[int] = None,
+    ):
+        """``writeStream.foreachBatch(store.foreach_batch_writer(...))``
+        — accumulates every micro-batch, compacting after every
+        ``compact_every`` batches to bound record count."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.accumulate_batch(
+                batch_df, partition_column, columns, batch_id, kinds
+            )
+            if compact_every and batch_id and batch_id % compact_every == 0:
+                self.compact(batch_df.sparkSession)
+
+        return process
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold every live record into ONE compacted record; returns how
+        many records were folded (0 = nothing to do).
+
+        Crash-safe by construction: the compacted record carries the
+        FILENAMES it folded, and readers ignore folded files whether or
+        not they have been deleted yet — so the atomic write of the
+        compacted record is the commit point, and file deletion is mere
+        garbage collection.  Intended for streaming-accumulation stores;
+        fingerprints do not survive (a ``detect_changes`` batch store
+        re-sketches folded partitions on its next update, double-counting
+        the compacted data — keep the two modes in separate stores)."""
+        live = self._scan_records()
+        if len(live) <= 1:
+            return 0
+        hll_cols: Dict[str, List[bytes]] = {}
+        topk_states: Dict[str, List[tuple]] = {}
+        topk_meta: Dict[str, Dict[str, Any]] = {}
+        moments: Dict[str, Optional[Dict[str, float]]] = {}
+        for rec in live.values():
+            for c, b in rec.get("hll", {}).items():
+                hll_cols.setdefault(c, []).append(base64.b64decode(b))
+            for c, m in rec.get("moments", {}).items():
+                if m.get("count"):
+                    moments[c] = _merge_moments(moments.get(c), m)
+            for c, st in rec.get("topk", {}).items():
+                meta = topk_meta.setdefault(
+                    c,
+                    {
+                        "max_items": int(st["max_items"]),
+                        "state_ddl": st["state_ddl"],
+                        "item_ddl": st["item_ddl"],
+                    },
+                )
+                if (
+                    meta["max_items"] != int(st["max_items"])
+                    or meta["state_ddl"] != st["state_ddl"]
+                ):
+                    raise ValueError(
+                        f"topk states for {c!r} disagree on max_items or "
+                        "item type — cannot compact"
+                    )
+                topk_states.setdefault(c, []).append(
+                    (
+                        base64.b64decode(st["sketch"]),
+                        int(st["max_items"]),
+                        None,
+                        st["item_ddl"],
+                    )
+                )
+        payload: Dict[str, Any] = {}
+        if hll_cols:
+            merged: Dict[str, str] = {}
+            for c, blobs in hll_cols.items():
+                blob_df = spark.createDataFrame(
+                    [(b,) for b in blobs], "sk binary"
+                ).coalesce(1)
+                out = blob_df.agg(
+                    F.expr("hll_union_agg(sk)").alias("m")
+                ).first()
+                merged[c] = base64.b64encode(bytes(out["m"])).decode()
+            payload["hll"] = merged
+        if moments:
+            payload["moments"] = {c: m for c, m in moments.items() if m}
+        if topk_states:
+            tk: Dict[str, Any] = {}
+            for c, states in topk_states.items():
+                meta = topk_meta[c]
+                df = spark.createDataFrame(
+                    [(s,) for s in states], f"st {meta['state_ddl']}"
+                ).coalesce(1)
+                comb = df.agg(
+                    F.expr(
+                        f"approx_top_k_combine(st, {meta['max_items']})"
+                    ).alias("cst")
+                )
+                new_ddl = comb.schema["cst"].dataType.simpleString()
+                row = comb.first()
+                tk[c] = {
+                    "sketch": base64.b64encode(
+                        bytes(row["cst"]["sketch"])
+                    ).decode(),
+                    "max_items": int(row["cst"]["maxItemsTracked"]),
+                    "item_ddl": row["cst"]["itemDataTypeDDL"],
+                    "state_ddl": new_ddl,
+                }
+            payload["topk"] = tk
+        payload["folded"] = sorted(live)
+        cid = "__compacted__" + hashlib.sha1(
+            json.dumps(sorted(live)).encode()
+        ).hexdigest()[:12]
+        self._record(cid, payload)  # commit point
+        for name in live:  # garbage collection, safe to crash anywhere
+            try:
+                os.unlink(os.path.join(self.directory, name))
+            except OSError:
+                pass
+        return len(live)
 
     # -- merge -----------------------------------------------------------
 

@@ -180,6 +180,95 @@ def test_fingerprint_change_drops_other_kinds(spark, tmp_path):
     assert store.merged_distinct(spark, ["v"])["v"] == 1
 
 
+def test_accumulate_batch_idempotent_replay(spark, tmp_path):
+    """Streaming contract: a replayed micro-batch (same batch_id)
+    overwrites its own records, so double-delivery never double-counts;
+    distinct batches accumulate."""
+    store = PartitionSketchStore(str(tmp_path))
+    b0 = spark.createDataFrame(
+        [("d0", "c0"), ("d0", "c1")], "day string, conv_id string"
+    )
+    b1 = spark.createDataFrame(
+        [("d0", "c1"), ("d1", "c2")], "day string, conv_id string"
+    )
+    store.accumulate_batch(b0, "day", ["conv_id"], batch_id=0)
+    store.accumulate_batch(b1, "day", ["conv_id"], batch_id=1)
+    # replay batch 1 (at-least-once delivery)
+    store.accumulate_batch(b1, "day", ["conv_id"], batch_id=1)
+    assert store.merged_distinct(spark, ["conv_id"])["conv_id"] == 3
+    assert len(store.stored_partitions()) == 3  # d0@@b0, d0@@b1, d1@@b1
+
+
+def test_streaming_foreach_batch_accumulates(spark, tmp_path):
+    """Real readStream -> foreachBatch -> store: merged answers equal
+    the batch aggregation over everything that flowed through."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    rows = [
+        {"day": f"d{i % 3}", "conv_id": f"c{i}", "n": i} for i in range(30)
+    ]
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+    store = PartitionSketchStore(str(tmp_path / "store"))
+    stream = spark.readStream.schema(
+        "day string, conv_id string, n int"
+    ).json(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            store.foreach_batch_writer(
+                "day", ["conv_id"], kinds=("hll", "topk")
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert store.merged_distinct(spark, ["conv_id"])["conv_id"] == 30
+    top = store.merged_topk(spark, ["conv_id"], k=30)["conv_id"]
+    assert len(top) == 30 and all(c == 1 for _, c in top)
+
+
+def test_compact_folds_records_and_survives_gc_crash(spark, tmp_path):
+    import os as _os
+
+    store = PartitionSketchStore(str(tmp_path))
+    for i in range(4):
+        b = spark.createDataFrame(
+            [("p", f"c{i}"), ("p", "shared"), ("q", f"x{i}")],
+            "part string, v string",
+        )
+        store.accumulate_batch(
+            b, "part", ["v"], batch_id=i, kinds=("hll", "topk")
+        )
+    before = store.merged_distinct(spark, ["v"])["v"]
+    assert before == 9  # c0..c3, shared, x0..x3
+    folded = store.compact(spark)
+    assert folded == 8  # 2 partitions x 4 batches
+    assert store.merged_distinct(spark, ["v"])["v"] == 9
+    top = store.merged_topk(spark, ["v"], k=1)["v"]
+    assert top == [("shared", 4)]
+    assert len(store.stored_partitions()) == 1
+    # crash-safety: resurrect a folded file next to the compacted record
+    # — readers must keep ignoring it (the compacted record names it)
+    live = list(store.stored_partitions().values())[0]
+    ghost = _os.path.join(store.directory, "p__b0.json")
+    with open(live) as f:
+        compacted_names = __import__("json").load(f)["folded"]
+    assert "p__b0.json" in compacted_names
+    with open(ghost, "w") as f:
+        f.write(
+            __import__("json").dumps(
+                {"partition_id": "p@@b0", "lg_k": 12, "hll": {}}
+            )
+        )
+    assert store.merged_distinct(spark, ["v"])["v"] == 9
+    assert len(store.stored_partitions()) == 1
+
+
 def test_empty_store_returns_zero(spark, tmp_path):
     store = PartitionSketchStore(str(tmp_path))
     assert store.merged_distinct(spark, ["whatever"]) == {"whatever": 0}
