@@ -314,6 +314,70 @@ def render_curation_report_html(
     return _page(title, "\n".join(parts))
 
 
+def render_table_stats_html(
+    distinct: Optional[Dict[str, int]] = None,
+    moments: Optional[Dict[str, Dict[str, Any]]] = None,
+    top_values: Optional[Dict[str, List[Any]]] = None,
+    title: str = "incremental table stats",
+    partitions: Optional[int] = None,
+) -> str:
+    """Data Docs page for the partition sketch store's merged answers
+    (``run_checkpoint`` summary keys ``distinct_estimates`` /
+    ``stats_estimates`` / ``top_values``): per-column distinct counts,
+    moment statistics, and a bar chart of each column's heaviest
+    values.  No reference analog (GE recomputes stats per run; here the
+    numbers come from merged per-partition sketches) — rendered in the
+    reference's Data Docs idiom."""
+    parts = [f"<h1>{_esc(title, 200)}</h1>"]
+    if partitions is not None:
+        parts.append(
+            f'<p class="meta">merged from {int(partitions)} partition '
+            "sketches — validated partitions were not re-scanned</p>"
+        )
+    columns = sorted(
+        set(distinct or {}) | set(moments or {}) | set(top_values or {})
+    )
+    if not columns:
+        parts.append('<p class="meta">no sketched columns</p>')
+        return _page(title, "\n".join(parts))
+    parts.append(
+        "<table><thead><tr><th>column</th><th>distinct (HLL)</th>"
+        "<th>count</th><th>mean</th><th>stddev</th><th>min</th>"
+        "<th>max</th></tr></thead><tbody>"
+    )
+    for c in columns:
+        m = (moments or {}).get(c) or {}
+
+        def _num(key: str) -> str:
+            v = m.get(key)
+            if v is None:
+                return ""
+            return _esc(round(float(v), 4))
+
+        d = (distinct or {}).get(c)
+        cnt = m.get("count")
+        parts.append(
+            f"<tr><td>{_esc(c)}</td>"
+            f"<td>{'' if d is None else format(int(d), ',')}</td>"
+            f"<td>{'' if cnt is None else format(int(cnt), ',')}</td>"
+            f"<td>{_num('mean')}</td><td>{_num('stddev')}</td>"
+            f"<td>{_num('min')}</td><td>{_num('max')}</td></tr>"
+        )
+    parts.append("</tbody></table>")
+    for c in columns:
+        top = (top_values or {}).get(c) or []
+        if not top:
+            continue
+        parts.append(f"<h2>heaviest values — {_esc(c)}</h2>")
+        parts.append(
+            _svg_bars(
+                [str(item) for item, _cnt in top],
+                [float(cnt) for _item, cnt in top],
+            )
+        )
+    return _page(title, "\n".join(parts))
+
+
 class HtmlDocsAction:
     """Checkpoint action: maintain a browsable Data Docs SITE (the
     reference's UpdateDataDocsAction + SiteBuilder): every validated

@@ -258,6 +258,36 @@ def test_render_distribution_charts():
     assert _chart_of({"details": {"observed_partition": {"weights": []}}}) == ""
 
 
+def test_render_table_stats_html():
+    from great_expectations_spark.render.html import render_table_stats_html
+
+    html = render_table_stats_html(
+        distinct={"user_id": 1500, "value": 6728},
+        moments={
+            "value": {
+                "count": 10000, "mean": 49.6307, "stddev": 49.0999,
+                "min": 0.01, "max": 490.02, "sum": 496306.57,
+                "variance": 2410.8,
+            }
+        },
+        top_values={"event_type": [("click", 4000), ("view", 3500)]},
+        title="events stats",
+        partitions=30,
+    )
+    assert "events stats" in html
+    assert "merged from 30 partition sketches" in html
+    assert "1,500" in html and "6,728" in html
+    assert "49.6307" in html and "490.02" in html
+    assert "10,000" in html
+    assert "heaviest values" in html and "event_type" in html
+    assert "<svg" in html and html.count("<rect") == 2
+    # columns from all three dicts appear even when partially covered
+    for col in ("user_id", "value", "event_type"):
+        assert f"<td>{col}</td>" in html
+    empty = render_table_stats_html()
+    assert "no sketched columns" in empty
+
+
 def test_render_curation_report_html():
     from great_expectations_spark.render.html import (
         render_curation_report_html,
