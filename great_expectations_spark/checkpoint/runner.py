@@ -151,6 +151,7 @@ def run_checkpoint(
     sketch_columns: Optional[List[str]] = None,
     sketch_lg_k: int = 12,
     sketch_kinds: Sequence[str] = ("hll",),
+    sketch_topk_max_items: int = 10_000,
     detect_changes: bool = False,
 ) -> Dict[str, Any]:
     """Validate every partition, resuming past ``done`` ones. Returns a
@@ -316,7 +317,11 @@ def run_checkpoint(
             PartitionSketchStore,
         )
 
-        store = PartitionSketchStore(checkpoint_dir, lg_k=sketch_lg_k)
+        store = PartitionSketchStore(
+            checkpoint_dir,
+            lg_k=sketch_lg_k,
+            topk_max_items=sketch_topk_max_items,
+        )
         summary["sketch_partitions_computed"] = store.update(
             df, partition_column, sketch_columns, partitions=partitions,
             kinds=sketch_kinds,
@@ -471,18 +476,23 @@ def validate_by_partition(
                 item.error = exc
 
     # partition universe: union of every grouped phase's keys (a suite of
-    # only job/window expectations has no bundled metrics); if the suite
-    # is schema-only, one distinct scan resolves the partitions
+    # only job/window expectations has no bundled metrics).  A grouped
+    # JOB mapping may legitimately be partial — a partition the
+    # expectation's domain filtered empty, or one whose grouped
+    # evaluation errored and was left out for the per-partition fallback
+    # to confine — so with job expectations present the universe must
+    # come from the data, not from the mappings, or those partitions
+    # silently vanish from the output.
     part_keys = set(grouped.keys())
     for m in window_counts.values():
         part_keys.update(m.keys())
     for m in job_grouped.values():
         part_keys.update(m.keys())
-    if not part_keys and any(
-        isinstance(i.compiled, (CompiledSchemaCheck, CompiledJob))
-        for i in items
+    if any(isinstance(i.compiled, CompiledJob) for i in items) or (
+        not part_keys
+        and any(isinstance(i.compiled, CompiledSchemaCheck) for i in items)
     ):
-        part_keys = set(
+        part_keys.update(
             _collect_partition_values(df, partition_column)
         )
     partitions = sorted(part_keys, key=str)

@@ -34,7 +34,6 @@ import hashlib
 import json
 import math
 import os
-from functools import reduce
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,10 +76,16 @@ def _check_numeric(df: DataFrame, column: str) -> None:
 
 def _null_safe_isin(column, values: Sequence[Any]):
     """Partition membership that keeps a NULL partition addressable
-    (``isin`` drops it; ``eqNullSafe`` per value keeps the predicate
-    pushdown-friendly and the value list is manifest-capped)."""
-    conds = [column.eqNullSafe(F.lit(v)) for v in values]
-    return reduce(lambda a, b: a | b, conds)
+    (plain ``isin`` drops NULL) without building a per-value
+    ``eqNullSafe`` OR-chain — at the 10^5-partition design point a
+    chained boolean tree that deep stalls or overflows Catalyst's
+    recursive transforms, while ``isin`` stays one In-node (and
+    pushdown-friendly) regardless of list size."""
+    non_null = [v for v in values if v is not None]
+    cond = column.isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        cond = cond | column.isNull()
+    return cond
 
 
 def _merge_moments(
@@ -131,7 +136,14 @@ class PartitionSketchStore:
         os.makedirs(self.directory, exist_ok=True)
 
     def _path(self, partition_id: str) -> str:
-        return os.path.join(self.directory, f"{_safe(partition_id)}.json")
+        # readable sanitized prefix + hash of the RAW id: two partition
+        # values differing only in sanitized-away characters ('a b' vs
+        # 'a?b') must not clobber each other's records — a collision here
+        # silently drops one partition's stats and makes resume ping-pong
+        digest = hashlib.sha1(str(partition_id).encode()).hexdigest()[:8]
+        return os.path.join(
+            self.directory, f"{_safe(partition_id)}__{digest}.json"
+        )
 
     # -- records ---------------------------------------------------------
 
@@ -193,8 +205,8 @@ class PartitionSketchStore:
             f.write(json.dumps(payload, sort_keys=True))
         os.replace(tmp, path)
 
-    @staticmethod
     def _covers(
+        self,
         record: Dict[str, Any],
         columns: Sequence[str],
         kinds: Sequence[str],
@@ -202,12 +214,23 @@ class PartitionSketchStore:
         """Does a stored record already answer (columns × kinds)?  An
         empty-partition record covers everything (there was no data when
         it was sketched; partitions are immutable in this model, like
-        the manifest's)."""
+        the manifest's).  A top-k state built with a different
+        ``max_items`` does NOT cover — treating it as covered would let
+        every partition validate and then fail in ``merged_topk``."""
         if record.get("empty"):
             return True
-        return all(
-            c in record.get(kind, {}) for kind in kinds for c in columns
-        )
+        for kind in kinds:
+            bag = record.get(kind, {})
+            for c in columns:
+                if c not in bag:
+                    return False
+                if (
+                    kind == "topk"
+                    and int(bag[c].get("max_items", -1))
+                    != self.topk_max_items
+                ):
+                    return False
+        return True
 
     # -- compute ---------------------------------------------------------
 
@@ -532,9 +555,16 @@ class PartitionSketchStore:
                     "state_ddl": new_ddl,
                 }
             payload["topk"] = tk
-        payload["folded"] = sorted(live)
+        # TRANSITIVE folded set: the new record must keep tombstoning
+        # every file the folded records tombstoned — if compact#1 crashed
+        # between unlinks, a surviving ghost would otherwise resurrect
+        # once compact#2 deletes compact#1's record (double-count)
+        folded_names = set(live)
+        for rec in live.values():
+            folded_names.update(rec.get("folded", []))
+        payload["folded"] = sorted(folded_names)
         cid = "__compacted__" + hashlib.sha1(
-            json.dumps(sorted(live)).encode()
+            json.dumps(payload["folded"]).encode()
         ).hexdigest()[:12]
         self._record(cid, payload)  # commit point
         for name in live:  # garbage collection, safe to crash anywhere
@@ -552,11 +582,26 @@ class PartitionSketchStore:
         """Union every stored partition's HLL sketches -> table-level
         distinct estimate per column.  One tiny Spark job over
         ``num_partitions`` driver-loaded blobs; the data itself is never
-        re-scanned."""
+        re-scanned.  Records are read through the same single directory
+        scan the other merges use (one open+parse per file — per-pid
+        ``load()`` calls would double that, which matters when the
+        checkpoint dir is an object store)."""
         blobs: List[tuple] = []
-        for pid in self.stored_partitions():
-            sk = self.load(pid)
-            blobs.append(tuple(sk.get(c) for c in columns))
+        for record in self._raw_records().values():
+            if int(record.get("lg_k", self.lg_k)) != self.lg_k:
+                raise ValueError(
+                    f"stored sketch for {record.get('partition_id')!r} "
+                    f"has lg_k={record.get('lg_k')}, store expects "
+                    f"{self.lg_k} — sketches with different lg_k must "
+                    "not be silently merged"
+                )
+            hll = record.get("hll", {})
+            blobs.append(
+                tuple(
+                    base64.b64decode(hll[c]) if c in hll else None
+                    for c in columns
+                )
+            )
         if not blobs:
             return {c: 0 for c in columns}
         schema = ", ".join(f"{_quote(c)} binary" for c in columns)

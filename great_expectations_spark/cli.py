@@ -60,6 +60,16 @@ def _cmd_validate(args) -> int:
 
     with open(args.suite) as f:
         suite = ExpectationSuite.from_dict(json.load(f))
+    if not args.partition_column and (
+        getattr(args, "detect_changes", False)
+        or getattr(args, "sketch_columns", None)
+    ):
+        print(
+            "--detect-changes/--sketch-columns require --partition-column"
+            " (they only apply to per-partition checkpoint runs)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _build_spark(args)
     try:
         df = _load_df(spark, args)
@@ -94,6 +104,23 @@ def _cmd_validate(args) -> int:
             )
             payload = summary
             success = bool(summary.get("success"))
+            if args.docs_dir:
+                from great_expectations_spark.render.html import (
+                    render_table_stats_html,
+                )
+
+                os.makedirs(args.docs_dir, exist_ok=True)
+                out = os.path.join(args.docs_dir, "table_stats.html")
+                with open(out, "w") as f:
+                    f.write(
+                        render_table_stats_html(
+                            distinct=summary.get("distinct_estimates"),
+                            moments=summary.get("stats_estimates"),
+                            top_values=summary.get("top_values"),
+                            partitions=summary.get("partitions_done"),
+                        )
+                    )
+                print(f"docs: {out}", file=sys.stderr)
         else:
             result = SuiteValidator().validate(
                 df, suite, result_format=args.result_format

@@ -213,10 +213,18 @@ def _most_common_in_set(kwargs: Dict[str, Any]) -> CompiledJob:
             )
             .collect()
         )
-        return {
-            r[partition_column]: _judge(_modes_from_topk(list(r["__tk"] or [])))
-            for r in rows
-        }
+        out: Dict[Any, Dict[str, Any]] = {}
+        for r in rows:
+            try:
+                out[r[partition_column]] = _judge(
+                    _modes_from_topk(list(r["__tk"] or []))
+                )
+            except ValueError:
+                # a >mode_cap tie in ONE junk partition must not fail
+                # every partition: leave it out of the mapping, so the
+                # runner's per-partition fallback raises for it alone
+                continue
+        return out
 
     return CompiledJob(run=run, grouped=grouped if approximate else None)
 

@@ -105,6 +105,31 @@ def test_grouped_sketch_matches_per_partition_exact(spark, skewed):
         ), part
 
 
+def test_grouped_tie_explosion_confined_to_one_partition(spark):
+    """A >1000-way mode tie in ONE junk partition must not fail every
+    partition: it drops out of the grouped mapping, the per-partition
+    fallback re-raises for it alone, and healthy partitions keep their
+    results."""
+    from great_expectations_spark.checkpoint.runner import (
+        validate_by_partition,
+    )
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    rows = [("junk", f"u{i}") for i in range(1001)]
+    rows += [("ok", "alpha")] * 5 + [("ok", "beta")] * 2
+    df = spark.createDataFrame(rows, "part string, v string")
+    suite = ExpectationSuite("m").add(
+        "expect_column_most_common_value_to_be_in_set",
+        column="v", value_set=["alpha"], approximate=True,
+    )
+    out = validate_by_partition(df, suite, "part")
+    ok = out["ok"].results[0]
+    assert ok.success and ok.result["observed_value"] == ["alpha"]
+    junk = out["junk"].results[0]
+    assert junk.exception_info["raised_exception"]
+    assert "no meaningful mode" in junk.exception_info["exception_message"]
+
+
 def test_plan_is_sketch_combine_no_value_shuffle(skewed):
     plan = (
         approx_value_counts(skewed, "v", k=5)

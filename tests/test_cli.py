@@ -126,6 +126,7 @@ def test_validate_checkpoint_sketches_and_detect_changes(
     suite_path = str(tmp_path / "pp.json")
     open(suite_path, "w").write(suite.to_json())
     out_path = str(tmp_path / "summary.json")
+    docs_dir = str(tmp_path / "docs")
     argv = [
         "validate", "--data", data_path, "--suite", suite_path,
         "--partition-column", "day",
@@ -133,6 +134,7 @@ def test_validate_checkpoint_sketches_and_detect_changes(
         "--detect-changes",
         "--sketch-columns", "kind",
         "--sketch-kinds", "hll,topk",
+        "--docs-dir", docs_dir,
         "--out", out_path,
     ]
     assert _run(argv) == 0
@@ -141,11 +143,25 @@ def test_validate_checkpoint_sketches_and_detect_changes(
     assert len(summary["sketch_partitions_computed"]) == 2
     assert summary["distinct_estimates"]["kind"] >= 1
     assert summary["top_values"]["kind"]
+    stats_page = open(
+        str(tmp_path / "docs" / "table_stats.html")
+    ).read()
+    assert "kind" in stats_page and "merged from" in stats_page
     # unchanged rerun: fingerprints match, nothing revalidated/resketched
     assert _run(argv) == 0
     summary2 = json.loads(open(out_path).read())
     assert summary2["partitions_validated_now"] == 0
     assert summary2["sketch_partitions_computed"] == []
+    # sketch/change flags without --partition-column must error loudly,
+    # not silently run a plain validation
+    assert _run(
+        ["validate", "--data", data_path, "--suite", suite_path,
+         "--sketch-columns", "kind"]
+    ) == 2
+    assert _run(
+        ["validate", "--data", data_path, "--suite", suite_path,
+         "--detect-changes"]
+    ) == 2
 
 
 def test_profile_assistant_and_rule_config(data_path, tmp_path):

@@ -254,19 +254,84 @@ def test_compact_folds_records_and_survives_gc_crash(spark, tmp_path):
     assert len(store.stored_partitions()) == 1
     # crash-safety: resurrect a folded file next to the compacted record
     # — readers must keep ignoring it (the compacted record names it)
+    import json as _json
+
     live = list(store.stored_partitions().values())[0]
-    ghost = _os.path.join(store.directory, "p__b0.json")
     with open(live) as f:
-        compacted_names = __import__("json").load(f)["folded"]
-    assert "p__b0.json" in compacted_names
+        compacted_names = _json.load(f)["folded"]
+    ghost_name = next(n for n in compacted_names if n.startswith("p__b0"))
+    ghost = _os.path.join(store.directory, ghost_name)
     with open(ghost, "w") as f:
         f.write(
-            __import__("json").dumps(
-                {"partition_id": "p@@b0", "lg_k": 12, "hll": {}}
-            )
+            _json.dumps({"partition_id": "p@@b0", "lg_k": 12, "hll": {}})
         )
     assert store.merged_distinct(spark, ["v"])["v"] == 9
     assert len(store.stored_partitions()) == 1
+
+
+def test_double_compaction_keeps_tombstoning_ghosts(spark, tmp_path):
+    """compact#1 crashes mid-GC leaving a folded file on disk; compact#2
+    folds the compacted record + new data.  The second compacted record
+    must carry the TRANSITIVE folded set, so the ghost stays ignored
+    even after compact#1's record (its original tombstone) is deleted."""
+    import json as _json
+    import os as _os
+
+    store = PartitionSketchStore(str(tmp_path))
+    for i in range(2):
+        b = spark.createDataFrame(
+            [("p", f"c{i}")], "part string, v string"
+        )
+        store.accumulate_batch(b, "part", ["v"], batch_id=i)
+    # snapshot one record, compact, then resurrect the snapshot = the
+    # crash-survivor ghost
+    name, path = sorted(
+        (n, _os.path.join(store.directory, n))
+        for n in _os.listdir(store.directory)
+    )[0]
+    ghost_payload = open(path).read()
+    assert store.compact(spark) == 2
+    with open(_os.path.join(store.directory, name), "w") as f:
+        f.write(ghost_payload)
+    # second round: new batch + compact again (folds compacted + batch)
+    b = spark.createDataFrame([("p", "c9")], "part string, v string")
+    store.accumulate_batch(b, "part", ["v"], batch_id=9)
+    assert store.compact(spark) == 2
+    live = list(store.stored_partitions().values())
+    assert len(live) == 1
+    assert name in _json.load(open(live[0]))["folded"]
+    # ghost never double-counts: c0, c1, c9 = 3 distinct
+    assert store.merged_distinct(spark, ["v"])["v"] == 3
+
+
+def test_topk_max_items_mismatch_recomputes_not_raises(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("p", "a"), ("p", "b")], "part string, v string"
+    )
+    PartitionSketchStore(str(tmp_path), topk_max_items=5000).update(
+        df, "part", ["v"], kinds=("topk",)
+    )
+    # a store opened with different max_items re-sketches instead of
+    # treating the records as covered and blowing up in merged_topk
+    store = PartitionSketchStore(str(tmp_path), topk_max_items=10_000)
+    assert store.update(df, "part", ["v"], kinds=("topk",)) == ["p"]
+    assert store.merged_topk(spark, ["v"], k=2)["v"] == [
+        ("a", 1), ("b", 1),
+    ] or store.merged_topk(spark, ["v"], k=2)["v"] == [("b", 1), ("a", 1)]
+
+
+def test_colliding_partition_names_keep_separate_records(spark, tmp_path):
+    """'a b' and 'a?b' sanitize to the same filename stem; records must
+    not clobber each other (silent stat loss + resume ping-pong)."""
+    df = spark.createDataFrame(
+        [("a b", "x"), ("a?b", "y"), ("a?b", "z")],
+        "part string, v string",
+    )
+    store = PartitionSketchStore(str(tmp_path))
+    assert sorted(store.update(df, "part", ["v"])) == ["a b", "a?b"]
+    assert store.update(df, "part", ["v"]) == []  # stable resume
+    assert store.merged_distinct(spark, ["v"])["v"] == 3
+    assert set(store.stored_partitions()) == {"a b", "a?b"}
 
 
 def test_empty_store_returns_zero(spark, tmp_path):
