@@ -152,6 +152,7 @@ def run_checkpoint(
     sketch_lg_k: int = 12,
     sketch_kinds: Sequence[str] = ("hll",),
     sketch_topk_max_items: int = 10_000,
+    sketch_histogram_edges: Optional[Dict[str, List[float]]] = None,
     detect_changes: bool = False,
 ) -> Dict[str, Any]:
     """Validate every partition, resuming past ``done`` ones. Returns a
@@ -321,6 +322,7 @@ def run_checkpoint(
             checkpoint_dir,
             lg_k=sketch_lg_k,
             topk_max_items=sketch_topk_max_items,
+            histogram_edges=sketch_histogram_edges,
         )
         summary["sketch_partitions_computed"] = store.update(
             df, partition_column, sketch_columns, partitions=partitions,
@@ -339,6 +341,8 @@ def run_checkpoint(
             summary["top_values"] = store.merged_topk(
                 df.sparkSession, sketch_columns
             )
+        if "histogram" in sketch_kinds:
+            summary["histograms"] = store.merged_histogram(sketch_columns)
     return summary
 
 

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from great_expectations_spark.checkpoint.manifest import _safe
 
-KINDS = ("hll", "moments", "topk")
+KINDS = ("hll", "moments", "topk", "histogram")
 
 # hll_sketch_agg accepts these Spark SQL types natively; anything else is
 # cast to string first (stable distinct-by-representation semantics)
@@ -127,11 +127,21 @@ class PartitionSketchStore:
         checkpoint_dir: str,
         lg_k: int = 12,
         topk_max_items: int = 10_000,
+        histogram_edges: Optional[Dict[str, List[float]]] = None,
     ) -> None:
         if not 4 <= int(lg_k) <= 21:
             raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
         self.lg_k = int(lg_k)
         self.topk_max_items = int(topk_max_items)
+        self.histogram_edges: Dict[str, List[float]] = {}
+        for c, edges in (histogram_edges or {}).items():
+            e = [float(x) for x in edges]
+            if len(e) < 2 or any(b <= a for a, b in zip(e, e[1:])):
+                raise ValueError(
+                    f"histogram_edges[{c!r}] must be >=2 strictly "
+                    "increasing values"
+                )
+            self.histogram_edges[c] = e
         self.directory = os.path.join(checkpoint_dir, "sketches")
         os.makedirs(self.directory, exist_ok=True)
 
@@ -230,6 +240,12 @@ class PartitionSketchStore:
                     != self.topk_max_items
                 ):
                     return False
+                if kind == "histogram" and bag[c].get(
+                    "edges"
+                ) != self.histogram_edges.get(c):
+                    # edges changed between runs: the old counts answer a
+                    # different question — recompute
+                    return False
         return True
 
     # -- compute ---------------------------------------------------------
@@ -265,6 +281,35 @@ class PartitionSketchStore:
                 ).alias(f"__tk_{c}")
                 for c in columns
             ]
+        if "histogram" in kinds:
+            for c in columns:
+                _check_numeric(df, c)
+                edges = self.histogram_edges.get(c)
+                if not edges:
+                    raise ValueError(
+                        f"histogram kind needs histogram_edges[{c!r}] at "
+                        "store construction"
+                    )
+                x = F.col(c).cast("double")
+                one = F.when(x < edges[0], 1).otherwise(0)
+                aggs.append(F.sum(one).alias(f"__hb_{c}"))
+                for i in range(len(edges) - 1):
+                    # closed last bin (repo histogram convention)
+                    hi_ok = (
+                        x <= edges[i + 1]
+                        if i == len(edges) - 2
+                        else x < edges[i + 1]
+                    )
+                    aggs.append(
+                        F.sum(
+                            F.when((x >= edges[i]) & hi_ok, 1).otherwise(0)
+                        ).alias(f"__h_{c}_{i}")
+                    )
+                aggs.append(
+                    F.sum(
+                        F.when(x > edges[-1], 1).otherwise(0)
+                    ).alias(f"__ha_{c}")
+                )
         return aggs
 
     @staticmethod
@@ -278,8 +323,8 @@ class PartitionSketchStore:
             for c in columns
         }
 
-    @staticmethod
     def _merge_row_into_payload(
+        self,
         payload: Dict[str, Any],
         r: Any,
         columns: Sequence[str],
@@ -329,6 +374,23 @@ class PartitionSketchStore:
                     }
                     for c in columns
                     if r[f"__tk_{c}"] is not None
+                }
+            )
+        if "histogram" in kinds:
+            payload.setdefault("histogram", {}).update(
+                {
+                    c: {
+                        "edges": self.histogram_edges[c],
+                        "below": int(r[f"__hb_{c}"] or 0),
+                        "counts": [
+                            int(r[f"__h_{c}_{i}"] or 0)
+                            for i in range(
+                                len(self.histogram_edges[c]) - 1
+                            )
+                        ],
+                        "above": int(r[f"__ha_{c}"] or 0),
+                    }
+                    for c in columns
                 }
             )
 
@@ -487,12 +549,33 @@ class PartitionSketchStore:
         topk_states: Dict[str, List[tuple]] = {}
         topk_meta: Dict[str, Dict[str, Any]] = {}
         moments: Dict[str, Optional[Dict[str, float]]] = {}
+        hists: Dict[str, Dict[str, Any]] = {}
         for rec in live.values():
             for c, b in rec.get("hll", {}).items():
                 hll_cols.setdefault(c, []).append(base64.b64decode(b))
             for c, m in rec.get("moments", {}).items():
                 if m.get("count"):
                     moments[c] = _merge_moments(moments.get(c), m)
+            for c, h in rec.get("histogram", {}).items():
+                acc = hists.get(c)
+                if acc is None:
+                    hists[c] = {
+                        "edges": list(h["edges"]),
+                        "counts": list(h["counts"]),
+                        "below": int(h["below"]),
+                        "above": int(h["above"]),
+                    }
+                elif h["edges"] != acc["edges"]:
+                    raise ValueError(
+                        f"histograms for {c!r} disagree on edges — "
+                        "cannot compact"
+                    )
+                else:
+                    acc["counts"] = [
+                        a + b for a, b in zip(acc["counts"], h["counts"])
+                    ]
+                    acc["below"] += int(h["below"])
+                    acc["above"] += int(h["above"])
             for c, st in rec.get("topk", {}).items():
                 meta = topk_meta.setdefault(
                     c,
@@ -532,6 +615,8 @@ class PartitionSketchStore:
             payload["hll"] = merged
         if moments:
             payload["moments"] = {c: m for c, m in moments.items() if m}
+        if hists:
+            payload["histogram"] = hists
         if topk_states:
             tk: Dict[str, Any] = {}
             for c, states in topk_states.items():
@@ -645,6 +730,88 @@ class PartitionSketchStore:
                 "variance": var,
                 "stddev": math.sqrt(var) if var is not None else None,
             }
+        return out
+
+    def merged_histogram(
+        self, columns: Sequence[str]
+    ) -> Dict[str, Optional[Dict[str, Any]]]:
+        """Vector-sum of stored per-partition histograms -> table-level
+        ``{edges, counts, below, above}`` per column.  EXACT (integer
+        addition over identical fixed edges); pure driver math, no Spark
+        job.  Records whose edges differ from the store's raise — counts
+        over different bins must not be silently added."""
+        out: Dict[str, Optional[Dict[str, Any]]] = {c: None for c in columns}
+        for record in self._raw_records().values():
+            for c in columns:
+                h = record.get("histogram", {}).get(c)
+                if not h:
+                    continue
+                edges = self.histogram_edges.get(c)
+                if edges is not None and h["edges"] != edges:
+                    raise ValueError(
+                        f"stored histogram for {c!r} used different edges "
+                        "than this store — rebuild or match "
+                        "histogram_edges"
+                    )
+                acc = out[c]
+                if acc is None:
+                    out[c] = {
+                        "edges": list(h["edges"]),
+                        "counts": list(h["counts"]),
+                        "below": int(h["below"]),
+                        "above": int(h["above"]),
+                    }
+                else:
+                    if h["edges"] != acc["edges"]:
+                        raise ValueError(
+                            f"stored histograms for {c!r} disagree on "
+                            "edges — rebuild the sketch store"
+                        )
+                    acc["counts"] = [
+                        a + b for a, b in zip(acc["counts"], h["counts"])
+                    ]
+                    acc["below"] += int(h["below"])
+                    acc["above"] += int(h["above"])
+        return out
+
+    def merged_quantiles(
+        self, columns: Sequence[str], qs: Sequence[float]
+    ) -> Dict[str, List[Optional[float]]]:
+        """Quantile estimates by linear interpolation inside the merged
+        histogram's bins — error bounded by one bin width.  Mass below
+        the first edge / above the last clamps to that edge (the
+        histogram cannot see past its range; pick edges from a min/max
+        or moments pass if that matters)."""
+        hists = self.merged_histogram(columns)
+        out: Dict[str, List[Optional[float]]] = {}
+        for c in columns:
+            h = hists[c]
+            if h is None:
+                out[c] = [None for _ in qs]
+                continue
+            edges, counts = h["edges"], h["counts"]
+            total = h["below"] + sum(counts) + h["above"]
+            vals: List[Optional[float]] = []
+            for q in qs:
+                if not 0.0 <= q <= 1.0:
+                    raise ValueError(f"quantile {q} outside [0, 1]")
+                if total == 0:
+                    vals.append(None)
+                    continue
+                target = q * total
+                if target <= h["below"]:
+                    vals.append(edges[0])
+                    continue
+                cum = float(h["below"])
+                found = None
+                for i, n in enumerate(counts):
+                    if n and target <= cum + n:
+                        frac = (target - cum) / n
+                        found = edges[i] + frac * (edges[i + 1] - edges[i])
+                        break
+                    cum += n
+                vals.append(edges[-1] if found is None else found)
+            out[c] = vals
         return out
 
     def merged_topk(

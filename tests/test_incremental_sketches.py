@@ -334,6 +334,83 @@ def test_colliding_partition_names_keep_separate_records(spark, tmp_path):
     assert set(store.stored_partitions()) == {"a b", "a?b"}
 
 
+def test_merged_histogram_exact_and_quantiles(spark, days, tmp_path):
+    """Histogram counts merge by exact integer addition; quantiles
+    interpolate within one bin width of the true percentile."""
+    edges = [0.0, 5.0, 10.0, 20.0, 30.0]
+    store = PartitionSketchStore(
+        str(tmp_path), histogram_edges={"n": edges}
+    )
+    store.update(days, "day", ["n"], kinds=("histogram",))
+    h = store.merged_histogram(["n"])["n"]
+    # data: n = 0..9 (d0), 10..28 even (d1), 99 (null day)
+    import numpy as np
+
+    vals = np.array(
+        [r["n"] for r in days.select("n").collect()], dtype=float
+    )
+    assert h["edges"] == edges
+    assert h["below"] == int((vals < 0).sum()) == 0
+    assert h["counts"][0] == int(((vals >= 0) & (vals < 5)).sum())
+    assert h["counts"][1] == int(((vals >= 5) & (vals < 10)).sum())
+    assert h["counts"][2] == int(((vals >= 10) & (vals < 20)).sum())
+    # closed last bin
+    assert h["counts"][3] == int(((vals >= 20) & (vals <= 30)).sum())
+    assert h["above"] == int((vals > 30).sum()) == 1  # the 99
+    assert h["below"] + sum(h["counts"]) + h["above"] == len(vals)
+    qs = store.merged_quantiles(["n"], [0.0, 0.5, 1.0])["n"]
+    med = float(np.quantile(vals, 0.5))
+    assert qs[0] == 0.0  # clamped to first edge
+    assert abs(qs[1] - med) <= 10.0  # within the containing bin's width
+    assert qs[2] == 30.0  # mass above the range clamps to last edge
+
+
+def test_histogram_edge_change_recomputes(spark, days, tmp_path):
+    e1 = {"n": [0.0, 10.0, 30.0]}
+    e2 = {"n": [0.0, 15.0, 30.0]}
+    PartitionSketchStore(str(tmp_path), histogram_edges=e1).update(
+        days, "day", ["n"], kinds=("histogram",)
+    )
+    store2 = PartitionSketchStore(str(tmp_path), histogram_edges=e2)
+    # different edges: records not covered -> recomputed, not mis-merged
+    assert len(store2.update(days, "day", ["n"], kinds=("histogram",))) == 3
+    h = store2.merged_histogram(["n"])["n"]
+    assert h["edges"] == e2["n"]
+
+
+def test_histogram_compaction_preserves_counts(spark, tmp_path):
+    edges = {"x": [0.0, 1.0, 2.0]}
+    store = PartitionSketchStore(str(tmp_path), histogram_edges=edges)
+    for i in range(3):
+        b = spark.createDataFrame(
+            [("p", 0.5), ("p", 1.5)], "part string, x double"
+        )
+        store.accumulate_batch(
+            b, "part", ["x"], batch_id=i, kinds=("histogram",)
+        )
+    before = store.merged_histogram(["x"])["x"]
+    assert before["counts"] == [3, 3]
+    assert store.compact(spark) == 3
+    assert store.merged_histogram(["x"])["x"]["counts"] == [3, 3]
+
+
+def test_run_checkpoint_histogram_kind(spark, days, tmp_path):
+    from great_expectations_spark.checkpoint.runner import run_checkpoint
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    suite = ExpectationSuite("s").add(
+        "expect_column_values_to_not_be_null", column="n"
+    )
+    nn = days.filter(F.col("day").isNotNull())
+    out = run_checkpoint(
+        nn, suite, "day", str(tmp_path / "ck"),
+        sketch_columns=["n"], sketch_kinds=("histogram",),
+        sketch_histogram_edges={"n": [0.0, 10.0, 30.0]},
+    )
+    h = out["histograms"]["n"]
+    assert sum(h["counts"]) + h["below"] + h["above"] == nn.count()
+
+
 def test_empty_store_returns_zero(spark, tmp_path):
     store = PartitionSketchStore(str(tmp_path))
     assert store.merged_distinct(spark, ["whatever"]) == {"whatever": 0}
