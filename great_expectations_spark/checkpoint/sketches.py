@@ -814,6 +814,63 @@ class PartitionSketchStore:
             out[c] = vals
         return out
 
+    def drift_vs_history(
+        self, df_new: DataFrame, column: str
+    ) -> Dict[str, Any]:
+        """Distribution drift of NEW data against everything the store
+        has seen: ONE global aggregation over ``df_new`` bins it on the
+        store's edges (plus below/above overflow mass), the historical
+        side comes from :meth:`merged_histogram` with zero re-scan, and
+        the comparison (PSI, chi-square + p, KL) is driver math over the
+        two count vectors.  The operational loop at 10^12 rows: sketch
+        each partition as it validates, then answer "is today's data
+        shaped like history?" for the cost of scanning today only."""
+        from great_expectations_spark.functions import stats as _stats
+
+        edges = self.histogram_edges.get(column)
+        if not edges:
+            raise ValueError(
+                f"drift_vs_history needs histogram_edges[{column!r}] at "
+                "store construction"
+            )
+        hist = self.merged_histogram([column])[column]
+        if hist is None:
+            raise ValueError(
+                f"no stored histogram for {column!r} — update the store "
+                "with kinds=('histogram',) first"
+            )
+        x = F.col(column).cast("double")
+        aggs = [F.sum(F.when(x < edges[0], 1).otherwise(0)).alias("b")]
+        for i in range(len(edges) - 1):
+            hi_ok = (
+                x <= edges[i + 1]
+                if i == len(edges) - 2
+                else x < edges[i + 1]
+            )
+            aggs.append(
+                F.sum(
+                    F.when((x >= edges[i]) & hi_ok, 1).otherwise(0)
+                ).alias(f"c{i}")
+            )
+        aggs.append(F.sum(F.when(x > edges[-1], 1).otherwise(0)).alias("a"))
+        r = df_new.agg(*aggs).first()
+        new_vec = (
+            [int(r["b"] or 0)]
+            + [int(r[f"c{i}"] or 0) for i in range(len(edges) - 1)]
+            + [int(r["a"] or 0)]
+        )
+        hist_vec = [hist["below"]] + hist["counts"] + [hist["above"]]
+        chi2 = _stats.chi2_test(new_vec, hist_vec)
+        return {
+            "edges": edges,
+            "history_counts": hist_vec,
+            "new_counts": new_vec,
+            "psi": _stats.psi(hist_vec, new_vec),
+            "kl": _stats.kl_divergence(new_vec, hist_vec),
+            "chi2": chi2["statistic"],
+            "chi2_p": chi2["p_value"],
+        }
+
     def merged_topk(
         self, spark: SparkSession, columns: Sequence[str], k: int = 10
     ) -> Dict[str, List[Tuple[Any, int]]]:

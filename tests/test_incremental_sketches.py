@@ -394,6 +394,35 @@ def test_histogram_compaction_preserves_counts(spark, tmp_path):
     assert store.merged_histogram(["x"])["x"]["counts"] == [3, 3]
 
 
+def test_drift_vs_history(spark, tmp_path):
+    """New data shaped like history -> tiny PSI / high p; shifted data
+    -> large PSI / tiny p.  History is never re-scanned (only the store
+    and the new frame are touched)."""
+    edges = {"x": [0.0, 1.0, 2.0, 3.0, 4.0]}
+    store = PartitionSketchStore(str(tmp_path), histogram_edges=edges)
+    hist_rows = [("p0", float(i % 4) + 0.5) for i in range(400)]
+    hist = spark.createDataFrame(hist_rows, "part string, x double")
+    store.update(hist, "part", ["x"], kinds=("histogram",))
+
+    same = spark.createDataFrame(
+        [("new", float(i % 4) + 0.5) for i in range(100)],
+        "part string, x double",
+    )
+    shifted = spark.createDataFrame(
+        [("new", 3.5)] * 100, "part string, x double"
+    )
+    ok = store.drift_vs_history(same, "x")
+    bad = store.drift_vs_history(shifted, "x")
+    assert ok["psi"] < 0.01 and ok["chi2_p"] > 0.9
+    assert bad["psi"] > 0.5 and bad["chi2_p"] < 1e-6
+    assert sum(ok["new_counts"]) == 100
+    assert sum(ok["history_counts"]) == 400
+    with pytest.raises(ValueError, match="histogram_edges"):
+        PartitionSketchStore(str(tmp_path / "e")).drift_vs_history(
+            same, "x"
+        )
+
+
 def test_run_checkpoint_histogram_kind(spark, days, tmp_path):
     from great_expectations_spark.checkpoint.runner import run_checkpoint
     from great_expectations_spark.core.suite import ExpectationSuite
