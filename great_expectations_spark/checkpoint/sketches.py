@@ -827,18 +827,15 @@ class PartitionSketchStore:
         shaped like history?" for the cost of scanning today only."""
         from great_expectations_spark.functions import stats as _stats
 
-        edges = self.histogram_edges.get(column)
-        if not edges:
-            raise ValueError(
-                f"drift_vs_history needs histogram_edges[{column!r}] at "
-                "store construction"
-            )
         hist = self.merged_histogram([column])[column]
         if hist is None:
             raise ValueError(
                 f"no stored histogram for {column!r} — update the store "
                 "with kinds=('histogram',) first"
             )
+        # the store's configured edges if set, else the (consistency-
+        # checked) edges the stored records agree on
+        edges = self.histogram_edges.get(column) or hist["edges"]
         x = F.col(column).cast("double")
         aggs = [F.sum(F.when(x < edges[0], 1).otherwise(0)).alias("b")]
         for i in range(len(edges) - 1):

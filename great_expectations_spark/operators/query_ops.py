@@ -916,6 +916,68 @@ def _exists_in_other_table(kwargs: Dict[str, Any]) -> CompiledJob:
     return CompiledJob(run=run, grouped=grouped)
 
 
+@register_query_job("expect_column_distribution_to_match_sketched_history")
+def _match_sketched_history(kwargs: Dict[str, Any]) -> CompiledJob:
+    """Continuous drift gate against ACCUMULATED history: the baseline is
+    the checkpoint sketch store's merged histogram (every partition ever
+    validated, never re-scanned), the batch is binned in one aggregation,
+    and the suite judges PSI / chi-square p thresholds.  The reference's
+    KL/chi² expectations compare against a STATIC partition_object; here
+    the baseline grows with each checkpointed run, which is the shape a
+    10^12-row daily pipeline actually needs (reference
+    ``expectations/core/expect_column_kl_divergence_to_be_less_than.py``
+    for the static counterpart).
+
+    kwargs: ``column``; ``store_dir`` (the run_checkpoint checkpoint
+    dir); ``max_psi`` and/or ``min_chi2_p`` (at least one);
+    ``histogram_edges`` optional (defaults to the edges the stored
+    records agree on).
+    """
+    column = kwargs["column"]
+    store_dir = kwargs["store_dir"]
+    max_psi = kwargs.get("max_psi")
+    min_chi2_p = kwargs.get("min_chi2_p")
+    edges = kwargs.get("histogram_edges")
+    if max_psi is None and min_chi2_p is None:
+        raise ValueError(
+            "expect_column_distribution_to_match_sketched_history needs "
+            "max_psi and/or min_chi2_p"
+        )
+
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        from great_expectations_spark.checkpoint.sketches import (
+            PartitionSketchStore,
+        )
+
+        store = PartitionSketchStore(
+            store_dir,
+            histogram_edges={column: edges} if edges else None,
+        )
+        out = store.drift_vs_history(_apply_domain(df, domain), column)
+        success = True
+        if max_psi is not None and out["psi"] > float(max_psi):
+            success = False
+        if min_chi2_p is not None and out["chi2_p"] < float(min_chi2_p):
+            success = False
+        return {
+            "success": success,
+            "result": {
+                "observed_value": out["psi"],
+                "details": {
+                    "psi": out["psi"],
+                    "kl": out["kl"],
+                    "chi2": out["chi2"],
+                    "chi2_p": out["chi2_p"],
+                    "edges": out["edges"],
+                    "history_counts": out["history_counts"],
+                    "new_counts": out["new_counts"],
+                },
+            },
+        }
+
+    return CompiledJob(run=run)
+
+
 @register_query_job("expect_corpus_substring_duplication_to_be_less_than")
 def _substring_duplication(kwargs: Dict[str, Any]) -> CompiledJob:
     """Corpus-level ExactSubstr duplication gate (no reference analog —

@@ -417,10 +417,54 @@ def test_drift_vs_history(spark, tmp_path):
     assert bad["psi"] > 0.5 and bad["chi2_p"] < 1e-6
     assert sum(ok["new_counts"]) == 100
     assert sum(ok["history_counts"]) == 400
-    with pytest.raises(ValueError, match="histogram_edges"):
+    with pytest.raises(ValueError, match="no stored histogram"):
         PartitionSketchStore(str(tmp_path / "e")).drift_vs_history(
             same, "x"
         )
+    # edges inferred from the stored records when the store object was
+    # opened without histogram_edges
+    bare = PartitionSketchStore(str(tmp_path))
+    assert bare.drift_vs_history(same, "x")["psi"] < 0.01
+
+
+def test_history_drift_expectation_in_suite(spark, tmp_path):
+    """The drift gate as a first-class expectation: pass on same-shaped
+    data, fail on a shift, details carry the full comparison."""
+    from great_expectations_spark.core.suite import ExpectationSuite
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    edges = [0.0, 1.0, 2.0, 3.0, 4.0]
+    store_dir = str(tmp_path / "ck")
+    hist = spark.createDataFrame(
+        [("p0", float(i % 4) + 0.5) for i in range(400)],
+        "part string, x double",
+    )
+    PartitionSketchStore(
+        store_dir, histogram_edges={"x": edges}
+    ).update(hist, "part", ["x"], kinds=("histogram",))
+
+    def judge(df):
+        suite = ExpectationSuite("drift").add(
+            "expect_column_distribution_to_match_sketched_history",
+            column="x", store_dir=store_dir,
+            max_psi=0.1, min_chi2_p=0.01,
+        )
+        r = SuiteValidator().validate(df, suite).results[0]
+        if r.exception_info["raised_exception"]:
+            raise AssertionError(r.exception_info["exception_message"])
+        return r
+
+    same = spark.createDataFrame(
+        [("n", float(i % 4) + 0.5) for i in range(100)],
+        "part string, x double",
+    )
+    shifted = spark.createDataFrame(
+        [("n", 3.5)] * 100, "part string, x double"
+    )
+    ok, bad = judge(same), judge(shifted)
+    assert ok.success and not bad.success
+    assert bad.result["details"]["chi2_p"] < 1e-6
+    assert sum(ok.result["details"]["new_counts"]) == 100
 
 
 def test_run_checkpoint_histogram_kind(spark, days, tmp_path):
