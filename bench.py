@@ -506,7 +506,37 @@ def main() -> None:
             "dsir_select",
             lambda: dsir_selected.collect(),
         ),
+        (
+            # incremental table stats (checkpoint/sketches.py): sketch
+            # every day partition (HLL + moments + top-k on turn_idx) in
+            # one grouped pass into a FRESH store, then answer the
+            # table-level distinct/mean/top-k by merging the blobs —
+            # the per-run cost of the resumable-stats feature
+            "sketch_stats",
+            lambda: _run_sketch_stats(),
+        ),
     ]
+
+    def _run_sketch_stats():
+        import shutil
+        import tempfile
+
+        from great_expectations_spark.checkpoint.sketches import (
+            PartitionSketchStore,
+        )
+
+        d = tempfile.mkdtemp(prefix="gx_bench_sketch_")
+        try:
+            store = PartitionSketchStore(d, lg_k=12, topk_max_items=10_000)
+            store.update(
+                transcripts, "day", ["turn_idx"],
+                kinds=("hll", "moments", "topk"),
+            )
+            store.merged_distinct(spark, ["turn_idx"])
+            store.merged_moments(["turn_idx"])
+            store.merged_topk(spark, ["turn_idx"], k=5)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     for _ in range(REPEATS):
         for name, fn in repeatable:
             run_once(name, fn)
