@@ -115,12 +115,111 @@ def _merge_moments(
 # exactly at combine time — a fixed DDL deserializes garbage.
 
 
+class _LocalRecordFS:
+    """Record files on the local filesystem: temp + atomic rename."""
+
+    def __init__(self, directory: str) -> None:
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def join(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def list_names(self) -> List[str]:
+        return sorted(os.listdir(self.directory))
+
+    def read(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write(self, path: str, payload: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    def unlink(self, name: str) -> None:
+        try:
+            os.unlink(self.join(name))
+        except OSError:
+            pass
+
+
+class _HadoopRecordFS:
+    """Record files through Spark's Hadoop FileSystem — any scheme the
+    session reaches (hdfs:// s3a:// abfss:// gs:// file://), zero
+    cloud-SDK dependencies (the ``functions/_hadoop_io.py`` model).
+    ``create(overwrite)`` is one atomic PUT on object stores, which is
+    all the record protocol needs (same argument as the manifest's
+    one-file-per-partition design).  Requires an active SparkSession."""
+
+    def __init__(self, directory: str) -> None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"a {directory.split('://', 1)[0]}:// sketch store needs "
+                "an active SparkSession for Hadoop FileSystem access"
+            )
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self.directory = directory.rstrip("/")
+        fs, p = self._fs_path(self.directory)
+        fs.mkdirs(p)
+
+    def _fs_path(self, path: str):
+        p = self._jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(self._conf), p
+
+    def join(self, name: str) -> str:
+        return f"{self.directory}/{name}"
+
+    def list_names(self) -> List[str]:
+        fs, p = self._fs_path(self.directory)
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(p)
+        )
+
+    def read(self, path: str) -> str:
+        fs, p = self._fs_path(path)
+        stream = fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write(self, path: str, payload: str) -> None:
+        fs, p = self._fs_path(path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+
+    def unlink(self, name: str) -> None:
+        fs, p = self._fs_path(self.join(name))
+        try:
+            fs.delete(p, False)
+        except Exception:  # noqa: BLE001 — GC best-effort, like local
+            pass
+
+
+def _record_fs(directory: str):
+    scheme = directory.split("://", 1)[0] if "://" in directory else ""
+    return _HadoopRecordFS(directory) if scheme else _LocalRecordFS(directory)
+
+
 class PartitionSketchStore:
     """One JSON record per partition under ``<checkpoint_dir>/sketches/``,
     holding the partition's sketch blobs per column; write-to-temp +
-    atomic rename, resume by listing — the manifest's coordination-free
-    model.  A later ``update`` asking for kinds/columns a stored record
-    lacks recomputes just those partitions."""
+    atomic rename (local) or single-PUT create (Hadoop schemes: hdfs://
+    s3a:// abfss:// gs://), resume by listing — the manifest's
+    coordination-free model.  A later ``update`` asking for
+    kinds/columns a stored record lacks recomputes just those
+    partitions."""
 
     def __init__(
         self,
@@ -142,18 +241,23 @@ class PartitionSketchStore:
                     "increasing values"
                 )
             self.histogram_edges[c] = e
-        self.directory = os.path.join(checkpoint_dir, "sketches")
-        os.makedirs(self.directory, exist_ok=True)
+        if "://" in checkpoint_dir:
+            sketch_dir = checkpoint_dir.rstrip("/") + "/sketches"
+        else:
+            sketch_dir = os.path.join(checkpoint_dir, "sketches")
+        self._fs = _record_fs(sketch_dir)
+        self.directory = self._fs.directory
 
-    def _path(self, partition_id: str) -> str:
+    def _name(self, partition_id: str) -> str:
         # readable sanitized prefix + hash of the RAW id: two partition
         # values differing only in sanitized-away characters ('a b' vs
         # 'a?b') must not clobber each other's records — a collision here
         # silently drops one partition's stats and makes resume ping-pong
         digest = hashlib.sha1(str(partition_id).encode()).hexdigest()[:8]
-        return os.path.join(
-            self.directory, f"{_safe(partition_id)}__{digest}.json"
-        )
+        return f"{_safe(partition_id)}__{digest}.json"
+
+    def _path(self, partition_id: str) -> str:
+        return self._fs.join(self._name(partition_id))
 
     # -- records ---------------------------------------------------------
 
@@ -163,17 +267,16 @@ class PartitionSketchStore:
         are garbage-collected, which is what makes compaction
         crash-safe (see :meth:`compact`)."""
         out: Dict[str, Dict[str, Any]] = {}
-        for name in sorted(os.listdir(self.directory)):
+        for name in self._fs.list_names():
             if not name.endswith(".json"):
                 continue
             try:
-                with open(os.path.join(self.directory, name)) as f:
-                    data = json.load(f)
+                data = json.loads(self._fs.read(self._fs.join(name)))
                 if "partition_id" not in data:
                     continue
                 out[name] = data
-            except (ValueError, KeyError, OSError):
-                continue  # partial/corrupt record: treat as not-stored
+            except Exception:  # noqa: BLE001 — partial/corrupt/raced
+                continue  # record: treat as not-stored
         folded: set = set()
         for data in out.values():
             folded.update(data.get("folded", []))
@@ -192,8 +295,7 @@ class PartitionSketchStore:
 
     def load(self, partition_id: str) -> Dict[str, bytes]:
         """HLL blobs per column for one partition (legacy-shaped API)."""
-        with open(self._path(partition_id)) as f:
-            data = json.load(f)
+        data = json.loads(self._fs.read(self._path(partition_id)))
         if int(data["lg_k"]) != self.lg_k:
             raise ValueError(
                 f"stored sketch for {partition_id!r} has lg_k="
@@ -209,11 +311,10 @@ class PartitionSketchStore:
         payload["partition_id"] = str(partition_id)
         payload["lg_k"] = self.lg_k
         payload["topk_max_items"] = self.topk_max_items
-        path = self._path(str(partition_id))
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(payload, sort_keys=True))
-        os.replace(tmp, path)
+        self._fs.write(
+            self._path(str(partition_id)),
+            json.dumps(payload, sort_keys=True),
+        )
 
     def _covers(
         self,
@@ -653,10 +754,7 @@ class PartitionSketchStore:
         ).hexdigest()[:12]
         self._record(cid, payload)  # commit point
         for name in live:  # garbage collection, safe to crash anywhere
-            try:
-                os.unlink(os.path.join(self.directory, name))
-            except OSError:
-                pass
+            self._fs.unlink(name)
         return len(live)
 
     # -- merge -----------------------------------------------------------

@@ -484,6 +484,30 @@ def test_run_checkpoint_histogram_kind(spark, days, tmp_path):
     assert sum(h["counts"]) + h["below"] + h["above"] == nn.count()
 
 
+def test_hadoop_scheme_store_file_uri(spark, days, tmp_path):
+    """A file:// store exercises the Hadoop FileSystem adapter end to
+    end (list/read/write/delete) — the same code path an s3a:// or
+    hdfs:// checkpoint dir takes, per the tuple-store precedent."""
+    uri = "file://" + str(tmp_path / "ck")
+    store = PartitionSketchStore(uri)
+    assert sorted(store.update(days, "day", ["conv_id"])) == [
+        "None", "d0", "d1",
+    ]
+    assert store.update(days, "day", ["conv_id"]) == []  # resume via FS
+    assert store.merged_distinct(spark, ["conv_id"])["conv_id"] == 16
+    # streaming accumulate + compact run the write/delete paths too
+    b = spark.createDataFrame([("d0", "c_new")], "day string, conv_id string")
+    store.accumulate_batch(b, "day", ["conv_id"], batch_id=0)
+    assert store.compact(spark) == 4
+    assert store.merged_distinct(spark, ["conv_id"])["conv_id"] == 17
+    # and the local path on disk really holds exactly one live record
+    names = [
+        n for n in __import__("os").listdir(str(tmp_path / "ck" / "sketches"))
+        if n.endswith(".json")
+    ]
+    assert len(names) == 1
+
+
 def test_empty_store_returns_zero(spark, tmp_path):
     store = PartitionSketchStore(str(tmp_path))
     assert store.merged_distinct(spark, ["whatever"]) == {"whatever": 0}
