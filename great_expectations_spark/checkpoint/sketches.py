@@ -207,6 +207,25 @@ class _HadoopRecordFS:
             pass
 
 
+def drift_from_vectors(
+    hist_vec: List[int], new_vec: List[int], edges: List[float]
+) -> Dict[str, Any]:
+    """PSI / chi² (+p) / KL between two aligned bin-count vectors —
+    driver math shared by the whole-table and per-partition drift."""
+    from great_expectations_spark.functions import stats as _stats
+
+    chi2 = _stats.chi2_test(new_vec, hist_vec)
+    return {
+        "edges": edges,
+        "history_counts": list(hist_vec),
+        "new_counts": list(new_vec),
+        "psi": _stats.psi(hist_vec, new_vec),
+        "kl": _stats.kl_divergence(new_vec, hist_vec),
+        "chi2": chi2["statistic"],
+        "chi2_p": chi2["p_value"],
+    }
+
+
 def _record_fs(directory: str):
     scheme = directory.split("://", 1)[0] if "://" in directory else ""
     return _HadoopRecordFS(directory) if scheme else _LocalRecordFS(directory)
@@ -912,6 +931,42 @@ class PartitionSketchStore:
             out[c] = vals
         return out
 
+    def _bin_aggs(self, column: str, edges: List[float]) -> List[Any]:
+        """below/bin.../above conditional-sum aggregates for ``column``
+        (closed last bin — the store's histogram convention)."""
+        x = F.col(column).cast("double")
+        aggs = [F.sum(F.when(x < edges[0], 1).otherwise(0)).alias("__b")]
+        for i in range(len(edges) - 1):
+            hi_ok = (
+                x <= edges[i + 1]
+                if i == len(edges) - 2
+                else x < edges[i + 1]
+            )
+            aggs.append(
+                F.sum(
+                    F.when((x >= edges[i]) & hi_ok, 1).otherwise(0)
+                ).alias(f"__c{i}")
+            )
+        aggs.append(F.sum(F.when(x > edges[-1], 1).otherwise(0)).alias("__a"))
+        return aggs
+
+    @staticmethod
+    def _row_vec(r: Any, n_bins: int) -> List[int]:
+        return (
+            [int(r["__b"] or 0)]
+            + [int(r[f"__c{i}"] or 0) for i in range(n_bins)]
+            + [int(r["__a"] or 0)]
+        )
+
+    def _history_hist_and_edges(self, column: str):
+        hist = self.merged_histogram([column])[column]
+        if hist is None:
+            raise ValueError(
+                f"no stored histogram for {column!r} — update the store "
+                "with kinds=('histogram',) first"
+            )
+        return hist, self.histogram_edges.get(column) or hist["edges"]
+
     def drift_vs_history(
         self, df_new: DataFrame, column: str
     ) -> Dict[str, Any]:
@@ -923,47 +978,31 @@ class PartitionSketchStore:
         two count vectors.  The operational loop at 10^12 rows: sketch
         each partition as it validates, then answer "is today's data
         shaped like history?" for the cost of scanning today only."""
-        from great_expectations_spark.functions import stats as _stats
-
-        hist = self.merged_histogram([column])[column]
-        if hist is None:
-            raise ValueError(
-                f"no stored histogram for {column!r} — update the store "
-                "with kinds=('histogram',) first"
-            )
-        # the store's configured edges if set, else the (consistency-
-        # checked) edges the stored records agree on
-        edges = self.histogram_edges.get(column) or hist["edges"]
-        x = F.col(column).cast("double")
-        aggs = [F.sum(F.when(x < edges[0], 1).otherwise(0)).alias("b")]
-        for i in range(len(edges) - 1):
-            hi_ok = (
-                x <= edges[i + 1]
-                if i == len(edges) - 2
-                else x < edges[i + 1]
-            )
-            aggs.append(
-                F.sum(
-                    F.when((x >= edges[i]) & hi_ok, 1).otherwise(0)
-                ).alias(f"c{i}")
-            )
-        aggs.append(F.sum(F.when(x > edges[-1], 1).otherwise(0)).alias("a"))
-        r = df_new.agg(*aggs).first()
-        new_vec = (
-            [int(r["b"] or 0)]
-            + [int(r[f"c{i}"] or 0) for i in range(len(edges) - 1)]
-            + [int(r["a"] or 0)]
-        )
+        hist, edges = self._history_hist_and_edges(column)
+        r = df_new.agg(*self._bin_aggs(column, edges)).first()
+        new_vec = self._row_vec(r, len(edges) - 1)
         hist_vec = [hist["below"]] + hist["counts"] + [hist["above"]]
-        chi2 = _stats.chi2_test(new_vec, hist_vec)
+        return drift_from_vectors(hist_vec, new_vec, edges)
+
+    def drift_vs_history_by_group(
+        self, df_new: DataFrame, partition_column: str, column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        """Per-partition drift vs the merged history in ONE grouped job
+        (bin every partition simultaneously; PSI/chi²/KL is driver math
+        per partition) — job count independent of partition count, the
+        ``validate_by_partition`` shape."""
+        hist, edges = self._history_hist_and_edges(column)
+        hist_vec = [hist["below"]] + hist["counts"] + [hist["above"]]
+        rows = (
+            df_new.groupBy(partition_column)
+            .agg(*self._bin_aggs(column, edges))
+            .collect()
+        )
         return {
-            "edges": edges,
-            "history_counts": hist_vec,
-            "new_counts": new_vec,
-            "psi": _stats.psi(hist_vec, new_vec),
-            "kl": _stats.kl_divergence(new_vec, hist_vec),
-            "chi2": chi2["statistic"],
-            "chi2_p": chi2["p_value"],
+            r[partition_column]: drift_from_vectors(
+                hist_vec, self._row_vec(r, len(edges) - 1), edges
+            )
+            for r in rows
         }
 
     def merged_topk(

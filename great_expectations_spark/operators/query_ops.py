@@ -944,16 +944,17 @@ def _match_sketched_history(kwargs: Dict[str, Any]) -> CompiledJob:
             "max_psi and/or min_chi2_p"
         )
 
-    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+    def _store():
         from great_expectations_spark.checkpoint.sketches import (
             PartitionSketchStore,
         )
 
-        store = PartitionSketchStore(
+        return PartitionSketchStore(
             store_dir,
             histogram_edges={column: edges} if edges else None,
         )
-        out = store.drift_vs_history(_apply_domain(df, domain), column)
+
+    def _judge(out: Dict[str, Any]) -> Dict[str, Any]:
         success = True
         if max_psi is not None and out["psi"] > float(max_psi):
             success = False
@@ -964,18 +965,31 @@ def _match_sketched_history(kwargs: Dict[str, Any]) -> CompiledJob:
             "result": {
                 "observed_value": out["psi"],
                 "details": {
-                    "psi": out["psi"],
-                    "kl": out["kl"],
-                    "chi2": out["chi2"],
-                    "chi2_p": out["chi2_p"],
-                    "edges": out["edges"],
-                    "history_counts": out["history_counts"],
-                    "new_counts": out["new_counts"],
+                    k: out[k]
+                    for k in (
+                        "psi", "kl", "chi2", "chi2_p", "edges",
+                        "history_counts", "new_counts",
+                    )
                 },
             },
         }
 
-    return CompiledJob(run=run)
+    def run(df: DataFrame, spark, domain) -> Dict[str, Any]:
+        return _judge(
+            _store().drift_vs_history(_apply_domain(df, domain), column)
+        )
+
+    def grouped(
+        df: DataFrame, spark, domain, partition_column: str
+    ) -> Dict[Any, Dict[str, Any]]:
+        """Every partition's drift vs the shared history in ONE grouped
+        binning job (validate_by_partition's O(1)-jobs contract)."""
+        per_part = _store().drift_vs_history_by_group(
+            _apply_domain(df, domain), partition_column, column
+        )
+        return {part: _judge(out) for part, out in per_part.items()}
+
+    return CompiledJob(run=run, grouped=grouped)
 
 
 @register_query_job("expect_corpus_substring_duplication_to_be_less_than")

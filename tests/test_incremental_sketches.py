@@ -467,6 +467,51 @@ def test_history_drift_expectation_in_suite(spark, tmp_path):
     assert sum(ok.result["details"]["new_counts"]) == 100
 
 
+def test_grouped_drift_expectation_per_partition(spark, tmp_path):
+    """validate_by_partition evaluates the drift gate for every
+    partition in one grouped binning job, matching per-partition
+    whole-frame runs exactly."""
+    from great_expectations_spark.checkpoint.runner import (
+        validate_by_partition,
+    )
+    from great_expectations_spark.core.suite import ExpectationSuite
+
+    edges = [0.0, 1.0, 2.0, 3.0, 4.0]
+    store_dir = str(tmp_path / "ck")
+    hist = spark.createDataFrame(
+        [("p0", float(i % 4) + 0.5) for i in range(400)],
+        "part string, x double",
+    )
+    PartitionSketchStore(
+        store_dir, histogram_edges={"x": edges}
+    ).update(hist, "part", ["x"], kinds=("histogram",))
+    new = spark.createDataFrame(
+        [("same", float(i % 4) + 0.5) for i in range(100)]
+        + [("shifted", 3.5)] * 100,
+        "part string, x double",
+    )
+    suite = ExpectationSuite("drift").add(
+        "expect_column_distribution_to_match_sketched_history",
+        column="x", store_dir=store_dir, max_psi=0.1,
+    )
+    out = validate_by_partition(new, suite, "part")
+    assert out["same"].results[0].success
+    assert not out["shifted"].results[0].success
+    # grouped numbers equal the per-partition whole-frame run
+    from great_expectations_spark.plans.planner import SuiteValidator
+
+    solo = SuiteValidator().validate(
+        new.filter(F.col("part") == "shifted"), suite
+    ).results[0]
+    assert (
+        out["shifted"].results[0].result["details"]["new_counts"]
+        == solo.result["details"]["new_counts"]
+    )
+    assert out["shifted"].results[0].result["observed_value"] == (
+        solo.result["observed_value"]
+    )
+
+
 def test_run_checkpoint_histogram_kind(spark, days, tmp_path):
     from great_expectations_spark.checkpoint.runner import run_checkpoint
     from great_expectations_spark.core.suite import ExpectationSuite
