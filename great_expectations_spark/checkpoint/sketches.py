@@ -1005,6 +1005,28 @@ class PartitionSketchStore:
             for r in rows
         }
 
+    def suggest_histogram_edges(
+        self, column: str, bins: int = 20
+    ) -> List[float]:
+        """Equi-width edges over the column's stored [min, max] — the
+        bootstrap for the drift workflow: run 1 stores moments, edges
+        derive from them, histograms accumulate from run 2 on.  Pure
+        driver math over the merged moments (no scan)."""
+        if bins < 1:
+            raise ValueError(f"bins must be >= 1, got {bins}")
+        m = self.merged_moments([column])[column]
+        if not m["count"] or m["min"] is None:
+            raise ValueError(
+                f"no stored moments for {column!r} — update the store "
+                "with kinds=('moments',) first"
+            )
+        lo, hi = float(m["min"]), float(m["max"])
+        if lo == hi:
+            # a constant column still gets a valid 1-bin histogram
+            hi = lo + max(abs(lo), 1.0) * 1e-9
+        step = (hi - lo) / bins
+        return [lo + i * step for i in range(bins)] + [hi]
+
     def merged_topk(
         self, spark: SparkSession, columns: Sequence[str], k: int = 10
     ) -> Dict[str, List[Tuple[Any, int]]]:

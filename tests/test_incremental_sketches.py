@@ -467,6 +467,28 @@ def test_history_drift_expectation_in_suite(spark, tmp_path):
     assert sum(ok.result["details"]["new_counts"]) == 100
 
 
+def test_suggest_histogram_edges_from_moments(spark, days, tmp_path):
+    store = PartitionSketchStore(str(tmp_path))
+    store.update(days, "day", ["n"], kinds=("moments",))
+    edges = store.suggest_histogram_edges("n", bins=4)
+    lo = min(r["n"] for r in days.select("n").collect())
+    hi = max(r["n"] for r in days.select("n").collect())
+    assert edges[0] == float(lo) and edges[-1] == float(hi)
+    assert len(edges) == 5
+    assert all(b > a for a, b in zip(edges, edges[1:]))
+    # bootstrap loop: derived edges feed a second store's histogram kind
+    store2 = PartitionSketchStore(
+        str(tmp_path / "h"), histogram_edges={"n": edges}
+    )
+    store2.update(days, "day", ["n"], kinds=("histogram",))
+    h = store2.merged_histogram(["n"])["n"]
+    assert h["below"] == 0 and h["above"] == 0  # full range covered
+    with pytest.raises(ValueError, match="no stored moments"):
+        PartitionSketchStore(str(tmp_path / "e")).suggest_histogram_edges(
+            "n"
+        )
+
+
 def test_grouped_drift_expectation_per_partition(spark, tmp_path):
     """validate_by_partition evaluates the drift gate for every
     partition in one grouped binning job, matching per-partition
