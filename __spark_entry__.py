@@ -1586,7 +1586,27 @@ def _value_freq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("string").alias("value"),
         F.lit(-1).cast("long").alias("cnt"),
     )
-    return vc.unionAll(mc).orderBy("expectation", "value")
+    # approximate (approx_top_k sketch) mode: exact at this cardinality
+    # (5 priorities << max_items_tracked), so it shares the SQL replica
+    suite = ExpectationSuite("q").add(
+        "expect_column_most_common_value_to_be_in_set",
+        column="o_orderpriority",
+        value_set=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                   "5-LOW"],
+        approximate=True,
+    )
+    res = SuiteValidator().validate(
+        _load(spark, sf_dir, "orders"), suite, result_format="BASIC"
+    )
+    mca = spark.createDataFrame(
+        [(m,) for m in res.results[0].result["observed_value"]],
+        "value string",
+    ).select(
+        F.lit("most_common_priority_sketch").alias("expectation"),
+        F.col("value"),
+        F.lit(-1).cast("long").alias("cnt"),
+    )
+    return vc.unionAll(mc).unionAll(mca).orderBy("expectation", "value")
 
 
 def _query_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2102,6 +2122,13 @@ def oracle_sql() -> dict[str, str]:
             "l_returnflag AS value, count(*)::BIGINT AS cnt FROM lineitem "
             "WHERE l_returnflag IS NOT NULL GROUP BY 2 UNION ALL "
             "SELECT 'most_common_priority', o_orderpriority, (-1)::BIGINT "
+            "FROM orders GROUP BY 2 HAVING count(*) = (SELECT max(c) FROM "
+            "(SELECT count(*) AS c FROM orders GROUP BY o_orderpriority)) "
+            "UNION ALL "
+            # approx_top_k path is exact at 5 distinct values, so the
+            # sketch row shares the exact argmax replica
+            "SELECT 'most_common_priority_sketch', o_orderpriority, "
+            "(-1)::BIGINT "
             "FROM orders GROUP BY 2 HAVING count(*) = (SELECT max(c) FROM "
             "(SELECT count(*) AS c FROM orders GROUP BY o_orderpriority))"
             ") ORDER BY expectation, value"
