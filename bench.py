@@ -529,8 +529,8 @@ def main() -> None:
         try:
             store = PartitionSketchStore(d, lg_k=12, topk_max_items=10_000)
             store.update(
-                transcripts, "day", ["turn_idx"],
-                kinds=("hll", "moments", "topk"),
+                transcripts, "day",
+                {"turn_idx": ("hll", "moments", "topk")},
             )
             store.merged_distinct(spark, ["turn_idx"])
             store.merged_moments(["turn_idx"])

@@ -207,6 +207,25 @@ class _HadoopRecordFS:
             pass
 
 
+def _normalize_plan(
+    columns: Any, kinds: Sequence[str]
+) -> Dict[str, tuple]:
+    """``columns`` list + shared ``kinds``, or ``{column: kinds}``
+    mapping -> validated ``{column: (kinds...)}`` plan."""
+    from collections.abc import Mapping as _Mapping
+
+    if isinstance(columns, _Mapping):
+        plan = {str(c): tuple(ks) for c, ks in columns.items()}
+    else:
+        plan = {str(c): tuple(kinds) for c in columns}
+    bad = sorted({k for ks in plan.values() for k in ks if k not in KINDS})
+    if bad:
+        raise ValueError(f"unknown sketch kinds {bad}; pick from {KINDS}")
+    if not plan:
+        raise ValueError("empty column plan")
+    return plan
+
+
 def drift_from_vectors(
     hist_vec: List[int], new_vec: List[int], edges: List[float]
 ) -> Dict[str, Any]:
@@ -338,20 +357,20 @@ class PartitionSketchStore:
     def _covers(
         self,
         record: Dict[str, Any],
-        columns: Sequence[str],
-        kinds: Sequence[str],
+        plan: Dict[str, tuple],
     ) -> bool:
-        """Does a stored record already answer (columns × kinds)?  An
-        empty-partition record covers everything (there was no data when
-        it was sketched; partitions are immutable in this model, like
-        the manifest's).  A top-k state built with a different
-        ``max_items`` does NOT cover — treating it as covered would let
-        every partition validate and then fail in ``merged_topk``."""
+        """Does a stored record already answer the (column -> kinds)
+        plan?  An empty-partition record covers everything (there was no
+        data when it was sketched; partitions are immutable in this
+        model, like the manifest's).  A top-k state built with a
+        different ``max_items`` does NOT cover — treating it as covered
+        would let every partition validate and then fail in
+        ``merged_topk``."""
         if record.get("empty"):
             return True
-        for kind in kinds:
-            bag = record.get(kind, {})
-            for c in columns:
+        for c, kinds in plan.items():
+            for kind in kinds:
+                bag = record.get(kind, {})
                 if c not in bag:
                     return False
                 if (
@@ -371,18 +390,20 @@ class PartitionSketchStore:
     # -- compute ---------------------------------------------------------
 
     def _build_aggs(
-        self, df: DataFrame, columns: Sequence[str], kinds: Sequence[str]
+        self, df: DataFrame, plan: Dict[str, tuple]
     ) -> List[Any]:
+        def cols_of(kind: str) -> List[str]:
+            return [c for c, ks in plan.items() if kind in ks]
+
         aggs: List[Any] = []
-        if "hll" in kinds:
-            aggs += [
-                F.hll_sketch_agg(_sketch_input(df, c), self.lg_k).alias(
-                    f"__hll_{c}"
-                )
-                for c in columns
-            ]
-        if "moments" in kinds:
-            for c in columns:
+        aggs += [
+            F.hll_sketch_agg(_sketch_input(df, c), self.lg_k).alias(
+                f"__hll_{c}"
+            )
+            for c in cols_of("hll")
+        ]
+        if True:
+            for c in cols_of("moments"):
                 _check_numeric(df, c)
                 x = F.col(c).cast("double")
                 aggs += [
@@ -393,16 +414,15 @@ class PartitionSketchStore:
                     F.max(x).alias(f"__max_{c}"),
                     F.sum(x).alias(f"__sum_{c}"),
                 ]
-        if "topk" in kinds:
-            aggs += [
-                F.expr(
-                    f"approx_top_k_accumulate({_quote(c)}, "
-                    f"{self.topk_max_items})"
-                ).alias(f"__tk_{c}")
-                for c in columns
-            ]
-        if "histogram" in kinds:
-            for c in columns:
+        aggs += [
+            F.expr(
+                f"approx_top_k_accumulate({_quote(c)}, "
+                f"{self.topk_max_items})"
+            ).alias(f"__tk_{c}")
+            for c in cols_of("topk")
+        ]
+        if True:
+            for c in cols_of("histogram"):
                 _check_numeric(df, c)
                 edges = self.histogram_edges.get(c)
                 if not edges:
@@ -434,32 +454,33 @@ class PartitionSketchStore:
 
     @staticmethod
     def _topk_ddls(
-        agg_df: DataFrame, columns: Sequence[str], kinds: Sequence[str]
+        agg_df: DataFrame, plan: Dict[str, tuple]
     ) -> Dict[str, str]:
-        if "topk" not in kinds:
-            return {}
         return {
             c: agg_df.schema[f"__tk_{c}"].dataType.simpleString()
-            for c in columns
+            for c, ks in plan.items()
+            if "topk" in ks
         }
 
     def _merge_row_into_payload(
         self,
         payload: Dict[str, Any],
         r: Any,
-        columns: Sequence[str],
-        kinds: Sequence[str],
+        plan: Dict[str, tuple],
         topk_ddl: Dict[str, str],
     ) -> None:
-        if "hll" in kinds:
+        def cols_of(kind: str) -> List[str]:
+            return [c for c, ks in plan.items() if kind in ks]
+
+        if cols_of("hll"):
             payload.setdefault("hll", {}).update(
                 {
                     c: base64.b64encode(bytes(r[f"__hll_{c}"])).decode()
-                    for c in columns
+                    for c in cols_of("hll")
                     if r[f"__hll_{c}"] is not None
                 }
             )
-        if "moments" in kinds:
+        if cols_of("moments"):
             payload.setdefault("moments", {}).update(
                 {
                     c: {
@@ -478,10 +499,10 @@ class PartitionSketchStore:
                         ),
                         "sum": float(r[f"__sum_{c}"] or 0.0),
                     }
-                    for c in columns
+                    for c in cols_of("moments")
                 }
             )
-        if "topk" in kinds:
+        if cols_of("topk"):
             payload.setdefault("topk", {}).update(
                 {
                     c: {
@@ -492,11 +513,11 @@ class PartitionSketchStore:
                         "item_ddl": r[f"__tk_{c}"]["itemDataTypeDDL"],
                         "state_ddl": topk_ddl[c],
                     }
-                    for c in columns
+                    for c in cols_of("topk")
                     if r[f"__tk_{c}"] is not None
                 }
             )
-        if "histogram" in kinds:
+        if cols_of("histogram"):
             payload.setdefault("histogram", {}).update(
                 {
                     c: {
@@ -510,7 +531,7 @@ class PartitionSketchStore:
                         ],
                         "above": int(r[f"__ha_{c}"] or 0),
                     }
-                    for c in columns
+                    for c in cols_of("histogram")
                 }
             )
 
@@ -529,6 +550,12 @@ class PartitionSketchStore:
         ids computed this call (empty on a fully-resumed run — zero
         Spark jobs touch the data then).
 
+        ``columns`` is either a list (every column gets ``kinds``) or a
+        mapping ``{column: kinds}`` for per-column kinds — the mapping
+        form computes a heterogeneous sketch set in the SAME single
+        grouped job instead of one job per kind-group (the fixed
+        plan+collect cost per job is what dominates short walls).
+
         ``fingerprints`` (from :func:`runner.partition_fingerprints`)
         opts into change detection: a stored record whose fingerprint no
         longer matches is recomputed from scratch — its OTHER kinds are
@@ -537,9 +564,7 @@ class PartitionSketchStore:
             _collect_partition_values,
         )
 
-        bad = [k for k in kinds if k not in KINDS]
-        if bad:
-            raise ValueError(f"unknown sketch kinds {bad}; pick from {KINDS}")
+        plan = _normalize_plan(columns, kinds)
         parts = (
             list(partitions)
             if partitions is not None
@@ -559,7 +584,7 @@ class PartitionSketchStore:
             for p in parts
             if str(p) not in records
             or _stale(str(p))
-            or not self._covers(records[str(p)], columns, kinds)
+            or not self._covers(records[str(p)], plan)
         ]
         if not todo:
             return []
@@ -567,9 +592,9 @@ class PartitionSketchStore:
         agg_df = (
             df.filter(_null_safe_isin(F.col(partition_column), todo))
             .groupBy(partition_column)
-            .agg(*self._build_aggs(df, columns, kinds))
+            .agg(*self._build_aggs(df, plan))
         )
-        topk_ddl = self._topk_ddls(agg_df, columns, kinds)
+        topk_ddl = self._topk_ddls(agg_df, plan)
         seen = set()
         for r in agg_df.collect():
             pid = str(r[partition_column])
@@ -581,7 +606,7 @@ class PartitionSketchStore:
             payload.pop("empty", None)
             if fingerprints is not None and pid in fingerprints:
                 payload["fingerprint"] = fingerprints[pid]
-            self._merge_row_into_payload(payload, r, columns, kinds, topk_ddl)
+            self._merge_row_into_payload(payload, r, plan, topk_ddl)
             self._record(pid, payload)
             seen.add(pid)
         # a partition whose rows are all filtered away still gets an
@@ -614,18 +639,16 @@ class PartitionSketchStore:
         Do NOT mix with fingerprinted batch :meth:`update` calls in the
         same store: batch records re-sketch whole partitions, which
         would double-count the stream's contribution."""
-        bad = [k for k in kinds if k not in KINDS]
-        if bad:
-            raise ValueError(f"unknown sketch kinds {bad}; pick from {KINDS}")
+        plan = _normalize_plan(columns, kinds)
         agg_df = batch_df.groupBy(partition_column).agg(
-            *self._build_aggs(batch_df, columns, kinds)
+            *self._build_aggs(batch_df, plan)
         )
-        topk_ddl = self._topk_ddls(agg_df, columns, kinds)
+        topk_ddl = self._topk_ddls(agg_df, plan)
         written: List[str] = []
         for r in agg_df.collect():
             pid = f"{r[partition_column]}@@b{batch_id}"
             payload: Dict[str, Any] = {}
-            self._merge_row_into_payload(payload, r, columns, kinds, topk_ddl)
+            self._merge_row_into_payload(payload, r, plan, topk_ddl)
             self._record(pid, payload)
             written.append(pid)
         return written

@@ -99,8 +99,12 @@ def main() -> None:
         d = tempfile.mkdtemp(prefix="gx_sketch_scale_")
         try:
             store = PartitionSketchStore(d, lg_k=12, topk_max_items=10_000)
-            store.update(df, "day", ["conv_id"], kinds=("hll", "topk"))
-            store.update(df, "day", ["turn_idx"], kinds=("hll", "moments"))
+            # per-column kinds -> ONE grouped job for the whole plan
+            store.update(
+                df, "day",
+                {"conv_id": ("hll", "topk"),
+                 "turn_idx": ("hll", "moments")},
+            )
             return store.merged_moments(["turn_idx"])["turn_idx"]["count"]
         finally:
             shutil.rmtree(d, ignore_errors=True)

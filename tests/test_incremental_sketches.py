@@ -467,6 +467,32 @@ def test_history_drift_expectation_in_suite(spark, tmp_path):
     assert sum(ok.result["details"]["new_counts"]) == 100
 
 
+def test_per_column_kinds_one_call(spark, days, tmp_path):
+    """The mapping form sketches a heterogeneous plan in one update
+    (moments only where numeric, topk only where wanted) and the
+    answers match the per-kind calls."""
+    store = PartitionSketchStore(str(tmp_path))
+    computed = store.update(
+        days, "day",
+        {"conv_id": ("hll", "topk"), "n": ("hll", "moments")},
+    )
+    assert sorted(computed) == ["None", "d0", "d1"]
+    # resume across the SAME mapped plan: nothing recomputes
+    assert store.update(
+        days, "day",
+        {"conv_id": ("hll", "topk"), "n": ("hll", "moments")},
+    ) == []
+    assert store.merged_distinct(spark, ["conv_id", "n"]) == {
+        "conv_id": 16,
+        "n": days.select("n").distinct().count(),
+    }
+    assert store.merged_topk(spark, ["conv_id"], k=1)["conv_id"][0][1] == 2
+    assert store.merged_moments(["n"])["n"]["count"] == 21
+    # a kind the plan never asked for on that column is absent -> a
+    # later request computes just it
+    assert store.update(days, "day", {"n": ("topk",)}) != []
+
+
 def test_suggest_histogram_edges_from_moments(spark, days, tmp_path):
     store = PartitionSketchStore(str(tmp_path))
     store.update(days, "day", ["n"], kinds=("moments",))
