@@ -314,10 +314,18 @@ def run_checkpoint(
         "entries": [e.to_json_dict() for e in entries],
     }
     if sketch_columns:
+        from collections.abc import Mapping as _Mapping
+
         from great_expectations_spark.checkpoint.sketches import (
             PartitionSketchStore,
         )
 
+        # sketch_columns: list (every column gets sketch_kinds) or a
+        # {column: kinds} mapping for a heterogeneous one-job plan
+        if isinstance(sketch_columns, _Mapping):
+            plan = {c: tuple(ks) for c, ks in sketch_columns.items()}
+        else:
+            plan = {c: tuple(sketch_kinds) for c in sketch_columns}
         store = PartitionSketchStore(
             checkpoint_dir,
             lg_k=sketch_lg_k,
@@ -325,24 +333,29 @@ def run_checkpoint(
             histogram_edges=sketch_histogram_edges,
         )
         summary["sketch_partitions_computed"] = store.update(
-            df, partition_column, sketch_columns, partitions=partitions,
-            kinds=sketch_kinds,
+            df, partition_column, plan, partitions=partitions,
             fingerprints=fingerprints if detect_changes else None,
         )
-        if "hll" in sketch_kinds:
+
+        def _cols(kind: str) -> List[str]:
+            return [c for c, ks in plan.items() if kind in ks]
+
+        if _cols("hll"):
             summary["distinct_estimates"] = store.merged_distinct(
-                df.sparkSession, sketch_columns
+                df.sparkSession, _cols("hll")
             )
-        if "moments" in sketch_kinds:
+        if _cols("moments"):
             summary["stats_estimates"] = store.merged_moments(
-                sketch_columns
+                _cols("moments")
             )
-        if "topk" in sketch_kinds:
+        if _cols("topk"):
             summary["top_values"] = store.merged_topk(
-                df.sparkSession, sketch_columns
+                df.sparkSession, _cols("topk")
             )
-        if "histogram" in sketch_kinds:
-            summary["histograms"] = store.merged_histogram(sketch_columns)
+        if _cols("histogram"):
+            summary["histograms"] = store.merged_histogram(
+                _cols("histogram")
+            )
     return summary
 
 
