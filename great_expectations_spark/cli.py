@@ -338,6 +338,54 @@ def _cmd_compare(args) -> int:
     return 1 if diff["regressed"] else 0
 
 
+def _cmd_examples(args) -> int:
+    """Turns -> masked training examples parquet; prints example_stats
+    JSON (the dataloader contract totals) on stdout."""
+    from great_expectations_spark.functions.examples import (
+        build_training_examples,
+        example_stats,
+    )
+    from great_expectations_spark.functions.tokenize import (
+        bpe_load,
+        bpe_save,
+        train_bpe,
+    )
+
+    spark = _build_spark(args)
+    try:
+        df = _load_df(spark, args)
+        if args.tokenizer:
+            tok = bpe_load(spark, args.tokenizer)
+        else:
+            tok = train_bpe(
+                df.where(f"`{args.text_column}` IS NOT NULL"),
+                args.text_column,
+                vocab_size=args.vocab_size,
+            )
+            if args.save_tokenizer:
+                bpe_save(spark, tok, args.save_tokenizer)
+                print(f"tokenizer: {args.save_tokenizer}", file=sys.stderr)
+        examples = build_training_examples(
+            df,
+            tok,
+            conv_column=args.conv_column,
+            order_column=args.order_column,
+            role_column=args.role_column,
+            text_column=args.text_column,
+            max_len=args.max_len,
+            supervise_roles=tuple(args.supervise.split(",")),
+            drop_unsupervised=not args.keep_unsupervised,
+        )
+        examples.write.mode("overwrite").parquet(args.out)
+        stats = example_stats(spark.read.parquet(args.out)).first()
+        print(json.dumps(stats.asDict(), default=str, sort_keys=True))
+        print(f"examples: {args.out}", file=sys.stderr)
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def _cmd_curate(args) -> int:
     """Resumable checkpointed curation run (curate_by_partition): exit 0
     when every partition is done, 1 when any partition failed (re-run to
@@ -530,6 +578,40 @@ def build_parser() -> argparse.ArgumentParser:
         help="render per-partition attrition HTML under the checkpoint",
     )
     cu.set_defaults(fn=_cmd_curate)
+
+    ex = sub.add_parser(
+        "examples",
+        help="assemble masked training examples from conversation turns "
+             "(deterministic role headers, per-token loss masks, "
+             "fixed-length chunks)",
+    )
+    add_spark_args(ex)
+    add_data_args(ex)
+    ex.add_argument("--out", required=True, help="examples parquet root")
+    ex.add_argument(
+        "--tokenizer", help="trained BPE JSON (bpe_save); omit to train"
+    )
+    ex.add_argument(
+        "--vocab-size", type=int, default=8192,
+        help="when training inline (no --tokenizer)",
+    )
+    ex.add_argument(
+        "--save-tokenizer", help="persist the inline-trained tokenizer"
+    )
+    ex.add_argument("--conv-column", default="conv_id")
+    ex.add_argument("--order-column", default="turn_idx")
+    ex.add_argument("--role-column", default="role")
+    ex.add_argument("--text-column", default="text")
+    ex.add_argument("--max-len", type=int, default=2048)
+    ex.add_argument(
+        "--supervise", default="assistant",
+        help="comma-separated roles whose tokens carry loss",
+    )
+    ex.add_argument(
+        "--keep-unsupervised", action="store_true",
+        help="keep examples whose loss mask is all zeros",
+    )
+    ex.set_defaults(fn=_cmd_examples)
     return parser
 
 

@@ -164,6 +164,39 @@ def test_validate_checkpoint_sketches_and_detect_changes(
     ) == 2
 
 
+def test_examples_verb(spark, tmp_path, capsys):
+    turns = str(tmp_path / "turns.parquet")
+    spark.createDataFrame(
+        [
+            ("c1", 0, "user", "what is the answer"),
+            ("c1", 1, "assistant", "the answer is forty two"),
+            ("c2", 0, "user", "no reply here"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    ).write.mode("overwrite").parquet(turns)
+    out = str(tmp_path / "examples")
+    tok_path = str(tmp_path / "tok.json")
+    rc = _run(
+        ["examples", "--data", turns, "--out", out,
+         "--vocab-size", "300", "--max-len", "32",
+         "--save-tokenizer", tok_path]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_conversations"] == 1  # c2 has no supervised tokens
+    assert 0 < stats["supervised_tokens"] <= stats["total_tokens"]
+    got = spark.read.parquet(out).collect()
+    assert all(len(r["input_ids"]) == len(r["loss_mask"]) for r in got)
+    # round 2: reuse the persisted tokenizer
+    assert _run(
+        ["examples", "--data", turns, "--out", out,
+         "--tokenizer", tok_path, "--max-len", "32",
+         "--keep-unsupervised"]
+    ) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["n_conversations"] == 2
+
+
 def test_profile_assistant_and_rule_config(data_path, tmp_path):
     out = str(tmp_path / "assistant.json")
     assert (
