@@ -33,7 +33,7 @@ import datetime
 import logging
 import uuid
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,7 +148,9 @@ def run_checkpoint(
     run_id: Optional[str] = None,
     actions: Optional[List["CheckpointAction"]] = None,
     parameter_store: Optional[Any] = None,
-    sketch_columns: Optional[List[str]] = None,
+    sketch_columns: Optional[
+        Union[List[str], Dict[str, Sequence[str]]]
+    ] = None,
     sketch_lg_k: int = 12,
     sketch_kinds: Sequence[str] = ("hll",),
     sketch_topk_max_items: int = 10_000,
@@ -167,9 +169,12 @@ def run_checkpoint(
     mergeable sketch per (new partition, column, kind) is persisted
     under the checkpoint dir (``checkpoint/sketches.py``) in ONE extra
     grouped job, and the summary carries the merged answers over ALL
-    stored partitions — old ones never re-scanned.  ``sketch_kinds``
-    picks from ``('hll', 'moments', 'topk')`` → summary keys
-    ``distinct_estimates`` / ``stats_estimates`` / ``top_values``.
+    stored partitions — old ones never re-scanned.  It is a column list
+    (every column gets ``sketch_kinds``) or a ``{column: kinds}``
+    mapping for a heterogeneous plan.  Kinds from ``('hll', 'moments',
+    'topk', 'histogram')`` → summary keys ``distinct_estimates`` /
+    ``stats_estimates`` / ``top_values`` / ``histograms`` (the last
+    needs ``sketch_histogram_edges``).
 
     ``detect_changes=True`` drops the partitions-are-immutable
     assumption: one extra grouped job fingerprints every partition's
@@ -314,18 +319,14 @@ def run_checkpoint(
         "entries": [e.to_json_dict() for e in entries],
     }
     if sketch_columns:
-        from collections.abc import Mapping as _Mapping
-
         from great_expectations_spark.checkpoint.sketches import (
             PartitionSketchStore,
+            _normalize_plan,
         )
 
         # sketch_columns: list (every column gets sketch_kinds) or a
         # {column: kinds} mapping for a heterogeneous one-job plan
-        if isinstance(sketch_columns, _Mapping):
-            plan = {c: tuple(ks) for c, ks in sketch_columns.items()}
-        else:
-            plan = {c: tuple(sketch_kinds) for c in sketch_columns}
+        plan = _normalize_plan(sketch_columns, sketch_kinds)
         store = PartitionSketchStore(
             checkpoint_dir,
             lg_k=sketch_lg_k,

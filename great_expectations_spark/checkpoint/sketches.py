@@ -207,6 +207,30 @@ class _HadoopRecordFS:
             pass
 
 
+def _hist_add(
+    acc: Optional[Dict[str, Any]], h: Dict[str, Any], column: str
+) -> Dict[str, Any]:
+    """Accumulate one stored histogram dict into ``acc`` (exact integer
+    vector addition); the ONE definition shared by merged_histogram and
+    compact so their merge semantics cannot drift."""
+    if acc is None:
+        return {
+            "edges": list(h["edges"]),
+            "counts": list(h["counts"]),
+            "below": int(h["below"]),
+            "above": int(h["above"]),
+        }
+    if h["edges"] != acc["edges"]:
+        raise ValueError(
+            f"stored histograms for {column!r} disagree on edges — "
+            "rebuild the sketch store"
+        )
+    acc["counts"] = [a + b for a, b in zip(acc["counts"], h["counts"])]
+    acc["below"] += int(h["below"])
+    acc["above"] += int(h["above"])
+    return acc
+
+
 def _normalize_plan(
     columns: Any, kinds: Sequence[str]
 ) -> Dict[str, tuple]:
@@ -402,18 +426,17 @@ class PartitionSketchStore:
             )
             for c in cols_of("hll")
         ]
-        if True:
-            for c in cols_of("moments"):
-                _check_numeric(df, c)
-                x = F.col(c).cast("double")
-                aggs += [
-                    F.count(x).alias(f"__n_{c}"),
-                    F.avg(x).alias(f"__mean_{c}"),
-                    (F.var_pop(x) * F.count(x)).alias(f"__m2_{c}"),
-                    F.min(x).alias(f"__min_{c}"),
-                    F.max(x).alias(f"__max_{c}"),
-                    F.sum(x).alias(f"__sum_{c}"),
-                ]
+        for c in cols_of("moments"):
+            _check_numeric(df, c)
+            x = F.col(c).cast("double")
+            aggs += [
+                F.count(x).alias(f"__n_{c}"),
+                F.avg(x).alias(f"__mean_{c}"),
+                (F.var_pop(x) * F.count(x)).alias(f"__m2_{c}"),
+                F.min(x).alias(f"__min_{c}"),
+                F.max(x).alias(f"__max_{c}"),
+                F.sum(x).alias(f"__sum_{c}"),
+            ]
         aggs += [
             F.expr(
                 f"approx_top_k_accumulate({_quote(c)}, "
@@ -421,35 +444,20 @@ class PartitionSketchStore:
             ).alias(f"__tk_{c}")
             for c in cols_of("topk")
         ]
-        if True:
-            for c in cols_of("histogram"):
-                _check_numeric(df, c)
-                edges = self.histogram_edges.get(c)
-                if not edges:
-                    raise ValueError(
-                        f"histogram kind needs histogram_edges[{c!r}] at "
-                        "store construction"
-                    )
-                x = F.col(c).cast("double")
-                one = F.when(x < edges[0], 1).otherwise(0)
-                aggs.append(F.sum(one).alias(f"__hb_{c}"))
-                for i in range(len(edges) - 1):
-                    # closed last bin (repo histogram convention)
-                    hi_ok = (
-                        x <= edges[i + 1]
-                        if i == len(edges) - 2
-                        else x < edges[i + 1]
-                    )
-                    aggs.append(
-                        F.sum(
-                            F.when((x >= edges[i]) & hi_ok, 1).otherwise(0)
-                        ).alias(f"__h_{c}_{i}")
-                    )
-                aggs.append(
-                    F.sum(
-                        F.when(x > edges[-1], 1).otherwise(0)
-                    ).alias(f"__ha_{c}")
+        for c in cols_of("histogram"):
+            _check_numeric(df, c)
+            edges = self.histogram_edges.get(c)
+            if not edges:
+                raise ValueError(
+                    f"histogram kind needs histogram_edges[{c!r}] at "
+                    "store construction"
                 )
+            aggs += self._bin_aggs(
+                c, edges,
+                b_alias=f"__hb_{c}",
+                c_prefix=f"__h_{c}_",
+                a_alias=f"__ha_{c}",
+            )
         return aggs
 
     @staticmethod
@@ -700,25 +708,7 @@ class PartitionSketchStore:
                 if m.get("count"):
                     moments[c] = _merge_moments(moments.get(c), m)
             for c, h in rec.get("histogram", {}).items():
-                acc = hists.get(c)
-                if acc is None:
-                    hists[c] = {
-                        "edges": list(h["edges"]),
-                        "counts": list(h["counts"]),
-                        "below": int(h["below"]),
-                        "above": int(h["above"]),
-                    }
-                elif h["edges"] != acc["edges"]:
-                    raise ValueError(
-                        f"histograms for {c!r} disagree on edges — "
-                        "cannot compact"
-                    )
-                else:
-                    acc["counts"] = [
-                        a + b for a, b in zip(acc["counts"], h["counts"])
-                    ]
-                    acc["below"] += int(h["below"])
-                    acc["above"] += int(h["above"])
+                hists[c] = _hist_add(hists.get(c), h, c)
             for c, st in rec.get("topk", {}).items():
                 meta = topk_meta.setdefault(
                     c,
@@ -893,25 +883,7 @@ class PartitionSketchStore:
                         "than this store — rebuild or match "
                         "histogram_edges"
                     )
-                acc = out[c]
-                if acc is None:
-                    out[c] = {
-                        "edges": list(h["edges"]),
-                        "counts": list(h["counts"]),
-                        "below": int(h["below"]),
-                        "above": int(h["above"]),
-                    }
-                else:
-                    if h["edges"] != acc["edges"]:
-                        raise ValueError(
-                            f"stored histograms for {c!r} disagree on "
-                            "edges — rebuild the sketch store"
-                        )
-                    acc["counts"] = [
-                        a + b for a, b in zip(acc["counts"], h["counts"])
-                    ]
-                    acc["below"] += int(h["below"])
-                    acc["above"] += int(h["above"])
+                out[c] = _hist_add(out[c], h, c)
         return out
 
     def merged_quantiles(
@@ -954,11 +926,21 @@ class PartitionSketchStore:
             out[c] = vals
         return out
 
-    def _bin_aggs(self, column: str, edges: List[float]) -> List[Any]:
+    def _bin_aggs(
+        self,
+        column: str,
+        edges: List[float],
+        b_alias: str = "__b",
+        c_prefix: str = "__c",
+        a_alias: str = "__a",
+    ) -> List[Any]:
         """below/bin.../above conditional-sum aggregates for ``column``
-        (closed last bin — the store's histogram convention)."""
+        (closed last bin — the store's histogram convention).  The ONE
+        definition of the bin conditions: the histogram kind and the
+        drift binning both call this, so the convention cannot drift
+        between stored counts and comparisons."""
         x = F.col(column).cast("double")
-        aggs = [F.sum(F.when(x < edges[0], 1).otherwise(0)).alias("__b")]
+        aggs = [F.sum(F.when(x < edges[0], 1).otherwise(0)).alias(b_alias)]
         for i in range(len(edges) - 1):
             hi_ok = (
                 x <= edges[i + 1]
@@ -968,9 +950,11 @@ class PartitionSketchStore:
             aggs.append(
                 F.sum(
                     F.when((x >= edges[i]) & hi_ok, 1).otherwise(0)
-                ).alias(f"__c{i}")
+                ).alias(f"{c_prefix}{i}")
             )
-        aggs.append(F.sum(F.when(x > edges[-1], 1).otherwise(0)).alias("__a"))
+        aggs.append(
+            F.sum(F.when(x > edges[-1], 1).otherwise(0)).alias(a_alias)
+        )
         return aggs
 
     @staticmethod
@@ -1004,6 +988,15 @@ class PartitionSketchStore:
         hist, edges = self._history_hist_and_edges(column)
         r = df_new.agg(*self._bin_aggs(column, edges)).first()
         new_vec = self._row_vec(r, len(edges) - 1)
+        if sum(new_vec) == 0:
+            # an empty/all-null batch has NO distribution: chi² would
+            # degenerate to p=1.0 (always passes) and PSI would compare
+            # history to a fabricated epsilon-uniform — either verdict
+            # masks a pipeline outage.  Fail loudly instead.
+            raise ValueError(
+                f"new batch has no non-null {column!r} rows — a drift "
+                "verdict on an empty distribution would be meaningless"
+            )
         hist_vec = [hist["below"]] + hist["counts"] + [hist["above"]]
         return drift_from_vectors(hist_vec, new_vec, edges)
 
@@ -1021,12 +1014,18 @@ class PartitionSketchStore:
             .agg(*self._bin_aggs(column, edges))
             .collect()
         )
-        return {
-            r[partition_column]: drift_from_vectors(
-                hist_vec, self._row_vec(r, len(edges) - 1), edges
+        out: Dict[Any, Dict[str, Any]] = {}
+        for r in rows:
+            vec = self._row_vec(r, len(edges) - 1)
+            if sum(vec) == 0:
+                # all-null partition: no distribution to judge — leave it
+                # out so the caller's per-partition fallback raises for
+                # just that partition (same contract as drift_vs_history)
+                continue
+            out[r[partition_column]] = drift_from_vectors(
+                hist_vec, vec, edges
             )
-            for r in rows
-        }
+        return out
 
     def suggest_histogram_edges(
         self, column: str, bins: int = 20
@@ -1048,7 +1047,18 @@ class PartitionSketchStore:
             # a constant column still gets a valid 1-bin histogram
             hi = lo + max(abs(lo), 1.0) * 1e-9
         step = (hi - lo) / bins
-        return [lo + i * step for i in range(bins)] + [hi]
+        raw = [lo + i * step for i in range(bins)] + [hi]
+        # strict monotonicity under float rounding: a tiny range at a
+        # large magnitude can collapse adjacent edges (step < ulp(lo)),
+        # and the store's edge validation rightly rejects duplicates —
+        # drop collapsed edges; [lo, hi] 1-bin is the worst-case result
+        edges = [raw[0]]
+        for v in raw[1:]:
+            if v > edges[-1]:
+                edges.append(v)
+        if len(edges) < 2:
+            edges = [lo, lo + max(abs(lo), 1.0) * 1e-9]
+        return edges
 
     def merged_topk(
         self, spark: SparkSession, columns: Sequence[str], k: int = 10

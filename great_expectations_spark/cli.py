@@ -373,7 +373,9 @@ def _cmd_examples(args) -> int:
             role_column=args.role_column,
             text_column=args.text_column,
             max_len=args.max_len,
-            supervise_roles=tuple(args.supervise.split(",")),
+            supervise_roles=tuple(
+                r.strip() for r in args.supervise.split(",") if r.strip()
+            ),
             drop_unsupervised=not args.keep_unsupervised,
         )
         examples.write.mode("overwrite").parquet(args.out)

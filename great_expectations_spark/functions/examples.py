@@ -49,9 +49,11 @@ def render_turn(
     body = F.coalesce(F.col(text_column), F.lit(""))
     if not header:
         return body
-    return F.concat(
-        F.lit("<|"), F.col(role_column), F.lit("|>\n"), body
-    )
+    # coalesce the role too: concat null-propagates, so a NULL role
+    # would silently null the WHOLE rendered turn and drop its text
+    # from the token stream
+    role = F.coalesce(F.col(role_column), F.lit(""))
+    return F.concat(F.lit("<|"), role, F.lit("|>\n"), body)
 
 
 def build_training_examples(

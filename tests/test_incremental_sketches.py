@@ -560,6 +560,48 @@ def test_grouped_drift_expectation_per_partition(spark, tmp_path):
     )
 
 
+def test_drift_empty_batch_fails_loudly(spark, tmp_path):
+    """An empty/all-null new batch must not get a drift verdict: chi²
+    degenerates to p=1.0 (always passes) and would mask an outage."""
+    edges = {"x": [0.0, 1.0, 2.0]}
+    store = PartitionSketchStore(str(tmp_path), histogram_edges=edges)
+    hist = spark.createDataFrame(
+        [("p", 0.5), ("p", 1.5)], "part string, x double"
+    )
+    store.update(hist, "part", ["x"], kinds=("histogram",))
+    empty = spark.createDataFrame([], "part string, x double")
+    nulls = spark.createDataFrame(
+        [("n", None)], "part string, x double"
+    )
+    for bad in (empty, nulls):
+        with pytest.raises(ValueError, match="no non-null"):
+            store.drift_vs_history(bad, "x")
+    # grouped: the all-null partition drops from the mapping (fallback
+    # confines the error), healthy partitions still judged
+    mixed = nulls.unionByName(
+        spark.createDataFrame([("ok", 0.5)], "part string, x double")
+    )
+    per = store.drift_vs_history_by_group(mixed, "part", "x")
+    assert set(per) == {"ok"}
+
+
+def test_suggest_edges_collapsed_range(spark, tmp_path):
+    """A tiny range at large magnitude (step below ulp) must still
+    yield strictly increasing edges the store accepts."""
+    df = spark.createDataFrame(
+        [("p", 1e9), ("p", 1e9 + 1e-6)], "part string, x double"
+    )
+    store = PartitionSketchStore(str(tmp_path))
+    store.update(df, "part", ["x"], kinds=("moments",))
+    edges = store.suggest_histogram_edges("x", bins=20)
+    assert len(edges) >= 2
+    assert all(b > a for a, b in zip(edges, edges[1:]))
+    # the store's validation accepts them (the bootstrap loop works)
+    PartitionSketchStore(
+        str(tmp_path / "h"), histogram_edges={"x": edges}
+    )
+
+
 def test_run_checkpoint_histogram_kind(spark, days, tmp_path):
     from great_expectations_spark.checkpoint.runner import run_checkpoint
     from great_expectations_spark.core.suite import ExpectationSuite

@@ -134,11 +134,15 @@ def test_short_tail_not_padded(spark, convs, tok):
 
 def test_render_turn_header_shape(spark):
     df = spark.createDataFrame(
-        [("user", "hi"), ("assistant", None)], "role string, text string"
+        [("user", "hi"), ("assistant", None), (None, "orphan text")],
+        "role string, text string",
     )
     rows = df.select(render_turn().alias("t")).collect()
     assert rows[0]["t"] == "<|user|>\nhi"
     assert rows[1]["t"] == "<|assistant|>\n"
+    # a NULL role must not null-propagate through concat and silently
+    # drop the turn's text from the token stream
+    assert rows[2]["t"] == "<||>\norphan text"
 
 
 def test_plan_one_shuffle_no_extra_python(spark, convs, tok):
