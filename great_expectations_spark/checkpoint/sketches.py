@@ -681,6 +681,54 @@ class PartitionSketchStore:
 
         return process
 
+    def foreach_batch_drift_monitor(
+        self,
+        column: str,
+        on_result,
+        accumulate: bool = True,
+        partition_column: Optional[str] = None,
+        columns: Optional[Sequence[Any]] = None,
+        kinds: Sequence[str] = ("histogram",),
+    ):
+        """``writeStream.foreachBatch(...)`` hook: judge every
+        micro-batch's distribution against the ACCUMULATED history
+        (:meth:`drift_vs_history`), hand the metrics dict (plus
+        ``batch_id``) to ``on_result``, then — with ``accumulate`` —
+        fold the batch into the store so the baseline keeps growing.
+        Judging happens BEFORE accumulation, so a batch is never
+        compared against itself.  An empty batch is skipped (no
+        distribution to judge, nothing to accumulate).  ``on_result``
+        errors propagate (they are the alerting path — swallowing them
+        would un-alert the alert).  Without ``partition_column`` the
+        batch accumulates as one record under a constant pseudo-
+        partition (grouping by the monitored column itself would mint a
+        record per distinct value)."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            try:
+                out = self.drift_vs_history(batch_df, column)
+            except ValueError:
+                # empty/all-null batch, or no history yet (first batch)
+                out = None
+            if out is not None:
+                out["batch_id"] = batch_id
+                on_result(out)
+            if accumulate:
+                if partition_column is None:
+                    acc_df = batch_df.withColumn("__mon", F.lit("stream"))
+                    part_col = "__mon"
+                else:
+                    acc_df, part_col = batch_df, partition_column
+                self.accumulate_batch(
+                    acc_df,
+                    part_col,
+                    columns or [column],
+                    batch_id,
+                    kinds=kinds,
+                )
+
+        return process
+
     def compact(self, spark: SparkSession) -> int:
         """Fold every live record into ONE compacted record; returns how
         many records were folded (0 = nothing to do).

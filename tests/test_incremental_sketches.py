@@ -643,6 +643,48 @@ def test_hadoop_scheme_store_file_uri(spark, days, tmp_path):
     assert len(names) == 1
 
 
+def test_streaming_drift_monitor(spark, tmp_path):
+    """readStream -> drift monitor: batch 1 seeds the baseline (no
+    verdict — no history yet), batch 2 is judged against batch 1 and
+    then folded in; a shifted batch 3 alarms against the grown
+    baseline."""
+    import json as _json
+    import os as _os
+
+    edges = {"x": [0.0, 1.0, 2.0, 3.0, 4.0]}
+    store = PartitionSketchStore(
+        str(tmp_path / "st"), histogram_edges=edges
+    )
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    results = []
+    stream = spark.readStream.schema("x double").json(src)
+
+    def run_batch(name, rows):
+        with open(_os.path.join(src, name), "w") as f:
+            f.write("\n".join(_json.dumps({"x": v}) for v in rows))
+        q = (
+            stream.writeStream.foreachBatch(
+                store.foreach_batch_drift_monitor("x", results.append)
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    uniform = [float(i % 4) + 0.5 for i in range(80)]
+    run_batch("b0.json", uniform)
+    assert results == []  # no history yet -> seeded, not judged
+    run_batch("b1.json", uniform)
+    assert len(results) == 1 and results[0]["psi"] < 0.01
+    run_batch("b2.json", [3.5] * 80)
+    assert len(results) == 2 and results[1]["psi"] > 0.5
+    # history grew batch by batch: 2 accumulated stream records judged
+    # batch 3 (b0+b1 = 160 rows of history)
+    assert sum(results[1]["history_counts"]) == 160
+
+
 def test_empty_store_returns_zero(spark, tmp_path):
     store = PartitionSketchStore(str(tmp_path))
     assert store.merged_distinct(spark, ["whatever"]) == {"whatever": 0}
