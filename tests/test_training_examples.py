@@ -145,6 +145,53 @@ def test_render_turn_header_shape(spark):
     assert rows[2]["t"] == "<||>\norphan text"
 
 
+def test_property_random_conversations_match_reference(spark, tok):
+    """Property-style differential over randomized conversation shapes:
+    any mix of roles / NULL texts / turn counts / max_len reproduces
+    the pure-Python token stream, mask, and chunk boundaries exactly."""
+    import random
+
+    rng = random.Random(1234)
+    words = ["duck", "pond", "geese", "tool", "call", "result", "ok"]
+    rows = []
+    for ci in range(12):
+        n_turns = rng.randint(1, 9)
+        for ti in range(n_turns):
+            role = rng.choice(["system", "user", "assistant", "tool"])
+            text = (
+                None
+                if rng.random() < 0.15
+                else " ".join(rng.choices(words, k=rng.randint(1, 12)))
+            )
+            rows.append((f"conv{ci}", ti, role, text))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    for max_len in (7, 64, 4096):
+        got = {
+            (r["conv_id"], r["example_idx"]): r
+            for r in build_training_examples(
+                df, tok, max_len=max_len, drop_unsupervised=False
+            ).collect()
+        }
+        by_conv = {}
+        for c, i, role, text in rows:
+            by_conv.setdefault(c, []).append((i, role, text))
+        for c, turns in by_conv.items():
+            ids, mask = _py_conv(tok, turns)
+            if not ids:
+                assert not any(k[0] == c for k in got)
+                continue
+            n = (len(ids) + max_len - 1) // max_len
+            for k in range(n):
+                row = got[(c, k)]
+                lo, hi = k * max_len, (k + 1) * max_len
+                assert row["input_ids"] == ids[lo:hi], (c, k, max_len)
+                assert row["loss_mask"] == mask[lo:hi], (c, k, max_len)
+                assert row["n_supervised"] == sum(mask[lo:hi])
+            assert (c, n) not in got
+
+
 def test_plan_one_shuffle_no_extra_python(spark, convs, tok):
     ex = build_training_examples(convs, tok, max_len=16)
     plan = ex._jdf.queryExecution().executedPlan().toString()
