@@ -42,10 +42,12 @@ from great_expectations_spark.plans.planner import (
     registered_expectation_types,
 )
 from great_expectations_spark.checkpoint.runner import (
+    partition_fingerprints,
     run_checkpoint,
     validate_by_partition,
 )
 from great_expectations_spark.checkpoint.manifest import CheckpointManifest
+from great_expectations_spark.checkpoint.sketches import PartitionSketchStore
 from great_expectations_spark.core.validator_api import Validator
 from great_expectations_spark.operators.table_ops import table_head
 from great_expectations_spark.sources.readers import BatchSpec, load_batch
@@ -97,7 +99,9 @@ __all__ = [
     "registered_expectation_types",
     "run_checkpoint",
     "validate_by_partition",
+    "partition_fingerprints",
     "CheckpointManifest",
+    "PartitionSketchStore",
     "BatchSpec",
     "Datasource",
     "DataAsset",
