@@ -47,7 +47,11 @@ from great_expectations_spark.checkpoint.runner import (
     validate_by_partition,
 )
 from great_expectations_spark.checkpoint.manifest import CheckpointManifest
-from great_expectations_spark.checkpoint.sketches import PartitionSketchStore
+from great_expectations_spark.checkpoint.sketches import (
+    EmptyBatchError,
+    NoHistoryError,
+    PartitionSketchStore,
+)
 from great_expectations_spark.core.validator_api import Validator
 from great_expectations_spark.operators.table_ops import table_head
 from great_expectations_spark.sources.readers import BatchSpec, load_batch
@@ -101,6 +105,8 @@ __all__ = [
     "validate_by_partition",
     "partition_fingerprints",
     "CheckpointManifest",
+    "EmptyBatchError",
+    "NoHistoryError",
     "PartitionSketchStore",
     "BatchSpec",
     "Datasource",

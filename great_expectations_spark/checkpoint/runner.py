@@ -506,7 +506,15 @@ def validate_by_partition(
         part_keys.update(m.keys())
     for m in job_grouped.values():
         part_keys.update(m.keys())
-    if any(isinstance(i.compiled, CompiledJob) for i in items) or (
+    # the bundled pass groups the UNFILTERED df, so a non-empty `grouped`
+    # mapping already enumerates every partition with >=1 row — the extra
+    # distinct scan runs only when no full-universe mapping exists (a
+    # suite of job/schema-only expectations), not on every call that
+    # happens to contain a job expectation
+    if (
+        any(isinstance(i.compiled, CompiledJob) for i in items)
+        and not grouped
+    ) or (
         not part_keys
         and any(isinstance(i.compiled, CompiledSchemaCheck) for i in items)
     ):

@@ -43,6 +43,29 @@ from great_expectations_spark.checkpoint.manifest import _safe
 
 KINDS = ("hll", "moments", "topk", "histogram")
 
+# Partitions per grouped backfill job in PartitionSketchStore.update():
+# bounds the driver-side collect to chunk_size rows (each carrying that
+# partition's sketch states) no matter how many partitions a cold
+# backfill covers, and makes the backfill kill-resumable — records land
+# per chunk, so a killed run resumes from the first unwritten chunk.
+DEFAULT_BACKFILL_CHUNK_SIZE = 256
+
+
+class EmptyBatchError(ValueError):
+    """A drift judgement was asked of a batch with no non-null rows.
+
+    Subclasses ValueError for backwards compatibility; raised distinctly
+    so ``foreach_batch_drift_monitor`` can skip empty batches WITHOUT
+    also swallowing persistent configuration errors (e.g. stored
+    histogram edges disagreeing with the store's) — those must reach the
+    alerting path."""
+
+
+class NoHistoryError(ValueError):
+    """The store has no accumulated histogram for the column yet (first
+    batch of a fresh monitor).  Subclasses ValueError for backwards
+    compatibility; see :class:`EmptyBatchError` for why it is typed."""
+
 # hll_sketch_agg accepts these Spark SQL types natively; anything else is
 # cast to string first (stable distinct-by-representation semantics)
 _NATIVE_TYPES = {"int", "bigint", "string", "binary"}
@@ -389,7 +412,14 @@ class PartitionSketchStore:
         model, like the manifest's).  A top-k state built with a
         different ``max_items`` does NOT cover — treating it as covered
         would let every partition validate and then fail in
-        ``merged_topk``."""
+        ``merged_topk``.  A record written by a store with a DIFFERENT
+        ``lg_k`` never covers: a partial update that reused its payload
+        would relabel HLL blobs built at the old precision as the new
+        one (``_record`` re-stamps ``lg_k``), silently defeating the
+        mixed-precision guard in :meth:`load` / :meth:`merged_distinct`
+        — so the whole record is recomputed instead."""
+        if int(record.get("lg_k", self.lg_k)) != self.lg_k:
+            return False
         if record.get("empty"):
             return True
         for c, kinds in plan.items():
@@ -551,12 +581,24 @@ class PartitionSketchStore:
         partitions: Optional[Sequence[Any]] = None,
         kinds: Sequence[str] = ("hll",),
         fingerprints: Optional[Dict[str, str]] = None,
+        chunk_size: int = DEFAULT_BACKFILL_CHUNK_SIZE,
     ) -> List[str]:
         """Compute + persist the requested sketch kinds for partitions
-        whose stored record does not already cover them, in ONE grouped
-        Spark job regardless of partition count.  Returns the partition
-        ids computed this call (empty on a fully-resumed run — zero
-        Spark jobs touch the data then).
+        whose stored record does not already cover them.  Returns the
+        partition ids computed this call (empty on a fully-resumed run —
+        zero Spark jobs touch the data then).
+
+        The todo set runs in grouped jobs of ``chunk_size`` partitions
+        each (daily-incremental runs fit in one job; a cold backfill
+        over 10^4-10^5 partitions becomes ceil(todo/chunk_size) jobs):
+        every collect is bounded to ``chunk_size`` rows of sketch state
+        regardless of backfill width — with the default top-k budget a
+        single row can be hundreds of KB, so an unchunked 10^5-partition
+        collect would pull GBs into the driver in one action.  Records
+        are durable per chunk, so a killed backfill resumes from the
+        first unwritten chunk, and ``fingerprints`` are re-honoured on
+        resume: a partition that changed between the kill and the rerun
+        is recomputed from scratch, never merged stale+fresh.
 
         ``columns`` is either a list (every column gets ``kinds``) or a
         mapping ``{column: kinds}`` for per-column kinds — the mapping
@@ -573,6 +615,9 @@ class PartitionSketchStore:
         )
 
         plan = _normalize_plan(columns, kinds)
+        if int(chunk_size) < 1:
+            raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+        chunk_size = int(chunk_size)
         parts = (
             list(partitions)
             if partitions is not None
@@ -587,6 +632,15 @@ class PartitionSketchStore:
                 != fingerprints.get(pid)
             )
 
+        def _fresh_start(pid: str) -> bool:
+            # kinds not recomputed this call sketched the OLD data
+            # (fingerprint moved) or the old PRECISION (lg_k moved) —
+            # either way they must not survive into the new record
+            rec = records.get(pid, {})
+            return _stale(pid) or (
+                int(rec.get("lg_k", self.lg_k)) != self.lg_k
+            )
+
         todo = [
             p
             for p in parts
@@ -597,31 +651,31 @@ class PartitionSketchStore:
         if not todo:
             return []
 
-        agg_df = (
-            df.filter(_null_safe_isin(F.col(partition_column), todo))
-            .groupBy(partition_column)
-            .agg(*self._build_aggs(df, plan))
-        )
-        topk_ddl = self._topk_ddls(agg_df, plan)
-        seen = set()
-        for r in agg_df.collect():
-            pid = str(r[partition_column])
-            # a changed partition starts from a fresh payload: kinds not
-            # recomputed this call sketched the OLD data and must go
-            payload: Dict[str, Any] = (
-                {} if _stale(pid) else dict(records.get(pid, {}))
+        for start in range(0, len(todo), chunk_size):
+            chunk = todo[start : start + chunk_size]
+            agg_df = (
+                df.filter(_null_safe_isin(F.col(partition_column), chunk))
+                .groupBy(partition_column)
+                .agg(*self._build_aggs(df, plan))
             )
-            payload.pop("empty", None)
-            if fingerprints is not None and pid in fingerprints:
-                payload["fingerprint"] = fingerprints[pid]
-            self._merge_row_into_payload(payload, r, plan, topk_ddl)
-            self._record(pid, payload)
-            seen.add(pid)
-        # a partition whose rows are all filtered away still gets an
-        # (empty) record so resume never recomputes it
-        for p in todo:
-            if str(p) not in seen:
-                self._record(str(p), {"empty": True})
+            topk_ddl = self._topk_ddls(agg_df, plan)
+            seen = set()
+            for r in agg_df.collect():
+                pid = str(r[partition_column])
+                payload: Dict[str, Any] = (
+                    {} if _fresh_start(pid) else dict(records.get(pid, {}))
+                )
+                payload.pop("empty", None)
+                if fingerprints is not None and pid in fingerprints:
+                    payload["fingerprint"] = fingerprints[pid]
+                self._merge_row_into_payload(payload, r, plan, topk_ddl)
+                self._record(pid, payload)
+                seen.add(pid)
+            # a partition whose rows are all filtered away still gets an
+            # (empty) record so resume never recomputes it
+            for p in chunk:
+                if str(p) not in seen:
+                    self._record(str(p), {"empty": True})
         return [str(p) for p in todo]
 
     # -- streaming accumulation ------------------------------------------
@@ -633,6 +687,7 @@ class PartitionSketchStore:
         columns: Sequence[str],
         batch_id: Any,
         kinds: Sequence[str] = ("hll",),
+        chunk_size: Optional[int] = None,
     ) -> List[str]:
         """Streaming entry point (call from ``foreachBatch``): persist
         THIS micro-batch's per-partition sketches under composite ids
@@ -644,21 +699,57 @@ class PartitionSketchStore:
         partitions-per-batch each epoch — run :meth:`compact`
         periodically to fold it back to one.
 
+        The driver collect here is one sketch-state row per partition
+        PRESENT IN THIS MICRO-BATCH — bounded by the trigger, not the
+        table, so the default single-job path is safe for ordinary
+        streams.  For sources whose batches can span very many
+        partitions (e.g. ``availableNow`` over a deep backlog), pass
+        ``chunk_size`` to cap it: the batch's distinct partition ids are
+        collected first (tiny rows) and the sketch aggregation runs in
+        chunks of that many partitions, same shape as :meth:`update`'s
+        backfill chunking.
+
         Do NOT mix with fingerprinted batch :meth:`update` calls in the
         same store: batch records re-sketch whole partitions, which
         would double-count the stream's contribution."""
         plan = _normalize_plan(columns, kinds)
-        agg_df = batch_df.groupBy(partition_column).agg(
-            *self._build_aggs(batch_df, plan)
-        )
-        topk_ddl = self._topk_ddls(agg_df, plan)
+        chunks: List[Optional[List[Any]]]
+        if chunk_size is None:
+            chunks = [None]  # one grouped job over the whole batch
+        else:
+            if int(chunk_size) < 1:
+                raise ValueError(
+                    f"chunk_size must be >= 1, got {chunk_size}"
+                )
+            pids = [
+                r[0]
+                for r in batch_df.select(partition_column)
+                .distinct()
+                .collect()
+            ]
+            chunks = [
+                pids[i : i + int(chunk_size)]
+                for i in range(0, len(pids), int(chunk_size))
+            ]
         written: List[str] = []
-        for r in agg_df.collect():
-            pid = f"{r[partition_column]}@@b{batch_id}"
-            payload: Dict[str, Any] = {}
-            self._merge_row_into_payload(payload, r, plan, topk_ddl)
-            self._record(pid, payload)
-            written.append(pid)
+        for chunk in chunks:
+            src = (
+                batch_df
+                if chunk is None
+                else batch_df.filter(
+                    _null_safe_isin(F.col(partition_column), chunk)
+                )
+            )
+            agg_df = src.groupBy(partition_column).agg(
+                *self._build_aggs(batch_df, plan)
+            )
+            topk_ddl = self._topk_ddls(agg_df, plan)
+            for r in agg_df.collect():
+                pid = f"{r[partition_column]}@@b{batch_id}"
+                payload: Dict[str, Any] = {}
+                self._merge_row_into_payload(payload, r, plan, topk_ddl)
+                self._record(pid, payload)
+                written.append(pid)
         return written
 
     def foreach_batch_writer(
@@ -702,13 +793,20 @@ class PartitionSketchStore:
         would un-alert the alert).  Without ``partition_column`` the
         batch accumulates as one record under a constant pseudo-
         partition (grouping by the monitored column itself would mint a
-        record per distinct value)."""
+        record per distinct value).
+
+        Only the two EXPECTED skip conditions — an empty/all-null batch
+        (:class:`EmptyBatchError`) and no accumulated history yet
+        (:class:`NoHistoryError`, the first batch) — are suppressed.
+        Any other error (e.g. stored histogram edges disagreeing with
+        the store's ``histogram_edges``, which recurs every batch)
+        propagates and fails the query: suppressing it would silently
+        disable alerting forever while accumulation kept writing."""
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             try:
                 out = self.drift_vs_history(batch_df, column)
-            except ValueError:
-                # empty/all-null batch, or no history yet (first batch)
+            except (EmptyBatchError, NoHistoryError):
                 out = None
             if out is not None:
                 out["batch_id"] = batch_id
@@ -1016,7 +1114,7 @@ class PartitionSketchStore:
     def _history_hist_and_edges(self, column: str):
         hist = self.merged_histogram([column])[column]
         if hist is None:
-            raise ValueError(
+            raise NoHistoryError(
                 f"no stored histogram for {column!r} — update the store "
                 "with kinds=('histogram',) first"
             )
@@ -1041,7 +1139,7 @@ class PartitionSketchStore:
             # degenerate to p=1.0 (always passes) and PSI would compare
             # history to a fabricated epsilon-uniform — either verdict
             # masks a pipeline outage.  Fail loudly instead.
-            raise ValueError(
+            raise EmptyBatchError(
                 f"new batch has no non-null {column!r} rows — a drift "
                 "verdict on an empty distribution would be meaningless"
             )

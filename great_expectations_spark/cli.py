@@ -84,6 +84,42 @@ def _cmd_validate(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            kinds = tuple(
+                getattr(args, "sketch_kinds", "hll").split(",")
+            )
+            from great_expectations_spark.checkpoint.sketches import KINDS
+
+            bad_kinds = sorted(set(kinds) - set(KINDS))
+            if bad_kinds:
+                print(
+                    f"unknown --sketch-kinds {bad_kinds}; pick from "
+                    f"{','.join(KINDS)}",
+                    file=sys.stderr,
+                )
+                return 2
+            hist_edges = None
+            if getattr(args, "sketch_histogram_edges", None):
+                try:
+                    hist_edges = {
+                        str(c): [float(x) for x in edges]
+                        for c, edges in json.loads(
+                            args.sketch_histogram_edges
+                        ).items()
+                    }
+                except (ValueError, AttributeError) as exc:
+                    print(
+                        "--sketch-histogram-edges must be a JSON object "
+                        f"of column -> numeric edge list: {exc}",
+                        file=sys.stderr,
+                    )
+                    return 2
+            if "histogram" in kinds and not hist_edges:
+                print(
+                    "--sketch-kinds histogram needs "
+                    "--sketch-histogram-edges (JSON column -> edges)",
+                    file=sys.stderr,
+                )
+                return 2
             summary = run_checkpoint(
                 df,
                 suite,
@@ -98,9 +134,8 @@ def _cmd_validate(args) -> int:
                     if getattr(args, "sketch_columns", None)
                     else None
                 ),
-                sketch_kinds=tuple(
-                    getattr(args, "sketch_kinds", "hll").split(",")
-                ),
+                sketch_kinds=kinds,
+                sketch_histogram_edges=hist_edges,
             )
             payload = summary
             success = bool(summary.get("success"))
@@ -117,6 +152,7 @@ def _cmd_validate(args) -> int:
                             distinct=summary.get("distinct_estimates"),
                             moments=summary.get("stats_estimates"),
                             top_values=summary.get("top_values"),
+                            histograms=summary.get("histograms"),
                             partitions=summary.get("partitions_done"),
                         )
                     )
@@ -379,7 +415,9 @@ def _cmd_examples(args) -> int:
             drop_unsupervised=not args.keep_unsupervised,
         )
         examples.write.mode("overwrite").parquet(args.out)
-        stats = example_stats(spark.read.parquet(args.out)).first()
+        stats = example_stats(
+            spark.read.parquet(args.out), conv_column=args.conv_column
+        ).first()
         print(json.dumps(stats.asDict(), default=str, sort_keys=True))
         print(f"examples: {args.out}", file=sys.stderr)
         return 0
@@ -473,7 +511,18 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument(
         "--sketch-kinds",
         default="hll",
-        help="comma-separated from hll,moments,topk (default hll)",
+        help=(
+            "comma-separated from hll,moments,topk,histogram (default "
+            "hll); histogram also needs --sketch-histogram-edges"
+        ),
+    )
+    v.add_argument(
+        "--sketch-histogram-edges",
+        help=(
+            "JSON mapping column -> strictly-increasing bin edges, e.g. "
+            '\'{"turn_idx": [0, 5, 10, 50]}\' — required with '
+            "--sketch-kinds histogram"
+        ),
     )
     v.add_argument("--docs-dir", help="also render HTML docs here")
     v.set_defaults(fn=_cmd_validate)

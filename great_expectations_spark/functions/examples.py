@@ -158,12 +158,21 @@ def build_training_examples(
     return out
 
 
-def example_stats(examples: DataFrame) -> DataFrame:
+def example_stats(
+    examples: DataFrame, conv_column: str = "conv_id"
+) -> DataFrame:
     """Corpus-level sanity aggregate for an example set: totals the
-    dataloader contract depends on, one row."""
+    dataloader contract depends on, one row.  ``conv_column`` names the
+    conversation-id column explicitly (never inferred from position —
+    a reordered projection would silently count the wrong column)."""
+    if conv_column not in examples.columns:
+        raise ValueError(
+            f"conv_column {conv_column!r} not in example DataFrame "
+            f"columns {examples.columns}"
+        )
     return examples.agg(
         F.count(F.lit(1)).alias("n_examples"),
-        F.countDistinct(examples.columns[0]).alias("n_conversations"),
+        F.countDistinct(conv_column).alias("n_conversations"),
         F.sum(F.size("input_ids")).alias("total_tokens"),
         F.sum("n_supervised").alias("supervised_tokens"),
         F.avg(F.size("input_ids")).alias("avg_example_len"),

@@ -320,6 +320,7 @@ def render_table_stats_html(
     top_values: Optional[Dict[str, List[Any]]] = None,
     title: str = "incremental table stats",
     partitions: Optional[int] = None,
+    histograms: Optional[Dict[str, Optional[Dict[str, Any]]]] = None,
 ) -> str:
     """Data Docs page for the partition sketch store's merged answers
     (``run_checkpoint`` summary keys ``distinct_estimates`` /
@@ -335,7 +336,10 @@ def render_table_stats_html(
             "sketches — validated partitions were not re-scanned</p>"
         )
     columns = sorted(
-        set(distinct or {}) | set(moments or {}) | set(top_values or {})
+        set(distinct or {})
+        | set(moments or {})
+        | set(top_values or {})
+        | {c for c, h in (histograms or {}).items() if h}
     )
     if not columns:
         parts.append('<p class="meta">no sketched columns</p>')
@@ -375,6 +379,25 @@ def render_table_stats_html(
                 [float(cnt) for _item, cnt in top],
             )
         )
+    for c in columns:
+        h = (histograms or {}).get(c)
+        if not h:
+            continue
+        edges, counts = h["edges"], h["counts"]
+        labels = [
+            f"[{edges[i]:g}, {edges[i + 1]:g}"
+            + ("]" if i == len(counts) - 1 else ")")
+            for i in range(len(counts))
+        ]
+        weights = [float(n) for n in counts]
+        if h.get("below"):
+            labels = [f"< {edges[0]:g}"] + labels
+            weights = [float(h["below"])] + weights
+        if h.get("above"):
+            labels.append(f"> {edges[-1]:g}")
+            weights.append(float(h["above"]))
+        parts.append(f"<h2>histogram — {_esc(c)}</h2>")
+        parts.append(_svg_bars(labels, weights))
     return _page(title, "\n".join(parts))
 
 

@@ -772,3 +772,44 @@ def test_grouped_distinct_set_null_partition(spark):
     null_res = results["None"].results[0]
     assert null_res.success is False
     assert "zzz" in null_res.result["observed_value"]
+
+
+def test_no_extra_distinct_scan_when_bundle_covers_universe(
+    spark, transcripts, monkeypatch
+):
+    """When the suite carries any bundled metric, the bundle's unfiltered
+    groupBy already enumerates every partition — validate_by_partition
+    must NOT pay an extra distinct scan just because a job expectation
+    is present (ADVICE r4 #3).  A job-only suite still scans (its
+    grouped mapping may legitimately be partial)."""
+    from great_expectations_spark.checkpoint import runner as runner_mod
+    from pyspark.sql import functions as F
+
+    dim = transcripts.select("conv_id").distinct().persist()
+    dim.count()
+    calls = {"n": 0}
+    real = runner_mod._collect_partition_values
+
+    def counting(df, col):
+        calls["n"] += 1
+        return real(df, col)
+
+    days = sorted(
+        r[0] for r in transcripts.select("day").distinct().collect()
+    )[:2]
+    monkeypatch.setattr(runner_mod, "_collect_partition_values", counting)
+    try:
+        few = transcripts.filter(F.col("day").isin(days))
+        mixed = _job_suite(dim).add(
+            "expect_column_values_to_not_be_null", column="conv_id"
+        )
+        out = validate_by_partition(few, mixed, "day")
+        assert sorted(out) == days
+        assert calls["n"] == 0  # bundle supplied the universe
+
+        job_only = _job_suite(dim)
+        out2 = validate_by_partition(few, job_only, "day")
+        assert sorted(out2) == days
+        assert calls["n"] == 1  # no full-universe mapping -> one scan
+    finally:
+        dim.unpersist()

@@ -397,3 +397,43 @@ def test_curate_verb(spark, tmp_path, capsys):
     assert rc2 == 0
     summary2 = json.loads(capsys.readouterr().out)
     assert summary2["executed"] == 0 and summary2["resumed"] == 2
+
+
+def test_validate_sketch_histogram_flag(data_path, tmp_path):
+    """--sketch-kinds histogram works end-to-end with
+    --sketch-histogram-edges (JSON column -> edges), renders the
+    histogram into the docs page, and fails LOUDLY at argument level —
+    not with a store-level error later — when edges are missing or a
+    kind is unknown (ADVICE r4 #4)."""
+    suite = ExpectationSuite("hist")
+    suite.add("expect_column_values_to_not_be_null", column="value")
+    suite_path = str(tmp_path / "h.json")
+    open(suite_path, "w").write(suite.to_json())
+    out_path = str(tmp_path / "s.json")
+    docs_dir = str(tmp_path / "docs")
+    base = [
+        "validate", "--data", data_path, "--suite", suite_path,
+        "--partition-column", "day",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--sketch-columns", "value",
+    ]
+    ok = base + [
+        "--sketch-kinds", "hll,histogram",
+        "--sketch-histogram-edges", '{"value": [0, 2, 5, 10]}',
+        "--docs-dir", docs_dir, "--out", out_path,
+    ]
+    assert _run(ok) == 0
+    summary = json.loads(open(out_path).read())
+    assert summary["histograms"]["value"]["counts"]
+    assert sum(summary["histograms"]["value"]["counts"]) == 100
+    page = open(str(tmp_path / "docs" / "table_stats.html")).read()
+    assert "histogram" in page and "[0, 2)" in page
+    # histogram kind without edges: clear exit-2, before any Spark work
+    assert _run(base + ["--sketch-kinds", "histogram"]) == 2
+    # unknown kind: same
+    assert _run(base + ["--sketch-kinds", "hll,bogus"]) == 2
+    # malformed JSON: same
+    assert _run(
+        base + ["--sketch-kinds", "histogram",
+                "--sketch-histogram-edges", "not json"]
+    ) == 2

@@ -759,3 +759,184 @@ def test_run_checkpoint_all_kinds(spark, days, tmp_path):
         float(exact["m"])
     )
     assert out["top_values"]["n"]  # non-empty (value 10 appears twice)
+
+
+# -- round-5: chunked backfill, lg_k coverage, monitor error typing ------
+
+
+def test_backfill_chunked_bounded_and_kill_resumable(spark, tmp_path):
+    """Cold backfill over many partitions runs in bounded chunks (one
+    grouped job + one record batch per chunk) so the driver never holds
+    more than chunk_size sketch rows, and a kill mid-backfill resumes
+    from the first unwritten record — completed chunks are durable."""
+    n_parts = 10_000
+    df = spark.range(n_parts).select(
+        F.concat(F.lit("p"), F.col("id")).alias("part"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
+    store = PartitionSketchStore(str(tmp_path / "full"))
+    done = store.update(
+        df, "part", ["x"], kinds=("moments",), chunk_size=2500
+    )
+    assert len(done) == n_parts
+    assert len(store.stored_partitions()) == n_parts
+    m = store.merged_moments(["x"])["x"]
+    assert m["count"] == n_parts and m["min"] == 0.0 and m["max"] == 96.0
+    assert store.update(df, "part", ["x"], kinds=("moments",)) == []
+
+    # kill mid-backfill: _record raises partway through chunk 2
+    small = df.filter(F.col("id") < 40)
+    store2 = PartitionSketchStore(str(tmp_path / "killed"))
+    real_record = store2._record
+    writes = {"n": 0}
+
+    def dying_record(pid, payload):
+        if writes["n"] >= 15:
+            raise RuntimeError("driver killed")
+        writes["n"] += 1
+        real_record(pid, payload)
+
+    store2._record = dying_record
+    with pytest.raises(RuntimeError, match="killed"):
+        store2.update(small, "part", ["x"], kinds=("moments",), chunk_size=10)
+    store2._record = real_record
+    survived = set(store2.stored_partitions())
+    assert len(survived) == 15  # chunk 1 (10) + partial chunk 2 (5)
+    # resume computes ONLY the unwritten partitions
+    resumed = store2.update(
+        small, "part", ["x"], kinds=("moments",), chunk_size=10
+    )
+    assert len(resumed) == 40 - 15
+    assert set(resumed).isdisjoint(survived)
+    assert store2.merged_moments(["x"])["x"]["count"] == 40
+
+
+def test_backfill_fingerprint_moves_between_chunks(spark, tmp_path):
+    """A partition that CHANGES while a multi-chunk backfill is down
+    (record written pre-kill, data + fingerprint move before the rerun)
+    must be recomputed from scratch on resume — stale kinds dropped,
+    never merged with fresh ones."""
+    from great_expectations_spark.checkpoint.runner import (
+        partition_fingerprints,
+    )
+
+    v1 = spark.createDataFrame(
+        [(f"p{i}", float(v)) for i in range(4) for v in (1, 2, 3)],
+        "part string, x double",
+    )
+    store = PartitionSketchStore(str(tmp_path))
+    real_record = store._record
+    writes = {"n": 0}
+
+    def dying_record(pid, payload):
+        if writes["n"] >= 2:  # chunk 1 (p0, p1) lands, then the kill
+            raise RuntimeError("killed")
+        writes["n"] += 1
+        real_record(pid, payload)
+
+    store._record = dying_record
+    with pytest.raises(RuntimeError):
+        store.update(
+            v1, "part", ["x"], kinds=("hll", "moments"),
+            fingerprints=partition_fingerprints(v1, "part"), chunk_size=2,
+        )
+    store._record = real_record
+    written = set(store.stored_partitions())
+    assert len(written) == 2
+    changed = sorted(written)[0]  # a pre-kill partition changes
+    v2 = v1.filter(F.col("part") != changed).unionByName(
+        spark.createDataFrame(
+            [(changed, 100.0), (changed, 200.0)], "part string, x double"
+        )
+    )
+    # rerun asks only for moments — the changed partition must still be
+    # rebuilt whole (fresh payload), not have fresh moments merged onto
+    # its stale pre-kill hll
+    resumed = store.update(
+        v2, "part", ["x"], kinds=("moments",),
+        fingerprints=partition_fingerprints(v2, "part"), chunk_size=2,
+    )
+    assert changed in resumed and len(resumed) == 3
+    rec = store._raw_records()[changed]
+    assert "hll" not in rec  # stale kind dropped with the old data
+    assert rec["moments"]["x"]["count"] == 2
+    assert rec["moments"]["x"]["sum"] == 300.0
+    total = store.merged_moments(["x"])["x"]
+    assert total["count"] == 11 and total["max"] == 200.0
+
+
+def test_lg_k_change_recomputes_instead_of_relabelling(spark, days, tmp_path):
+    """A store reopened with a different lg_k that extends an existing
+    record must recompute the WHOLE record: reusing the old payload
+    would re-stamp old-precision HLL blobs with the new lg_k, defeating
+    the mixed-precision merge guard (ADVICE r4 #1)."""
+    PartitionSketchStore(str(tmp_path), lg_k=12).update(
+        days, "day", ["conv_id"], kinds=("hll",)
+    )
+    store = PartitionSketchStore(str(tmp_path), lg_k=14)
+    # adding a kind used to reuse the stale payload — now every record
+    # is rebuilt at the store's precision
+    redone = store.update(days, "day", ["conv_id"], kinds=("hll", "topk"))
+    assert sorted(redone) == ["None", "d0", "d1"]
+    for rec in store._raw_records().values():
+        assert int(rec["lg_k"]) == 14
+    # blobs really are lg_k=14 now: load() and the merge both accept them
+    assert store.load("d0")
+    assert store.merged_distinct(spark, ["conv_id"])["conv_id"] == 16
+    # and the same-precision rerun is a full resume
+    assert store.update(days, "day", ["conv_id"], kinds=("hll", "topk")) == []
+
+
+def test_drift_monitor_propagates_config_errors(spark, tmp_path):
+    """foreach_batch_drift_monitor suppresses ONLY empty-batch /
+    no-history skips; a persistent config error (stored edges vs store
+    edges) must propagate, not silently disable alerting (ADVICE r4 #2)."""
+    from great_expectations_spark.checkpoint.sketches import (
+        EmptyBatchError,
+        NoHistoryError,
+    )
+
+    df = spark.createDataFrame([(0.5,), (1.5,)], "x double")
+    seeded = PartitionSketchStore(
+        str(tmp_path), histogram_edges={"x": [0.0, 1.0, 2.0]}
+    )
+    results = []
+    process = seeded.foreach_batch_drift_monitor("x", results.append)
+    process(df, 0)  # seeds history (NoHistoryError suppressed)
+    assert results == []
+    process(df.limit(0), 1)  # EmptyBatchError suppressed, not accumulated
+    assert results == []
+    process(df, 2)
+    assert len(results) == 1  # alerting path alive
+
+    # same directory reopened with DIFFERENT edges: every batch's
+    # drift_vs_history raises plain ValueError — must reach the caller
+    broken = PartitionSketchStore(
+        str(tmp_path), histogram_edges={"x": [0.0, 0.5, 1.0, 2.0]}
+    )
+    bad = broken.foreach_batch_drift_monitor("x", results.append)
+    with pytest.raises(ValueError, match="edges"):
+        bad(df, 3)
+    assert len(results) == 1  # and it never masqueraded as a verdict
+    # sanity: the benign types subclass ValueError (back-compat)
+    assert issubclass(EmptyBatchError, ValueError)
+    assert issubclass(NoHistoryError, ValueError)
+
+
+def test_accumulate_batch_chunked_matches_single_job(spark, tmp_path):
+    """chunk_size on accumulate_batch bounds the per-collect row count
+    without changing the answer."""
+    df = spark.createDataFrame(
+        [(f"p{i % 7}", float(i)) for i in range(70)], "part string, x double"
+    )
+    a = PartitionSketchStore(str(tmp_path / "one"))
+    b = PartitionSketchStore(str(tmp_path / "chunked"))
+    wrote_a = a.accumulate_batch(df, "part", ["x"], batch_id=0,
+                                 kinds=("hll", "moments"))
+    wrote_b = b.accumulate_batch(df, "part", ["x"], batch_id=0,
+                                 kinds=("hll", "moments"), chunk_size=3)
+    assert sorted(wrote_a) == sorted(wrote_b)
+    assert a.merged_moments(["x"]) == b.merged_moments(["x"])
+    assert (
+        a.merged_distinct(spark, ["x"]) == b.merged_distinct(spark, ["x"])
+    )

@@ -200,3 +200,22 @@ def test_plan_one_shuffle_no_extra_python(spark, convs, tok):
     assert "BatchEvalPython" not in plan
     # one aggregation pair around one exchange (per-conv assembly)
     assert plan.count("Exchange") <= 2, plan  # agg + AQE artifacts
+
+
+def test_example_stats_explicit_conv_column(spark, convs, tok):
+    """example_stats counts conversations by NAME, not position — a
+    reordered projection gives the same answer, and a wrong name raises
+    instead of silently counting another column (ADVICE r4 #5)."""
+    ex = build_training_examples(convs, tok, max_len=8,
+                                 drop_unsupervised=False)
+    want = example_stats(ex).first().asDict()
+    reordered = ex.select(*sorted(ex.columns, reverse=True))
+    got = example_stats(reordered).first().asDict()
+    assert got == want
+    renamed = ex.withColumnRenamed("conv_id", "conversation")
+    got2 = example_stats(renamed, conv_column="conversation").first()
+    assert got2.asDict() == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="conv_column"):
+        example_stats(renamed)
