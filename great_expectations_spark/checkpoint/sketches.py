@@ -50,6 +50,12 @@ KINDS = ("hll", "moments", "topk", "histogram")
 # per chunk, so a killed run resumes from the first unwritten chunk.
 DEFAULT_BACKFILL_CHUNK_SIZE = 256
 
+# CI plan-guard seam: when set, called with each backfill chunk's
+# grouped-agg DataFrame before it is collected, so tests can assert the
+# todo filter reaches the source as a PartitionFilter on a partitioned
+# table.  Never set in production.
+_UPDATE_PLAN_OBSERVER = None
+
 
 class EmptyBatchError(ValueError):
     """A drift judgement was asked of a batch with no non-null rows.
@@ -659,6 +665,8 @@ class PartitionSketchStore:
                 .agg(*self._build_aggs(df, plan))
             )
             topk_ddl = self._topk_ddls(agg_df, plan)
+            if _UPDATE_PLAN_OBSERVER is not None:
+                _UPDATE_PLAN_OBSERVER(agg_df)
             seen = set()
             for r in agg_df.collect():
                 pid = str(r[partition_column])

@@ -432,6 +432,12 @@ def _run_templated_query(
 QUERY_GROUPED_PARTITIONS_PER_JOB = 64
 QUERY_GROUPED_PARTITION_CAP = 1_000_000
 
+# CI plan-guard seam: when set, called with each chunk's UNION ALL
+# DataFrame before it is collected, so tests can assert the physical
+# plan (per-branch PartitionFilters on a pruned source) without
+# re-deriving the SQL the hook actually runs.  Never set in production.
+_GROUPED_SQL_PLAN_OBSERVER: Optional[Callable[[DataFrame], None]] = None
+
 
 def _sql_literal(value: Any) -> str:
     """Render a partition value as a Spark SQL literal that round-trips
@@ -520,7 +526,10 @@ def _grouped_query_rows(
                         f"SELECT * FROM ({rendered}) AS __gx_i LIMIT {cap}"
                         f") AS __gx_q"
                     )
-            rows = spark.sql("\nUNION ALL\n".join(branches)).collect()
+            union_df = spark.sql("\nUNION ALL\n".join(branches))
+            if _GROUPED_SQL_PLAN_OBSERVER is not None:
+                _GROUPED_SQL_PLAN_OBSERVER(union_df)
+            rows = union_df.collect()
         finally:
             for view in views:
                 spark.catalog.dropTempView(view)
