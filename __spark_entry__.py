@@ -335,19 +335,12 @@ def _grouped_kl_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "day string, kl double")
 
 
-def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-algorithm oracle for the multimodal image path: synthetic
-    P5 (grayscale PGM) bytes with a CLOSED-FORM pixel function are built
-    per doc, decoded by the REAL netpbm parser, and reduced by the real
-    4x4 block-mean feature extractor (`multimodal.image_features`,
-    deterministic_fake=False) — while DuckDB computes the expected block
-    means analytically from the same pixel formula.  24x32 splits into
-    exact 6x8 blocks; integer sums are exact in IEEE double on both
-    engines, so round(mean/255, 7) is bit-comparable.
-    """
+def _gen_pgm_udf():
+    """Synthetic P5 bytes with the closed-form pixel function
+    pixel(y, x) = (doc_id*7919 + y*32 + x) % 256 over 24x32 — shared by
+    the feature and perceptual-hash oracles so both replicate the SAME
+    images analytically."""
     import numpy as np
-
-    from great_expectations_spark.functions import multimodal
 
     @F.pandas_udf("binary")
     def gen_pgm(ids: pd.Series) -> pd.Series:
@@ -359,8 +352,52 @@ def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(mk)
 
+    return gen_pgm
+
+
+def _image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (multimodal.image_phash +
+    dedup.hamming_band_pairs): REAL netpbm decode -> 8x8 block-mean /
+    median pHash -> banded Hamming pair join, on the synthetic PGM
+    corpus.  Full DuckDB replica: block means computed analytically
+    from the pixel formula (3x4-pixel blocks are exact in IEEE double),
+    interpolated median over the 64 means, bit compare, all-pairs
+    Hamming <= 3 — the pigeonhole banding must return exactly the
+    exact-replica pair set.  Images repeat every 256 doc_ids (7919 is
+    odd), so the planted structure is ~2 exact copies per class plus
+    whatever near-collisions the gradient family produces."""
+    from great_expectations_spark.functions import multimodal
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 1000)
+    )
+    imgs = docs.withColumn("data", _gen_pgm_udf()(F.col("doc_id")))
+    return multimodal.image_near_dup_pairs(
+        imgs,
+        "doc_id",
+        binary_column="data",
+        max_hamming=3,
+        deterministic_fake=False,
+        expected_corpus_size=1000,
+    )
+
+
+def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-algorithm oracle for the multimodal image path: synthetic
+    P5 (grayscale PGM) bytes with a CLOSED-FORM pixel function are built
+    per doc, decoded by the REAL netpbm parser, and reduced by the real
+    4x4 block-mean feature extractor (`multimodal.image_features`,
+    deterministic_fake=False) — while DuckDB computes the expected block
+    means analytically from the same pixel formula.  24x32 splits into
+    exact 6x8 blocks; integer sums are exact in IEEE double on both
+    engines, so round(mean/255, 7) is bit-comparable.
+    """
+    from great_expectations_spark.functions import multimodal
+
     docs = _load(spark, sf_dir, "documents").select("doc_id")
-    imgs = docs.withColumn("data", gen_pgm(F.col("doc_id")))
+    imgs = docs.withColumn("data", _gen_pgm_udf()(F.col("doc_id")))
     feats = multimodal.image_features(
         imgs, "data", deterministic_fake=False
     )
@@ -382,9 +419,17 @@ def _multimodal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     video frame-sample plan, stacked to one
     ``(doc_id, kind, idx, val)`` frame — identical code paths to the
     former image_pipeline_docs / frame_sample_plan_docs entries, one
-    report slot."""
+    report slot.  Round 5 stacks the perceptual-dedup pair rows
+    (kind='phash_pair': doc_id=id_a, idx=id_b, val=hamming) from
+    :func:`_image_phash_pairs`."""
     img = _image_pipeline(spark, sf_dir)
     frames = _frame_sample_plan(spark, sf_dir)
+    phash_pairs = _image_phash_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("doc_id"),
+        F.lit("phash_pair").alias("kind"),
+        F.col("id_b").cast("long").alias("idx"),
+        F.col("hamming").cast("double").alias("val"),
+    )
     return (
         img.select(
             "doc_id",
@@ -408,6 +453,7 @@ def _multimodal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("val"),
             )
         )
+        .unionByName(phash_pairs)
     )
 
 
@@ -2011,6 +2057,22 @@ def oracle_sql() -> dict[str, str]:
             "  FROM (SELECT doc_id FROM documents) d"
             "  CROSS JOIN (SELECT unnest(range(24)) AS y) y"
             "  CROSS JOIN (SELECT unnest(range(32)) AS x) x"
+            "), cells AS ("
+            "  SELECT doc_id, y // 3 AS by, x // 4 AS bx,"
+            "         avg(CAST(v AS DOUBLE)) AS m"
+            "  FROM px WHERE doc_id < 1000 GROUP BY 1, 2, 3"
+            "), meds AS ("
+            "  SELECT doc_id, median(m) AS med FROM cells GROUP BY 1"
+            "), bits AS ("
+            "  SELECT c.doc_id, c.by * 8 + c.bx AS k,"
+            "    CASE WHEN c.m > meds.med THEN 1 ELSE 0 END AS bit"
+            "  FROM cells c JOIN meds USING (doc_id)"
+            "), ph_pairs AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h"
+            "  FROM bits a JOIN bits b"
+            "    ON a.k = b.k AND a.doc_id < b.doc_id"
+            "  GROUP BY 1, 2"
             ") SELECT doc_id, 'img_feat' AS kind,"
             "         ((y // 6) * 4 + (x // 8))::BIGINT AS idx,"
             "         round(avg(v) / 255.0, 7) AS val"
@@ -2020,7 +2082,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'frame',"
             "  unnest(generate_series(0,"
             "    greatest((doc_id % 7) * 1000 + 500 - 1, 0),"
-            "    1000))::BIGINT, NULL::DOUBLE FROM documents"
+            "    1000))::BIGINT, NULL::DOUBLE FROM documents "
+            # perceptual-hash dedup replica (CTEs above): 8x8 block
+            # means over exact 3x4-pixel blocks of the same pixel
+            # formula, interpolated median (numpy/duckdb agree: mean of
+            # the two middle of 64), bit = mean > median, exact
+            # all-pairs Hamming <= 3 — the banded Spark join must
+            # reproduce this exact pair set
+            "UNION ALL SELECT id_a AS doc_id, 'phash_pair' AS kind,"
+            "    id_b::BIGINT AS idx, h::DOUBLE AS val"
+            "  FROM ph_pairs WHERE h <= 3"
         ),
         "grouped_kl_by_day": (
             # per-day binned KL vs the fixed expected weights; the wide

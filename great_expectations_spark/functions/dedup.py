@@ -725,6 +725,71 @@ def simhash_candidate_pairs(
     holds for any ``n_blocks > max_hamming``, so the returned pair set is
     identical across configs.
     """
+    sigs = (
+        _ensure_parallelism(df)
+        # NULL/blank texts all hash to signature 0 and would pair with
+        # each other at hamming 0 (and with any real doc whose signature
+        # is 0); the minhash path skips them too — a missing document
+        # has no near-duplicates
+        .filter(
+            F.col(text_column).isNotNull()
+            & (F.length(F.trim(F.col(text_column))) > 0)
+        )
+        .select(
+            F.col(id_column).alias("__id"),
+            # one-pass text -> signature (same semantics as simhash64, one
+            # Arrow batch instead of interpreted JVM shingling + a second
+            # UDF)
+            _text_to_simhash_arrow(shingle_k)(F.col(text_column)).alias(
+                "__sim"
+            ),
+        )
+    )
+    return _band_join_on_sigs(
+        sigs, max_hamming, n_blocks, expected_corpus_size
+    )
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    id_column: str,
+    signature_column: str,
+    max_hamming: int = 3,
+    n_blocks: Optional[int] = None,
+    expected_corpus_size: Optional[int] = None,
+) -> DataFrame:
+    """Pairs of rows whose 64-bit signatures are within ``max_hamming``
+    bits, via the same block-combination banding
+    :func:`simhash_candidate_pairs` uses — the signature-AGNOSTIC core.
+    Text SimHash feeds it a shingle hash; image perceptual hashes
+    (``multimodal.image_near_dup_pairs``) feed it a block-mean pHash;
+    any other 64-bit locality-preserving signature works the same.
+    NULL signatures are skipped (a missing payload has no
+    near-duplicates).  Returns ``(id_a, id_b, hamming)`` with the exact
+    Hamming distance verified — banding only generates candidates, the
+    pigeonhole guarantee makes the pair set complete."""
+    sigs = (
+        _ensure_parallelism(df)
+        .filter(F.col(signature_column).isNotNull())
+        .select(
+            F.col(id_column).alias("__id"),
+            F.col(signature_column).cast("long").alias("__sim"),
+        )
+    )
+    return _band_join_on_sigs(
+        sigs, max_hamming, n_blocks, expected_corpus_size
+    )
+
+
+def _band_join_on_sigs(
+    sigs: DataFrame,
+    max_hamming: int,
+    n_blocks: Optional[int],
+    expected_corpus_size: Optional[int],
+) -> DataFrame:
+    """Shared banding core over a ``(__id, __sim)`` frame: emit one
+    bucket key per block-combination, self-join within buckets, verify
+    exact Hamming distance.  The shuffle carries (id, table, key) only."""
     from itertools import combinations
 
     if n_blocks is None:
@@ -750,26 +815,6 @@ def simhash_candidate_pairs(
         mask = (1 << width) - 1
         return F.shiftright(sim, start).bitwiseAND(F.lit(mask))
 
-    sigs = (
-        _ensure_parallelism(df)
-        # NULL/blank texts all hash to signature 0 and would pair with
-        # each other at hamming 0 (and with any real doc whose signature
-        # is 0); the minhash path skips them too — a missing document
-        # has no near-duplicates
-        .filter(
-            F.col(text_column).isNotNull()
-            & (F.length(F.trim(F.col(text_column))) > 0)
-        )
-        .select(
-            F.col(id_column).alias("__id"),
-            # one-pass text -> signature (same semantics as simhash64, one
-            # Arrow batch instead of interpreted JVM shingling + a second
-            # UDF)
-            _text_to_simhash_arrow(shingle_k)(F.col(text_column)).alias(
-                "__sim"
-            ),
-        )
-    )
     sigs = _register_cache(sigs)
     # one bucket key per block-combination; keys are 8-byte hashes so the
     # shuffle carries (id, table, key) only — no text, no signatures.

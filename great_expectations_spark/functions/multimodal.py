@@ -213,6 +213,106 @@ def image_features(
     return df.mapInPandas(decode_batches, out_schema)
 
 
+def image_phash_value(img) -> int:
+    """64-bit block-mean perceptual hash of a decoded (H, W, C) image:
+    grayscale -> 8x8 area-interpolated block means (the real
+    :func:`resize_block_mean`, numpy-only) -> each cell compared against
+    the MEDIAN of the 64 means (median, not mean: exactly half the bits
+    set regardless of global brightness, so the Hamming metric never
+    saturates on dark/bright images) -> bits packed row-major into a
+    signed int64.  Robust to resizing and mild noise; brightness/contrast
+    shifts preserve the median ordering, so the hash is invariant to
+    them too."""
+    import numpy as np
+
+    gray = np.asarray(img, dtype=np.float64).mean(axis=2, keepdims=True)
+    grid = resize_block_mean(gray, 8, 8)[:, :, 0].ravel()
+    med = float(np.median(grid))
+    acc = 0
+    for k in range(64):
+        if grid[k] > med:
+            acc |= 1 << k
+    if acc >= 1 << 63:  # wrap to signed int64 (Spark LongType)
+        acc -= 1 << 64
+    return acc
+
+
+def _phash_bytes(data: bytes, deterministic_fake: bool) -> Optional[int]:
+    if data is None:
+        return None
+    if deterministic_fake:
+        import hashlib
+
+        digest = hashlib.blake2b(data or b"", digest_size=8).digest()
+        return int.from_bytes(digest, "little", signed=True)
+    return image_phash_value(decode_image(bytes(data)))
+
+
+def image_phash(
+    df: DataFrame,
+    binary_column: str = "data",
+    deterministic_fake: bool = True,
+    output_column: str = "phash",
+) -> DataFrame:
+    """Append a 64-bit perceptual hash column — the same Arrow
+    ``mapInPandas`` pass as :func:`image_features` (partition-
+    preserving, no shuffle), so featurization and hashing can share one
+    decode when composed.  NULL bytes hash to NULL (skipped by the
+    dedup join)."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(output_column, T.LongType())]
+    )
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[output_column] = pdf[binary_column].map(
+                lambda b: _phash_bytes(b, deterministic_fake)
+            )
+            yield pdf
+
+    return df.mapInPandas(hash_batches, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_column: str,
+    binary_column: str = "data",
+    max_hamming: int = 3,
+    deterministic_fake: bool = True,
+    n_blocks: Optional[int] = None,
+    expected_corpus_size: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate image pairs: perceptual hash per image (one Arrow
+    decode pass), then the SAME sub-quadratic block-combination banding
+    the text SimHash path uses (``dedup.hamming_band_pairs`` — bucket
+    keys per block combination, candidate self-join within buckets,
+    exact Hamming verify).  Returns ``(id_a, id_b, hamming)`` for every
+    pair within ``max_hamming`` bits; never all-pairs, so it scales to
+    web-crawl image corpora the way the text dedup family does."""
+    from great_expectations_spark.functions.dedup import (
+        hamming_band_pairs,
+    )
+
+    hashed = image_phash(
+        df.select(id_column, binary_column),
+        binary_column,
+        deterministic_fake=deterministic_fake,
+        output_column="__phash",
+    )
+    return hamming_band_pairs(
+        hashed,
+        id_column,
+        "__phash",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        expected_corpus_size=expected_corpus_size,
+    )
+
+
 AUDIO_FEATURE_DIM = 12  # duration_s, rms, zcr, centroid + 8 band energies
 _AUDIO_N_BANDS = 8
 

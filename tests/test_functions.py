@@ -1088,3 +1088,74 @@ def test_array_lit_f64_bit_exact_and_fast(spark):
     for bad in (float("nan"), float("inf")):
         with pytest.raises(ValueError):
             array_lit_f64([bad])
+
+
+def test_image_phash_invariances_and_planted_near_dups(spark):
+    """Perceptual image dedup: the block-mean/median pHash is invariant
+    to brightness shift and resize, tolerant of small noise, and the
+    banded pair join finds exactly the planted near-duplicates among
+    distinct base images (real netpbm decode, no external libs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    bases = [
+        rng.integers(20, 200, size=(24, 32, 3)).astype(np.uint8)
+        for _ in range(8)
+    ]
+    rows = []
+    for i, img in enumerate(bases):
+        rows.append((i * 10, bytearray(multimodal.encode_ppm(img))))
+        # planted near-dup A: +10 brightness (no clipping: pixels <= 210)
+        rows.append(
+            (i * 10 + 1, bytearray(multimodal.encode_ppm(img + 10)))
+        )
+    # local invariance checks on base 0
+    h0 = multimodal.image_phash_value(bases[0])
+    assert bin(h0 % (1 << 64)).count("1") <= 32  # median split
+    assert multimodal.image_phash_value(bases[0] + 10) == h0  # brightness
+    up = np.repeat(np.repeat(bases[0], 2, axis=0), 2, axis=1)
+    assert multimodal.image_phash_value(up) == h0  # 2x resize
+
+    df = spark.createDataFrame(rows, "img_id long, data binary")
+    pairs = multimodal.image_near_dup_pairs(
+        df, "img_id", max_hamming=3, deterministic_fake=False,
+        expected_corpus_size=16,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every planted brightness pair found at hamming 0...
+    assert {(i * 10, i * 10 + 1) for i in range(8)} <= got
+    assert all(
+        r["hamming"] == 0 for r in pairs if r["id_b"] - r["id_a"] == 1
+    )
+    # ...and no cross-base pair (random 24x32 bases are ~32 bits apart)
+    assert all(b - a == 1 for a, b in got)
+
+
+def test_image_phash_spark_deterministic_and_null_safe(spark):
+    import numpy as np
+
+    img = np.arange(24 * 32 * 3, dtype=np.uint64).reshape(24, 32, 3)
+    data = multimodal.encode_ppm((img % 256).astype(np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, None), (3, bytearray(data))],
+        "img_id long, data binary",
+    )
+    out = {
+        r["img_id"]: r["phash"]
+        for r in multimodal.image_phash(
+            df, deterministic_fake=False
+        ).collect()
+    }
+    assert out[1] == out[3] and out[2] is None
+    out2 = {
+        r["img_id"]: r["phash"]
+        for r in multimodal.image_phash(
+            df.repartition(3), deterministic_fake=False
+        ).collect()
+    }
+    assert out == out2  # partitioning-independent
+    # null bytes never pair
+    pairs = multimodal.image_near_dup_pairs(
+        df, "img_id", max_hamming=3, deterministic_fake=False
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}

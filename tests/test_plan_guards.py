@@ -197,3 +197,34 @@ def test_c4_gopher_pipeline_single_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- image perceptual dedup ------------------------------------------------
+
+
+def test_image_near_dup_plan_banded_not_all_pairs(spark):
+    """image_near_dup_pairs must candidate-join within banding buckets:
+    ONE Arrow decode pass (MapInPandas) feeding a JVM-only equi-join —
+    never a cartesian/nested-loop all-pairs product."""
+    from great_expectations_spark.functions.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, bytes([i % 251] * 32)) for i in range(30)],
+        "img_id long, data binary",
+    )
+    out = image_near_dup_pairs(df, "img_id", expected_corpus_size=30)
+    plan = _plan(out)
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} found in plan:\n{plan}"
+    # the decode is the only Arrow stage and it sits under the banding
+    # core's cached signature relation — the plan string repeats the
+    # cache's BUILD plan at every scan site, so "one decode" here means
+    # every MapInPandas occurrence is an InMemoryRelation child (executes
+    # once on cache fill), none in the live join path
+    assert plan.count("MapInPandas") >= 1
+    assert plan.count("MapInPandas") == plan.count("InMemoryRelation"), plan
+    assert "BatchEvalPython" not in plan
+    # the candidate join is an equi-join on (table, key)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
