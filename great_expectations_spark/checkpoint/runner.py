@@ -419,7 +419,10 @@ def validate_by_partition(
     conc = max(1, getattr(validator, "job_concurrency", 1))
     with ThreadPoolExecutor(max_workers=conc) as pool:
         fut_bundle = pool.submit(
-            validator._run_bundled_phase, df, items, partition_column
+            validator._run_bundled_phase_isolating,
+            df,
+            items,
+            partition_column,
         )
         group_futs = [
             (members, pool.submit(
@@ -509,15 +512,13 @@ def validate_by_partition(
     # the bundled pass groups the UNFILTERED df, so a non-empty `grouped`
     # mapping already enumerates every partition with >=1 row — the extra
     # distinct scan runs only when no full-universe mapping exists (a
-    # suite of job/schema-only expectations), not on every call that
-    # happens to contain a job expectation
+    # suite of job/schema-only expectations, or one where every item
+    # errored at compile and still owes each partition its exception
+    # EVRs), not on every call that happens to contain a job expectation
     if (
         any(isinstance(i.compiled, CompiledJob) for i in items)
         and not grouped
-    ) or (
-        not part_keys
-        and any(isinstance(i.compiled, CompiledSchemaCheck) for i in items)
-    ):
+    ) or (not part_keys and items):
         part_keys.update(
             _collect_partition_values(df, partition_column)
         )

@@ -21,6 +21,31 @@ _TYPES = {
 }
 
 
+def check_schema(schema: Any) -> None:
+    """Fail-fast sanity check of the SCHEMA itself (recursive): a typo'd
+    ``type`` name or a non-dict schema is a configuration error and must
+    raise at compile time — treating it as "no row matches" would
+    conflate bad config with bad data.  Mirrors
+    ``jsonschema.Validator.check_schema`` for the subset this module
+    validates."""
+    if not isinstance(schema, dict):
+        raise ValueError(f"json_schema must be an object, got {schema!r}")
+    stype = schema.get("type")
+    if stype is not None:
+        names = stype if isinstance(stype, list) else [stype]
+        bad = [n for n in names if n not in _TYPES]
+        if bad:
+            raise ValueError(
+                f"json_schema has unknown type name(s) {bad}; valid "
+                f"types are {sorted(_TYPES)}"
+            )
+    for sub in schema.get("properties", {}).values():
+        check_schema(sub)
+    items = schema.get("items")
+    if isinstance(items, dict):
+        check_schema(items)
+
+
 def validate_instance(instance: Any, schema: Dict[str, Any]) -> bool:
     stype = schema.get("type")
     if stype is not None:

@@ -409,6 +409,23 @@ def _json_schema_matches(schema_json: str):
 def _match_json_schema(kwargs: Dict[str, Any]) -> CompiledMap:
     import json
 
+    # a malformed SCHEMA is a config error and must raise at compile
+    # time (-> exception EVR under catch_exceptions) — the row-level
+    # matcher's broad except would otherwise silently report every row
+    # as non-matching, conflating bad config with bad data
+    try:
+        import jsonschema
+
+        jsonschema.validators.validator_for(
+            kwargs["json_schema"]
+        ).check_schema(kwargs["json_schema"])
+    except ImportError:
+        from great_expectations_spark.functions.minischema import (
+            check_schema,
+        )
+
+        check_schema(kwargs["json_schema"])
+
     col = F.col(kwargs["column"])
     schema_json = json.dumps(kwargs["json_schema"])
     expected = _json_schema_matches(schema_json)(col)

@@ -316,7 +316,9 @@ class SuiteValidator:
                 df, spark, items, rf, catch_exceptions, prefetched
             )
         else:
-            metrics = self._run_bundled_phase(df, items)
+            metrics = self._run_bundled_phase_isolating(
+                df, items, catch_exceptions=catch_exceptions
+            )
             self._run_window_phase(
                 df, items, metrics, catch_exceptions, rf, prefetched
             )
@@ -390,7 +392,13 @@ class SuiteValidator:
                 return ("err", exc)
 
         with ThreadPoolExecutor(max_workers=self.job_concurrency) as pool:
-            fut_bundle = pool.submit(self._run_bundled_phase, df, items)
+            fut_bundle = pool.submit(
+                self._run_bundled_phase_isolating,
+                df,
+                items,
+                None,
+                catch_exceptions,
+            )
             window_metrics: Dict[str, Any] = {}
             # the window phase writes fused counts+samples into
             # ``prefetched`` from its worker thread; the main thread only
@@ -596,18 +604,62 @@ class SuiteValidator:
                         )
                         break
 
+    def _run_bundled_phase_isolating(
+        self,
+        df: DataFrame,
+        items: List[_PlannedItem],
+        group_by: Optional[str] = None,
+        catch_exceptions: bool = True,
+    ) -> Dict[str, Any]:
+        """The fused bundled agg, with the reference's ``catch_exceptions``
+        contract restored for the fused design: ONE poisoned expression
+        (a bad regex compiled inside codegen, an ANSI cast overflow, a
+        malformed json_schema...) fails the WHOLE shared ``df.agg`` job,
+        so on failure each item re-runs in its OWN agg — only the items
+        whose solo agg still fails get ``item.error`` (-> exception EVR,
+        reference validator.py:1227-1261) and every healthy expectation
+        keeps its real metrics.  The isolation pass costs one job per
+        item but runs only on the (rare) failure path; the happy path is
+        still exactly one fused job."""
+        try:
+            return self._run_bundled_phase(df, items, group_by)
+        except Exception:  # noqa: BLE001 — isolate, re-raise if asked to
+            if not catch_exceptions:
+                raise
+        merged: Dict[str, Any] = {}
+        for idx, item in enumerate(items):
+            if item.compiled is None or item.error is not None:
+                continue
+            try:
+                solo = self._run_bundled_phase(
+                    df, [item], group_by, alias_prefix=f"s{idx}_"
+                )
+            except Exception as exc:  # noqa: BLE001 — per-item EVR
+                item.error = exc
+                continue
+            if group_by is None:
+                merged.update(solo)
+            else:
+                for part, vals in solo.items():
+                    merged.setdefault(part, {}).update(vals)
+        return merged
+
     def _run_bundled_phase(
         self,
         df: DataFrame,
         items: List[_PlannedItem],
         group_by: Optional[str] = None,
+        alias_prefix: str = "",
     ) -> Dict[str, Any]:
         """Build and run the single bundled agg; returns alias -> value.
 
         With ``group_by`` set, runs ONE ``groupBy(partition_col).agg(...)``
         and returns {partition_value: {alias: value}} — every partition's
         whole-suite counters in a single scan + tiny shuffle (the per-
-        partition scale path the reference does with a driver loop)."""
+        partition scale path the reference does with a driver loop).
+        ``alias_prefix`` namespaces the metric aliases so the isolation
+        fallback's per-item runs can merge into one dict without
+        colliding on ``m0``."""
         exprs: List[Column] = []
         alias_by_key: Dict[str, str] = {}
         counter = 0
@@ -616,7 +668,7 @@ class SuiteValidator:
             nonlocal counter
             if key in alias_by_key:
                 return alias_by_key[key]
-            alias = f"m{counter}"
+            alias = f"{alias_prefix}m{counter}"
             counter += 1
             alias_by_key[key] = alias
             exprs.append(col.alias(alias))
@@ -996,6 +1048,11 @@ class SuiteValidator:
     ) -> ExpectationValidationResult:
         config_dict = item.config.to_json_dict()
         if item.error is not None:
+            # reference contract: with catch_exceptions off, a marked
+            # item (missing column, compile failure, poisoned bundle
+            # expression) propagates instead of quietly becoming an EVR
+            if not catch_exceptions:
+                raise item.error
             return self._exception_result(config_dict, item.error)
         c = item.compiled
         pre = (prefetched or {}).get(id(item))
