@@ -180,9 +180,20 @@ class _HadoopRecordFS:
     cloud-SDK dependencies (the ``functions/_hadoop_io.py`` model).
     ``create(overwrite)`` is one atomic PUT on object stores, which is
     all the record protocol needs (same argument as the manifest's
-    one-file-per-partition design).  Requires an active SparkSession."""
+    one-file-per-partition design).  Requires an active SparkSession.
 
-    def __init__(self, directory: str) -> None:
+    ``hadoop_conf`` layers PER-STORE configuration over the session conf
+    (credentials for a results bucket that differs from the data's —
+    e.g. ``fs.s3a.bucket.<b>.assumed.role.arn`` or an abfss SAS token
+    provider); when set, the store uses its own uncached
+    ``FileSystem.newInstance`` so overrides beat the process-wide FS
+    cache."""
+
+    def __init__(
+        self,
+        directory: str,
+        hadoop_conf: Optional[Dict[str, str]] = None,
+    ) -> None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
@@ -192,14 +203,24 @@ class _HadoopRecordFS:
                 "an active SparkSession for Hadoop FileSystem access"
             )
         self._jvm = spark._jvm
-        self._conf = spark._jsc.hadoopConfiguration()
+        base = spark._jsc.hadoopConfiguration()
         self.directory = directory.rstrip("/")
-        fs, p = self._fs_path(self.directory)
-        fs.mkdirs(p)
+        root = self._jvm.org.apache.hadoop.fs.Path(self.directory)
+        if hadoop_conf:
+            conf = self._jvm.org.apache.hadoop.conf.Configuration(base)
+            for k, v in hadoop_conf.items():
+                conf.set(str(k), str(v))
+            self._conf = conf
+            self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+                root.toUri(), conf
+            )
+        else:
+            self._conf = base
+            self._fs = root.getFileSystem(base)
+        self._fs.mkdirs(root)
 
     def _fs_path(self, path: str):
-        p = self._jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(self._conf), p
+        return self._fs, self._jvm.org.apache.hadoop.fs.Path(path)
 
     def join(self, name: str) -> str:
         return f"{self.directory}/{name}"
@@ -298,9 +319,19 @@ def drift_from_vectors(
     }
 
 
-def _record_fs(directory: str):
+def _record_fs(
+    directory: str, hadoop_conf: Optional[Dict[str, str]] = None
+):
     scheme = directory.split("://", 1)[0] if "://" in directory else ""
-    return _HadoopRecordFS(directory) if scheme else _LocalRecordFS(directory)
+    if scheme:
+        return _HadoopRecordFS(directory, hadoop_conf=hadoop_conf)
+    if hadoop_conf:
+        raise ValueError(
+            "hadoop_conf only applies to scheme'd checkpoint dirs "
+            "(file:// hdfs:// s3a:// abfss:// gs://); a plain local "
+            "path would silently ignore it"
+        )
+    return _LocalRecordFS(directory)
 
 
 class PartitionSketchStore:
@@ -318,6 +349,7 @@ class PartitionSketchStore:
         lg_k: int = 12,
         topk_max_items: int = 10_000,
         histogram_edges: Optional[Dict[str, List[float]]] = None,
+        hadoop_conf: Optional[Dict[str, str]] = None,
     ) -> None:
         if not 4 <= int(lg_k) <= 21:
             raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
@@ -336,7 +368,7 @@ class PartitionSketchStore:
             sketch_dir = checkpoint_dir.rstrip("/") + "/sketches"
         else:
             sketch_dir = os.path.join(checkpoint_dir, "sketches")
-        self._fs = _record_fs(sketch_dir)
+        self._fs = _record_fs(sketch_dir, hadoop_conf=hadoop_conf)
         self.directory = self._fs.directory
 
     def _name(self, partition_id: str) -> str:

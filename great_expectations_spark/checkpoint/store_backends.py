@@ -315,17 +315,55 @@ class TupleHadoopFsBackend(ResultStoreBackend):
     semantics the reference's Tuple*StoreBackends rely on (atomic object
     replacement, no read-modify-write).  All calls are driver-side JVM
     calls: no Spark job is launched for a store read/write.
+
+    ``hadoop_conf`` injects PER-STORE Hadoop configuration on top of the
+    session conf — the last parity delta vs the reference's boto3/azure
+    backends, whose credentials are per-store constructor args.  A
+    result store on a different bucket/account than the data no longer
+    needs session-global credentials::
+
+        TupleHadoopFsBackend(spark, "s3a://results-bucket/gx", hadoop_conf={
+            "fs.s3a.bucket.results-bucket.assumed.role.arn":
+                "arn:aws:iam::123456789012:role/gx-writer",
+            "fs.s3a.bucket.results-bucket.aws.credentials.provider":
+                "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider",
+        })
+        TupleHadoopFsBackend(spark, "abfss://res@acct.dfs.core.windows.net/gx",
+            hadoop_conf={
+                "fs.azure.account.auth.type.acct.dfs.core.windows.net": "SAS",
+                "fs.azure.sas.token.provider.type.acct.dfs.core.windows.net":
+                    "com.example.RefreshingSasTokenProvider",
+            })
+
+    Overrides are honored even when the session already cached a
+    FileSystem for the same scheme: the store gets its own uncached
+    ``FileSystem.newInstance`` rather than the process-wide cache entry.
     """
 
-    def __init__(self, spark, root: str) -> None:
+    def __init__(
+        self,
+        spark,
+        root: str,
+        hadoop_conf: Optional[Dict[str, str]] = None,
+    ) -> None:
         from great_expectations_spark.checkpoint.param_store import _safe
 
         self.spark = spark
         self.root = root.rstrip("/")
         self._safe = _safe
         self._jvm = spark._jvm
-        self._hconf = spark._jsc.hadoopConfiguration()
-        self._fs = self._path(self.root).getFileSystem(self._hconf)
+        base = spark._jsc.hadoopConfiguration()
+        if hadoop_conf:
+            conf = self._jvm.org.apache.hadoop.conf.Configuration(base)
+            for k, v in hadoop_conf.items():
+                conf.set(str(k), str(v))
+            self._hconf = conf
+            self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.newInstance(
+                self._path(self.root).toUri(), conf
+            )
+        else:
+            self._hconf = base
+            self._fs = self._path(self.root).getFileSystem(base)
         self._fs.mkdirs(self._path(self.root))
 
     # -- hadoop plumbing (driver-side only) ------------------------------

@@ -212,3 +212,77 @@ def test_tuple_hadoop_fs_backend_round_trip(spark, tmp_path):
     with pytest.raises(KeyError):
         backend.latest_payload("phantom")
     assert not (tmp_path / "tuple_store" / "phantom").exists()
+
+
+def test_tuple_hadoop_fs_backend_per_store_conf(spark, tmp_path):
+    """Per-store hadoop_conf overrides (the credential-plumbing parity
+    delta vs the reference's boto3/azure backends): the store's OWN
+    FileSystem instance carries the injected keys, the session-global
+    conf stays untouched, and the store still round-trips."""
+    from great_expectations_spark.checkpoint.store_backends import (
+        BackendValidationResultStore,
+        TupleHadoopFsBackend,
+    )
+    from great_expectations_spark.core.results import (
+        ExpectationSuiteValidationResult,
+    )
+
+    root = f"file://{tmp_path}/res"
+    backend = TupleHadoopFsBackend(
+        spark, root,
+        hadoop_conf={
+            # stand-ins for fs.s3a.bucket.<b>.assumed.role.arn /
+            # fs.azure.sas.token.provider.type.<acct> — any key injects
+            # the same way, via a per-store Configuration copy
+            "gx.test.injected.credential": "role-arn-42",
+            "io.file.buffer.size": "8192",
+        },
+    )
+    assert (
+        backend._fs.getConf().get("gx.test.injected.credential")
+        == "role-arn-42"
+    )
+    assert backend._fs.getConf().get("io.file.buffer.size") == "8192"
+    # isolation: session conf must NOT see the per-store injection
+    assert (
+        spark._jsc.hadoopConfiguration().get("gx.test.injected.credential")
+        is None
+    )
+    store = BackendValidationResultStore(backend)
+    res = ExpectationSuiteValidationResult(
+        success=True, results=[], statistics={},
+        meta={"expectation_suite_name": "s1", "run_id": "r1"},
+    )
+    store.save(res)
+    assert store.latest("s1")["success"] is True
+
+
+def test_sketch_store_per_store_conf(spark, tmp_path):
+    """PartitionSketchStore: same hadoop_conf injection through the
+    file:// record FS; a plain local path with hadoop_conf raises
+    instead of silently ignoring the credentials."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.checkpoint.sketches import (
+        PartitionSketchStore,
+    )
+
+    store = PartitionSketchStore(
+        f"file://{tmp_path}/sk",
+        hadoop_conf={"gx.test.injected.credential": "sas-token-7"},
+    )
+    assert (
+        store._fs._fs.getConf().get("gx.test.injected.credential")
+        == "sas-token-7"
+    )
+    df = spark.createDataFrame(
+        [("p", 1.0), ("p", 2.0)], "part string, x double"
+    )
+    store.update(df, "part", ["x"], kinds=("moments",))
+    assert store.merged_moments(["x"])["x"]["count"] == 2
+    with _pytest.raises(ValueError, match="hadoop_conf"):
+        PartitionSketchStore(
+            str(tmp_path / "plain"),
+            hadoop_conf={"k": "v"},
+        )
