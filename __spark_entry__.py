@@ -6,6 +6,24 @@ name-aligned with the matching ``oracle_sql()`` DuckDB statement.  Query
 callables exercise the REAL engine paths (SuiteValidator bundled agg,
 two-phase uniqueness, window monotonicity, drift split-histograms, dedup /
 similarity operators) — not hand-inlined SQL.
+
+REGISTRY BUDGET — STACKING CONVENTION (do not break this): the driver
+caps the registry at 50 entries and the registry sits AT the cap, so a
+new operator must NOT add an entry.  Stack its check rows into the
+existing entry whose tables/shape it shares, as extra rows in that
+entry's long format, and extend the oracle SQL with a matching
+``UNION ALL`` arm.  Established long formats to ride:
+``map_suite_*`` (per-metric check rows), ``text_stats_docs``
+(``(metric, value)`` rows incl. quality gates and repetition signals),
+``multimodal_docs`` (``(doc_id, kind, idx, val)`` — e.g. round 5 added
+``kind='phash_pair'`` for perceptual image dedup), ``decontam_docs``
+(gram + semantic arms), ``days_missing_events`` (+ ``sk_*`` sketch
+rows), ``zz_dsir`` (buckets→ratio→Gumbel→top-k chain rows).  Keys are
+sorted by name in the driver report, so prefix-name a new entry only if
+a genuinely new family ever frees a slot.  Columns must be name-aligned
+and value-identical between engines: alias every computed column the
+same on both sides; round floats at a stated precision; keep ordering
+irrelevant (the driver sorts by all columns before hashing).
 """
 
 from __future__ import annotations

@@ -286,6 +286,28 @@ class SuiteValidator:
 
     # ------------------------------------------------------------------
 
+    def warm_up(
+        self, df: DataFrame, suite: ExpectationSuite
+    ) -> None:
+        """Pre-pay the suite's one-time JVM cost on a ONE-ROW slice.
+
+        A cold ``validate`` pays Catalyst analysis + whole-stage-codegen
+        compilation + JIT warm-up for the suite's (large) fused
+        expression trees before touching any data — measured ~3s of a
+        ~6s cold wall at sf0.1, vs <0.1s of Python planning (the
+        remainder amortizes across a session; see BENCH_NOTES round-5
+        cold-suite breakdown).  Those caches key on the GENERATED CODE,
+        which depends only on (suite, schema) — so validating
+        ``df.limit(1)`` populates them for near-free, and the first real
+        ``validate`` then runs at near-warm cost.  Call during session
+        setup (a background thread is fine: Spark jobs are thread-safe
+        per session) for interactive ``asset.validate()`` workflows; a
+        long-running checkpoint job gains nothing (it pays the cost once
+        either way)."""
+        self.validate(df.limit(1), suite, result_format="BOOLEAN_ONLY")
+
+    # ------------------------------------------------------------------
+
     def validate(
         self,
         df: DataFrame,

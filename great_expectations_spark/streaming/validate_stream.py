@@ -20,9 +20,9 @@ engine's semantics onto streams:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from great_expectations_spark.core.domain import domain_gate, parse_row_condition
@@ -447,6 +447,71 @@ def _stable_run_id(checkpoint_location) -> str:
             str(checkpoint_location).encode("utf-8")
         ).hexdigest()
     return uuid.uuid4().hex
+
+
+def compact_band_state(
+    spark: SparkSession, state_path: str, keys_per_file: int = 8_000_000
+) -> Dict[str, int]:
+    """Fold the near-dedup band store to one distinct-key table.
+
+    Each epoch appends a small parquet file of new ``(band, bucket)``
+    keys, so after thousands of micro-batches the store is thousands of
+    files and every batch's anti-join pays the listing + tiny-file scan
+    tax.  This rewrites it as ``ceil(keys / keys_per_file)`` files,
+    distinct and sorted within partitions on the join key, under the
+    reserved lineage ``(run_id='__compacted__', epoch=-1)`` — visible to
+    every future run (``_visible_band_state`` only hides the CURRENT
+    run's same-or-later epochs), so verdicts are unchanged.
+
+    Run BETWEEN streaming runs, not while a query is writing: the swap
+    is staging-dir + directory rename, which is not atomic against a
+    concurrent epoch append (the streaming query itself is crash-safe;
+    the compactor is a maintenance job, same contract as the sketch
+    store's :meth:`~great_expectations_spark.checkpoint.sketches.PartitionSketchStore.compact`).
+
+    Returns ``{"keys": n, "files_before": a, "files_after": b}``."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {"keys": 0, "files_before": 0, "files_after": 0}
+
+    def _count_parquet_files(p) -> int:
+        n = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    files_before = _count_parquet_files(hpath)
+    distinct = (
+        spark.read.parquet(state_path)
+        .select("band", "bucket")
+        .distinct()
+        .persist()
+    )
+    n = distinct.count()
+    staging = state_path.rstrip("/") + ".__compacting__"
+    (
+        distinct.withColumn("run_id", F.lit("__compacted__"))
+        .withColumn("epoch", F.lit(-1))
+        .repartition(max(1, math.ceil(n / keys_per_file)))
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    distinct.unpersist()
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    fs.rename(spath, hpath)
+    return {
+        "keys": int(n),
+        "files_before": files_before,
+        "files_after": _count_parquet_files(hpath),
+    }
 
 
 def _visible_band_state(

@@ -604,3 +604,75 @@ def test_near_dedup_replay_after_restart_keeps_batch(spark, tmp_path):
     q.awaitTermination(120)
     # the replayed batch keeps its rows (original verdict reproduced)
     assert set(survivors) == {1}
+
+
+def test_near_dedup_band_state_bounded_and_compactable(spark, tmp_path):
+    """State-size bound + compaction: after N duplicate-heavy epochs the
+    band store holds at most bands x distinct-docs keys (dup documents
+    register no NEW keys), compact_band_state folds the epoch files to
+    one sorted run without changing a single verdict, and the store
+    keeps growing correctly afterwards."""
+    from great_expectations_spark.streaming.validate_stream import (
+        compact_band_state,
+        streaming_near_dedup,
+    )
+
+    texts = [
+        " ".join(f"w{i * 100 + j}" for j in range(30)) for i in range(6)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    survivors = {}
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ord long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+
+    def run_query():
+        stream = (
+            spark.readStream.schema("doc_id long, ord long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = streaming_near_dedup(
+            stream, "doc_id", "ord", column="text", state_path=state,
+            bands=16, on_survivors=lambda e, df: survivors.update(
+                {r["doc_id"]: e for r in df.collect()}
+            ),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    # 5 epochs; epochs 2-5 are pure duplicates of epoch 1's documents
+    write_batch("b0", [(i, i, texts[i]) for i in range(6)])
+    for e in range(1, 5):
+        write_batch(f"b{e}", [(100 * e + i, 100 * e + i, texts[i])
+                              for i in range(6)])
+    run_query()
+    assert sorted(survivors) == [0, 1, 2, 3, 4, 5]  # only epoch-1 docs
+    state_df = spark.read.parquet(state)
+    n_keys = state_df.select("band", "bucket").distinct().count()
+    assert state_df.count() == n_keys  # dup epochs appended NOTHING
+    assert n_keys <= 16 * 6  # bands x distinct docs — the hard bound
+
+    # compaction folds the per-epoch files without changing verdicts
+    stats = compact_band_state(spark, state)
+    assert stats["keys"] == n_keys
+    assert stats["files_after"] <= 1 < stats["files_before"]
+    after = spark.read.parquet(state)
+    assert after.count() == n_keys
+    assert after.select("run_id").distinct().collect()[0][0] == "__compacted__"
+
+    # a fresh run against the compacted store: old dups still drop, new
+    # distinct docs still survive and register
+    survivors.clear()
+    new_text = " ".join(f"z{j}" for j in range(30))
+    write_batch("b9", [(900, 900, texts[0]), (901, 901, new_text)])
+    run_query()
+    assert 900 not in survivors and 901 in survivors
+    assert (
+        spark.read.parquet(state)
+        .select("band", "bucket").distinct().count() > n_keys
+    )

@@ -309,3 +309,27 @@ def test_hot_conversation_skew_correctness(spark):
     finally:
         df.unpersist()
         spark.catalog.dropTempView("hot_t")
+
+
+def test_warm_up_populates_caches_and_changes_nothing(spark):
+    """warm_up validates a 1-row slice (BOOLEAN_ONLY, no samples) purely
+    to fill the Catalyst/codegen caches; a following real validate must
+    return exactly what a cold validate returns."""
+    from great_expectations_spark.datagen.transcripts import (
+        default_suite,
+        generate_transcripts,
+    )
+
+    t = generate_transcripts(spark, 40)
+    suite = default_suite()
+    v = SuiteValidator()
+    v.warm_up(t, suite)
+    warm = v.validate(t, suite, result_format="SUMMARY")
+    cold = SuiteValidator().validate(t, suite, result_format="SUMMARY")
+    assert warm.success == cold.success
+    assert warm.statistics == cold.statistics
+    for a, b in zip(warm.results, cold.results):
+        assert a.success == b.success
+        assert (a.result or {}).get("unexpected_count") == (
+            (b.result or {}).get("unexpected_count")
+        )
