@@ -2892,8 +2892,24 @@ def _pii_sql() -> str:
     """DuckDB replica of the planted-PII entry: identical VALUES rows,
     the same RE2/Java-common regexes, the Luhn fold as a list_transform
     lambda, and the full redaction chain (global regexp_replace in
-    PII_PATTERNS order) fingerprinted under ORDER BY id."""
-    from great_expectations_spark.functions.curation import PII_PATTERNS
+    PII_PATTERNS order) fingerprinted under ORDER BY id.
+
+    Possessive quantifiers (``{1,64}+`` — the round-5 fix for Java
+    regex's O(run^2) backtracking on long email-charset runs) are
+    stripped for DuckDB: RE2 is linear-time by construction, never
+    backtracks, and rejects the possessive syntax — greedy and
+    possessive are match-identical for these patterns (the class never
+    contains the required next literal)."""
+    import re as _re
+
+    from great_expectations_spark.functions.curation import (
+        PII_PATTERNS as _JAVA_PATTERNS,
+    )
+
+    PII_PATTERNS = {
+        k: _re.sub(r"(\{\d+,\d+\})\+", r"\1", p)
+        for k, p in _JAVA_PATTERNS.items()
+    }
 
     values = ", ".join(
         f"({i}, NULL)" if t is None else f"({i}, '{t}')"

@@ -39,7 +39,7 @@ which the mixture sampler generalizes to weighted per-group rates.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -512,7 +512,19 @@ def decontaminate(
 # card number is not half-eaten by the phone pattern.
 PII_PATTERNS: Dict[str, str] = {
     "credit_card": r"\b(?:[0-9][ -]?){12,18}[0-9]\b",
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # local part: POSSESSIVE and RFC-5321-bounded ({1,64}+).  The naive
+    # unbounded greedy `[...]+@` is O(run^2) on long unbroken
+    # email-charset runs (hashes, base64, URLs): every start position
+    # inside the run consumes to its end before failing at `@` —
+    # measured 172 s for one pass over 250k docs whose synthetic text
+    # is a single 20k-char hex run, vs 8 s bounded-possessive and
+    # equivalent matches for any RFC-legal address.  Possessiveness is
+    # exactly equivalent here (`@` is not in the class, so backtracking
+    # can never create a match); the bound only changes >64-char local
+    # parts, which the RFC forbids.
+    # (domain stays NON-possessive: its class contains '.', so the
+    # trailing `\.` needs backtracking to match)
+    "email": r"[A-Za-z0-9._%+-]{1,64}+@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
     # leading \b sits inside the alternation: it cannot assert before a
     # literal "(" (non-word on both sides), so the parenthesized-area-code
@@ -522,6 +534,15 @@ PII_PATTERNS: Dict[str, str] = {
         r"[0-9]{3}[-. ][0-9]{4}\b"
     ),
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+# Required-literal prefilters: a kind whose pattern demands a specific
+# character gets a cheap `contains` gate so non-candidate rows never
+# enter the regex engine.  The digit-based kinds are all
+# bounded-quantifier patterns (O(bound * len) worst case, measured
+# <1 s/250k docs even on pathological runs) and need no gate.
+_PII_GATES: Dict[str, Any] = {
+    "email": lambda c: c.contains("@"),
 }
 
 # ---------------------------------------------------------------------------
@@ -704,7 +725,16 @@ def pii_counts(col: Column, kinds: Optional[List[str]] = None) -> Dict[str, Colu
             )
             out[kind] = F.size(F.filter(digits, _luhn_pred_col))
         else:
-            out[kind] = F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+            n = F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+            gate = _PII_GATES.get(kind)
+            out[kind] = (
+                # NULL text stays NULL (regexp_count's contract)
+                F.when(col.isNull(), F.lit(None).cast("int"))
+                .when(gate(col), n)
+                .otherwise(F.lit(0))
+                if gate is not None
+                else n
+            )
     return out
 
 
@@ -747,8 +777,17 @@ def redact_pii(
     for kind in PII_PATTERNS:  # fixed canonical order
         if kind not in kinds:
             continue
-        out = F.regexp_replace(
+        replaced = F.regexp_replace(
             out, PII_PATTERNS[kind], token.format(kind=kind)
+        )
+        gate = _PII_GATES.get(kind)
+        # literal prefilter: rows that cannot contain the kind skip the
+        # regex scan entirely (a required literal like '@' is a cheap
+        # JVM contains; the regex pass over a 20k-char run is not)
+        out = (
+            F.when(gate(col), replaced).otherwise(out)
+            if gate is not None
+            else replaced
         )
     return out
 
@@ -1478,6 +1517,7 @@ def curate_corpus(
     mixture_weight_by: str = "rows",
     seed: str = "",
     with_report: bool = False,
+    stage_barriers: str = "auto",
 ) -> Tuple[DataFrame, List[Dict[str, object]]]:
     """One-call training-corpus curation, staged in the canonical
     pipeline order: **C4 line-clean → Gopher gate → dedup →
@@ -1494,6 +1534,24 @@ def curate_corpus(
     DSIR stage, or persist upstream first).  ``with_report=True``
     counts rows after each stage (one job per enabled stage) and
     returns the attrition table ``[{stage, rows, retained}]``.
+
+    ``stage_barriers`` (``'auto'`` | ``'none'``) controls lineage
+    barriers after TEXT-REWRITING stages.  Why they exist: C4's
+    ``clean_text`` and redaction's rewritten text are built from
+    higher-order / regex expression trees that Spark always evaluates
+    INTERPRETED (HOFs are CodegenFallback), and once later stages
+    compose on top, the rewritten-text subexpression is re-evaluated
+    once per downstream reference per row — measured >20x wall blowup
+    at 2.5M docs (the whole pipeline fused into one projection, every
+    executor thread pinned inside ``RegExpReplace.nullSafeEval``).
+    ``'auto'`` inserts a lazy ``localCheckpoint(eager=False)`` after
+    the C4 and redact stages whenever a later stage re-reads the text,
+    so the rewrite is computed ONCE and later stages see a plain
+    column; storage is the executors' MEMORY_AND_DISK.  At corpus
+    scales beyond executor storage use the per-partition runner
+    (``curate_by_partition``), whose durable per-stage writes are the
+    same barrier in persistent form.  ``'none'`` keeps the fully-lazy
+    single plan (small corpora / plan-inspection).
 
     * ``c4``: enable :func:`c4_clean` line-level cleaning (Raffel et
       al. 2020) as the first stage — raw scraped text is cleaned
@@ -1547,10 +1605,44 @@ def curate_corpus(
             {"stage": stage, "rows": n, "retained": round(n / first[0], 6)}
         )
 
+    if stage_barriers not in ("auto", "none"):
+        raise ValueError(
+            f"stage_barriers must be 'auto' or 'none', got {stage_barriers!r}"
+        )
+    reads_text_after_c4 = any(
+        (
+            gopher,
+            dedup_method,
+            substring_n is not None,
+            benchmark_df is not None,
+            drop_pii_kinds,
+            redact_kinds,
+            quality_model is not None,
+            perplexity_model is not None,
+            dsir_model is not None,
+            mixture_weights and mixture_weight_by == "tokens",
+        )
+    )
+    reads_text_after_redact = any(
+        (
+            quality_model is not None,
+            perplexity_model is not None,
+            dsir_model is not None,
+            mixture_weights and mixture_weight_by == "tokens",
+        )
+    )
+
+    def barrier(d: DataFrame) -> DataFrame:
+        # lazy lineage cut: the rewritten text becomes a plain column
+        # for everything downstream (see stage_barriers in the docstring)
+        return d.localCheckpoint(eager=False)
+
     out = df
     record("input", out)
     if c4:
         out = c4_clean(out, text_column=text_column, **(c4_kwargs or {}))
+        if stage_barriers == "auto" and reads_text_after_c4:
+            out = barrier(out)
         record("c4_clean", out)
     if gopher:
         from great_expectations_spark.functions.text import gopher_filter
@@ -1621,6 +1713,8 @@ def curate_corpus(
         out = out.withColumn(
             text_column, redact_pii(F.col(text_column), redact_kinds)
         )
+        if stage_barriers == "auto" and reads_text_after_redact:
+            out = barrier(out)
         record("redact_pii", out)
     if quality_model is not None:
         out = out.filter(
