@@ -207,7 +207,15 @@ def inner() -> None:
                 perplexity_model=ppl_model,
                 perplexity_max=1e9,
                 dsir_model=dsir_model,
-                dsir_keep=100_000,
+                # float fraction -> the distributed approxQuantile-cutoff
+                # selection (the documented 10^12-row path).  An int k
+                # routes through TakeOrdered, whose driver-side merge of
+                # num_partitions x k rows is a SERIAL term: measured
+                # ~24 s/pass at k=100k over 64 partitions, capping
+                # executor-scaling efficiency at 0.59-0.70 (Amdahl fit in
+                # SCALING.md round 5) — the same job at the fraction path
+                # keeps selection fully distributed
+                dsir_keep=0.08,
                 mixture_column="source",
                 mixture_weights={
                     "user": 0.4, "assistant": 0.4, "system": 0.1,
