@@ -202,25 +202,31 @@ class _HadoopRecordFS:
                 f"a {directory.split('://', 1)[0]}:// sketch store needs "
                 "an active SparkSession for Hadoop FileSystem access"
             )
+        from great_expectations_spark.checkpoint._hadoopfs import (
+            filesystem_for,
+        )
+
         self._jvm = spark._jvm
-        base = spark._jsc.hadoopConfiguration()
         self.directory = directory.rstrip("/")
-        root = self._jvm.org.apache.hadoop.fs.Path(self.directory)
-        if hadoop_conf:
-            conf = self._jvm.org.apache.hadoop.conf.Configuration(base)
-            for k, v in hadoop_conf.items():
-                conf.set(str(k), str(v))
-            self._conf = conf
-            self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.newInstance(
-                root.toUri(), conf
-            )
-        else:
-            self._conf = base
-            self._fs = root.getFileSystem(base)
-        self._fs.mkdirs(root)
+        self._fs, self._conf, self._owns_fs = filesystem_for(
+            spark, self.directory, hadoop_conf
+        )
+        self._fs.mkdirs(
+            self._jvm.org.apache.hadoop.fs.Path(self.directory)
+        )
 
     def _fs_path(self, path: str):
         return self._fs, self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def close(self) -> None:
+        """Release the per-store FileSystem (uncached ``newInstance``
+        exists only under ``hadoop_conf`` overrides); idempotent."""
+        from great_expectations_spark.checkpoint._hadoopfs import (
+            close_quietly,
+        )
+
+        close_quietly(self._fs, getattr(self, "_owns_fs", False))
+        self._owns_fs = False
 
     def join(self, name: str) -> str:
         return f"{self.directory}/{name}"
@@ -370,6 +376,14 @@ class PartitionSketchStore:
             sketch_dir = os.path.join(checkpoint_dir, "sketches")
         self._fs = _record_fs(sketch_dir, hadoop_conf=hadoop_conf)
         self.directory = self._fs.directory
+
+    def close(self) -> None:
+        """Release the store's per-store Hadoop FileSystem if one exists
+        (``hadoop_conf`` overrides create an uncached instance); no-op
+        for local-directory stores.  Idempotent."""
+        closer = getattr(self._fs, "close", None)
+        if closer is not None:
+            closer()
 
     def _name(self, partition_id: str) -> str:
         # readable sanitized prefix + hash of the RAW id: two partition

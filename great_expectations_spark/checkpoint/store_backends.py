@@ -348,23 +348,31 @@ class TupleHadoopFsBackend(ResultStoreBackend):
     ) -> None:
         from great_expectations_spark.checkpoint.param_store import _safe
 
+        from great_expectations_spark.checkpoint._hadoopfs import (
+            filesystem_for,
+        )
+
         self.spark = spark
         self.root = root.rstrip("/")
         self._safe = _safe
         self._jvm = spark._jvm
-        base = spark._jsc.hadoopConfiguration()
-        if hadoop_conf:
-            conf = self._jvm.org.apache.hadoop.conf.Configuration(base)
-            for k, v in hadoop_conf.items():
-                conf.set(str(k), str(v))
-            self._hconf = conf
-            self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.newInstance(
-                self._path(self.root).toUri(), conf
-            )
-        else:
-            self._hconf = base
-            self._fs = self._path(self.root).getFileSystem(base)
+        self._fs, self._hconf, self._owns_fs = filesystem_for(
+            spark, self.root, hadoop_conf
+        )
         self._fs.mkdirs(self._path(self.root))
+
+    def close(self) -> None:
+        """Release the per-store FileSystem (only exists when the store
+        was built with ``hadoop_conf`` — uncached instances hold thread
+        and connection pools, so long-lived drivers constructing many
+        stores should close them).  Idempotent; a store built without
+        overrides shares the session FS and this is a no-op."""
+        from great_expectations_spark.checkpoint._hadoopfs import (
+            close_quietly,
+        )
+
+        close_quietly(self._fs, getattr(self, "_owns_fs", False))
+        self._owns_fs = False
 
     # -- hadoop plumbing (driver-side only) ------------------------------
 

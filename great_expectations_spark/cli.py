@@ -106,7 +106,8 @@ def _cmd_validate(args) -> int:
                             args.sketch_histogram_edges
                         ).items()
                     }
-                except (ValueError, AttributeError) as exc:
+                except (ValueError, AttributeError, TypeError) as exc:
+                    # TypeError: a non-list edge value ({"col": 5})
                     print(
                         "--sketch-histogram-edges must be a JSON object "
                         f"of column -> numeric edge list: {exc}",

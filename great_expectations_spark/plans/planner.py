@@ -303,8 +303,30 @@ class SuiteValidator:
         setup (a background thread is fine: Spark jobs are thread-safe
         per session) for interactive ``asset.validate()`` workflows; a
         long-running checkpoint job gains nothing (it pays the cost once
-        either way)."""
-        self.validate(df.limit(1), suite, result_format="BOOLEAN_ONLY")
+        either way).
+
+        Job expectations (referential other-table checks, two-sample
+        drift, user SQL) are EXCLUDED from the warm-up pass:
+        ``limit(1)`` only limits the primary DataFrame, so their
+        reference-table scans would run at full size — the opposite of
+        "near-free" — and their cost is their own query, not cached
+        codegen."""
+        probe = suite
+        items = self._compile(
+            suite, suite.evaluation_parameters, True, None
+        )
+        if any(isinstance(i.compiled, CompiledJob) for i in items):
+            probe = ExpectationSuite(
+                suite.expectation_suite_name + "__warmup"
+            )
+            probe.expectations = [
+                it.config
+                for it in items
+                if not isinstance(it.compiled, CompiledJob)
+            ]
+            if not probe.expectations:
+                return
+        self.validate(df.limit(1), probe, result_format="BOOLEAN_ONLY")
 
     # ------------------------------------------------------------------
 

@@ -469,14 +469,34 @@ def compact_band_state(
     the compactor is a maintenance job, same contract as the sketch
     store's :meth:`~great_expectations_spark.checkpoint.sketches.PartitionSketchStore.compact`).
 
+    Crash safety of the swap itself: the old store is renamed ASIDE
+    (``<state>.__precompact__``) before the staging dir takes its
+    place, and a fresh invocation auto-recovers a crash between the two
+    renames by restoring the backup — at no point can both the store
+    and its backup be missing, so a crashed compaction can never make
+    the dedup filter silently forget its history (the reader refuses to
+    start on a half-swapped store; see ``streaming_near_dedup``).
+
     Returns ``{"keys": n, "files_before": a, "files_after": b}``."""
     import math
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(state_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    backup = state_path.rstrip("/") + ".__precompact__"
+    bpath = jvm.org.apache.hadoop.fs.Path(backup)
+    if fs.exists(bpath) and not fs.exists(hpath):
+        # a previous compaction crashed between its two renames —
+        # restore the backup and fall through to a clean re-compact
+        if not fs.rename(bpath, hpath):
+            raise RuntimeError(
+                f"failed to restore {backup} -> {state_path} after an "
+                "interrupted compaction"
+            )
     if not fs.exists(hpath):
         return {"keys": 0, "files_before": 0, "files_after": 0}
+    if fs.exists(bpath):  # stale backup from a completed-then-crashed GC
+        fs.delete(bpath, True)
 
     def _count_parquet_files(p) -> int:
         n = 0
@@ -505,8 +525,22 @@ def compact_band_state(
     )
     distinct.unpersist()
     spath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
-    fs.rename(spath, hpath)
+    # swap: old -> backup, staging -> live, then GC the backup.  Every
+    # rename return value is CHECKED (HDFS-style rename reports failure
+    # by returning false, not raising); a crash at any point leaves
+    # either the live store or the backup present for auto-recovery
+    if not fs.rename(hpath, bpath):
+        raise RuntimeError(
+            f"compaction aborted: could not move {state_path} aside"
+        )
+    if not fs.rename(spath, hpath):
+        # roll back so the reader never sees a missing store
+        fs.rename(bpath, hpath)
+        raise RuntimeError(
+            f"compaction aborted: could not install {staging}; original "
+            "store restored"
+        )
+    fs.delete(bpath, True)  # GC; a crash here is recovered on next call
     return {
         "keys": int(n),
         "files_before": files_before,
@@ -603,6 +637,20 @@ def streaming_near_dedup(
             fs = hpath.getFileSystem(
                 spark._jsc.hadoopConfiguration()
             )
+            if not fs.exists(hpath) and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    state_path.rstrip("/") + ".__precompact__"
+                )
+            ):
+                # a compaction crashed mid-swap: the history exists only
+                # as the backup.  Treating this as "first epoch" would
+                # silently admit every known near-duplicate — fail loudly
+                # instead; compact_band_state auto-recovers the backup.
+                raise RuntimeError(
+                    f"band store {state_path} is mid-compaction (backup "
+                    "dir present, live dir missing) — run "
+                    "compact_band_state once to recover before streaming"
+                )
             seen = (
                 _visible_band_state(
                     spark.read.parquet(state_path), run_id, int(epoch_id)

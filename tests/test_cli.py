@@ -437,3 +437,8 @@ def test_validate_sketch_histogram_flag(data_path, tmp_path):
         base + ["--sketch-kinds", "histogram",
                 "--sketch-histogram-edges", "not json"]
     ) == 2
+    # non-list edge value: clean exit-2, not a TypeError traceback
+    assert _run(
+        base + ["--sketch-kinds", "histogram",
+                "--sketch-histogram-edges", '{"value": 5}']
+    ) == 2

@@ -676,3 +676,48 @@ def test_near_dedup_band_state_bounded_and_compactable(spark, tmp_path):
         spark.read.parquet(state)
         .select("band", "bucket").distinct().count() > n_keys
     )
+
+
+def test_band_state_compaction_crash_recovery(spark, tmp_path):
+    """A compaction crash between the two swap renames must never make
+    the dedup filter silently forget its history: the backup restores
+    on the next compact call, and the reader refuses a half-swapped
+    store instead of treating it as first-epoch."""
+    import os
+
+    from great_expectations_spark.streaming.validate_stream import (
+        compact_band_state,
+        streaming_near_dedup,
+    )
+
+    state = str(tmp_path / "st")
+    spark.createDataFrame(
+        [(1, 2, "r", 0)], "band int, bucket long, run_id string, epoch int"
+    ).write.parquet(state)
+    n0 = spark.read.parquet(state).count()
+    # simulate the crash window: live dir moved aside, staging lost
+    os.rename(state, state + ".__precompact__")
+    assert not os.path.exists(state)
+
+    # reader: loud refusal, not an empty-state restart
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 1, "some words here")], "doc_id long, ord long, text string"
+    ).write.parquet(str(src / "b0"))
+    q = streaming_near_dedup(
+        spark.readStream.schema("doc_id long, ord long, text string")
+        .parquet(str(src) + "/*"),
+        "doc_id", "ord", column="text", state_path=state,
+        on_survivors=lambda e, df: df.count(), trigger_once=True,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mid-compaction"):
+        q.awaitTermination(120)
+
+    # compactor: auto-recovers the backup, then compacts normally
+    stats = compact_band_state(spark, state)
+    assert stats["keys"] == n0
+    assert os.path.exists(state)
+    assert not os.path.exists(state + ".__precompact__")

@@ -286,3 +286,30 @@ def test_sketch_store_per_store_conf(spark, tmp_path):
             str(tmp_path / "plain"),
             hadoop_conf={"k": "v"},
         )
+
+
+def test_per_store_fs_close_idempotent(spark, tmp_path):
+    """Stores built with hadoop_conf own an uncached FileSystem and can
+    release it; close() is idempotent and a no-op for shared-FS stores."""
+    from great_expectations_spark.checkpoint.sketches import (
+        PartitionSketchStore,
+    )
+    from great_expectations_spark.checkpoint.store_backends import (
+        TupleHadoopFsBackend,
+    )
+
+    b = TupleHadoopFsBackend(
+        spark, f"file://{tmp_path}/r", hadoop_conf={"gx.k": "v"}
+    )
+    b.close()
+    b.close()  # idempotent
+    shared = TupleHadoopFsBackend(spark, f"file://{tmp_path}/r2")
+    shared.close()  # shared session FS: must be a no-op (still usable)
+    assert shared._fs.exists(shared._path(shared.root))
+
+    st = PartitionSketchStore(
+        f"file://{tmp_path}/sk", hadoop_conf={"gx.k": "v"}
+    )
+    st.close()
+    st.close()
+    PartitionSketchStore(str(tmp_path / "local")).close()  # local no-op

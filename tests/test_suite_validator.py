@@ -333,3 +333,42 @@ def test_warm_up_populates_caches_and_changes_nothing(spark):
         assert (a.result or {}).get("unexpected_count") == (
             (b.result or {}).get("unexpected_count")
         )
+
+
+def test_warm_up_skips_job_expectations(spark, monkeypatch):
+    """warm_up excludes job expectations (limit(1) cannot bound their
+    reference-table scans) and still warms the rest; an all-job suite
+    is a no-op."""
+    from great_expectations_spark.datagen.transcripts import (
+        generate_transcripts,
+    )
+
+    t = generate_transcripts(spark, 30)
+    dim = t.select("conv_id").distinct()
+    suite = (
+        ExpectationSuite("wj")
+        .add("expect_column_values_to_not_be_null", column="text")
+        .add(
+            "expect_column_values_to_exist_in_other_table",
+            column="conv_id", other_table=dim, other_column="conv_id",
+        )
+    )
+    v = SuiteValidator()
+    seen = {}
+    real = SuiteValidator.validate
+
+    def spy(self, df, s, **kw):
+        seen["types"] = [e.expectation_type for e in s.expectations]
+        return real(self, df, s, **kw)
+
+    monkeypatch.setattr(SuiteValidator, "validate", spy)
+    v.warm_up(t, suite)
+    assert seen["types"] == ["expect_column_values_to_not_be_null"]
+
+    seen.clear()
+    jobs_only = ExpectationSuite("jo").add(
+        "expect_column_values_to_exist_in_other_table",
+        column="conv_id", other_table=dim, other_column="conv_id",
+    )
+    v.warm_up(t, jobs_only)  # no-op, no validate call
+    assert "types" not in seen
